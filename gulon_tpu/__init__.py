@@ -1,0 +1,59 @@
+"""gulon_tpu — a TPU-native (JAX/XLA/Pallas) approximate-nearest-neighbour framework.
+
+A from-scratch rebuild of the capabilities of the JVM reference library
+``tixxit/gulon`` (product-quantization ANN indices over keyed embedding
+vectors), redesigned idiomatically for TPUs:
+
+- k-means codebook training = batched Lloyd iterations on the MXU
+  (assignment is one matmul + argmin, the update is a blocked one-hot matmul),
+- product-quantizer training is vmapped across subspaces (all codebooks train
+  simultaneously in one jitted loop),
+- queries use asymmetric distance computation (ADC) re-expressed in MXU form:
+  per-tile gather-decode of PQ codes followed by a query x tile matmul with
+  precomputed reconstruction norms (mathematically identical to the classic
+  per-query LUT scan, which is also provided),
+- indices shard row-wise across a ``jax.sharding.Mesh`` with per-shard top-k
+  merged via all-gather over ICI.
+
+Reference parity map lives in SURVEY.md; each module cites the reference
+file/lines whose behavior it reproduces.
+"""
+
+__version__ = "0.1.0"
+
+_EXPORTS = {
+    "SummaryStats": "gulon_tpu.ops.stats",
+    "KMeansConfig": "gulon_tpu.ops.kmeans",
+    "fit_kmeans": "gulon_tpu.ops.kmeans",
+    "PQConfig": "gulon_tpu.ops.pq",
+    "ProductQuantizer": "gulon_tpu.ops.pq",
+    "train_product_quantizer": "gulon_tpu.ops.pq",
+    "Metric": "gulon_tpu.models.metric",
+    "Index": "gulon_tpu.models.index",
+    "Result": "gulon_tpu.models.index",
+    "FlatIndex": "gulon_tpu.models.flat",
+    "IVFIndex": "gulon_tpu.models.ivf",
+    "LimitGroups": "gulon_tpu.models.ivf",
+    "LimitVectors": "gulon_tpu.models.ivf",
+    "build_flat_index": "gulon_tpu.models.build",
+    "build_ivf_index": "gulon_tpu.models.build",
+    "WordVectors": "gulon_tpu.utils.word2vec",
+    "read_word2vec": "gulon_tpu.utils.word2vec",
+    "load_index": "gulon_tpu.utils.serde",
+    "save_index": "gulon_tpu.utils.serde",
+}
+
+__all__ = sorted(_EXPORTS) + ["__version__"]
+
+
+def __getattr__(name):
+    module = _EXPORTS.get(name)
+    if module is None:
+        raise AttributeError(f"module 'gulon_tpu' has no attribute {name!r}")
+    import importlib
+
+    return getattr(importlib.import_module(module), name)
+
+
+def __dir__():
+    return __all__

@@ -1,0 +1,168 @@
+"""Index builders: the TPU-native pipelines behind ``gulon build-index``.
+
+Counterparts of ``command/BuildIndex.scala``:
+
+- linear pipeline (``BuildIndex.scala:84-93``): sort keys -> train PQ ->
+  encode -> ``FlatIndex``;
+- sublinear pipeline (``BuildIndex.scala:70-82``): coarse k-means over the
+  full vectors -> group rows by (cluster, key), dropping empty clusters
+  (``WordVectors.scala:24-58``) -> train PQ on residuals -> encode ->
+  ``IVFIndex``.
+
+Encoding streams the corpus through the device in chunks, so corpora larger
+than HBM build fine on one chip.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from gulon_tpu.models.flat import FlatIndex
+from gulon_tpu.models.ivf import IVFIndex, LimitGroups, LimitVectors, Strategy
+from gulon_tpu.models.keyindex import GroupedKeyIndex, SortedKeyIndex
+from gulon_tpu.models.metric import Metric
+from gulon_tpu.ops.kmeans import KMeansConfig, fit_kmeans
+from gulon_tpu.ops.pq import PQConfig, ProductQuantizer, train_product_quantizer
+
+_DEFAULT_ENCODE_CHUNK = 1 << 20
+
+
+def _normalize_np(x: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(x, axis=1, keepdims=True)
+    return np.where(norms > 0, x / np.where(norms > 0, norms, 1.0), x)
+
+
+def _encode_chunked(
+    pq: ProductQuantizer, x: np.ndarray, chunk: int
+) -> np.ndarray:
+    parts = []
+    for start in range(0, len(x), chunk):
+        parts.append(np.asarray(pq.encode(x[start : start + chunk])))
+    return np.concatenate(parts, axis=0) if parts else np.zeros(
+        (0, pq.num_quantizers), np.uint8
+    )
+
+
+def build_flat_index(
+    keys: Sequence[str],
+    vectors,
+    metric: Metric = Metric.L2,
+    pq_config: PQConfig = PQConfig(),
+    *,
+    encode_chunk: int = _DEFAULT_ENCODE_CHUNK,
+    report_fn=None,
+) -> FlatIndex:
+    """Linear build: sort -> PQ train -> encode (``BuildIndex.scala:84-93``)."""
+    x = np.asarray(vectors, np.float32)
+    keys = np.asarray(keys, dtype=object)
+    if len(keys) != len(x):
+        raise ValueError("keys and vectors must have equal length")
+    if metric.normalized:
+        x = _normalize_np(x)
+
+    order = np.argsort(keys, kind="stable")
+    keys = keys[order]
+    x = x[order]
+
+    pq = train_product_quantizer(x, pq_config, report_fn=report_fn)
+    codes = jnp.asarray(_encode_chunked(pq, x, encode_chunk))
+    recon_norms = pq.reconstruction_norms(codes)
+    return FlatIndex(
+        _key_index=SortedKeyIndex(keys),
+        pq=pq,
+        codes=codes,
+        recon_norms=recon_norms,
+        metric=metric,
+    )
+
+
+def default_num_partitions(n: int) -> int:
+    """Reference default: ``size / 1000`` (``BuildIndex.scala:104``)."""
+    return max(1, n // 1000)
+
+
+def default_limit(num_partitions: int) -> int:
+    """Reference default: ``max(0.05 * partitions, 5)`` (``BuildIndex.scala:105``)."""
+    return max(int(0.05 * num_partitions), 5)
+
+
+def build_ivf_index(
+    keys: Sequence[str],
+    vectors,
+    metric: Metric = Metric.L2,
+    pq_config: PQConfig = PQConfig(),
+    *,
+    num_partitions: Optional[int] = None,
+    strategy: Optional[Strategy] = None,
+    coarse_max_iters: int = 100,
+    coarse_seed: int = 0,
+    encode_chunk: int = _DEFAULT_ENCODE_CHUNK,
+    report_fn=None,
+) -> IVFIndex:
+    """Sublinear build (``BuildIndex.scala:70-82``)."""
+    x = np.asarray(vectors, np.float32)
+    keys = np.asarray(keys, dtype=object)
+    if len(keys) != len(x):
+        raise ValueError("keys and vectors must have equal length")
+    if metric.normalized:
+        x = _normalize_np(x)
+    n = len(x)
+    if num_partitions is None:
+        num_partitions = default_num_partitions(n)
+    if strategy is None:
+        strategy = LimitGroups(default_limit(num_partitions))
+
+    # Coarse clustering over the full vectors (CommandUtils.scala:127-133).
+    coarse = fit_kmeans(
+        x,
+        KMeansConfig(
+            k=num_partitions, max_iters=coarse_max_iters, seed=coarse_seed
+        ),
+        report_fn=report_fn,
+    )
+    assignments = np.asarray(coarse.assignments)
+    all_centroids = np.asarray(coarse.centroids)
+
+    # Group rows by (cluster, key) — stable, like sortBy(word).sortBy(cluster)
+    # at WordVectors.scala:28-31 — and drop empty clusters.
+    order = np.lexsort((keys, assignments))
+    keys_g = keys[order]
+    x_g = x[order]
+    assign_g = assignments[order]
+    used = np.unique(assign_g)  # ascending == order of first appearance
+    centroids = all_centroids[used]
+    remap = np.zeros(int(assignments.max()) + 1 if n else 1, np.int32)
+    remap[used] = np.arange(len(used), dtype=np.int32)
+    group_ids = remap[assign_g]
+    # Internal group boundaries (offsets exclude 0 and n; Index.scala:241-242).
+    change = np.nonzero(np.diff(group_ids))[0] + 1
+    group_offsets = change.astype(np.int32)
+
+    residuals = x_g - centroids[group_ids]
+    pq = train_product_quantizer(residuals, pq_config, report_fn=report_fn)
+    codes_np = _encode_chunked(pq, residuals, encode_chunk)
+    codes = jnp.asarray(codes_np)
+
+    # Per-row constant of the expanded residual distance:
+    # ||r^||^2 + 2 <c_g, r^>  (see ivf.py module docstring).
+    rnorm = np.asarray(pq.reconstruction_norms(codes))
+    crdot = np.empty(n, np.float32)
+    for start in range(0, n, encode_chunk):
+        sl = slice(start, min(start + encode_chunk, n))
+        dec = np.asarray(pq.decode(codes[sl]))
+        crdot[sl] = np.einsum("nd,nd->n", centroids[group_ids[sl]], dec)
+    row_const = jnp.asarray(rnorm + 2.0 * crdot)
+
+    return IVFIndex(
+        _key_index=GroupedKeyIndex(keys_g, group_offsets),
+        pq=pq,
+        codes=codes,
+        row_const=row_const,
+        group_ids=jnp.asarray(group_ids),
+        centroids=jnp.asarray(centroids),
+        metric=metric,
+        strategy=strategy,
+    )

@@ -1,0 +1,227 @@
+"""Lloyd's k-means on the MXU, vmapped across PQ subspaces.
+
+TPU-native redesign of the reference training engine
+(``KMeans.scala:134-157`` driver, ``KMeans.scala:24-55`` assignment loop,
+``KMeans.scala:198-226`` centroid update):
+
+- assignment is one matmul + argmin per tile of rows (the ``||c||^2 - 2<x,c>``
+  trick of ``KMeans.scala:37-52``), blocked over rows so arbitrarily large n
+  never materializes an [n, k] score matrix;
+- the centroid update is a blocked one-hot matmul (MXU segment-sum); empty
+  clusters become zero vectors, matching ``KMeans.scala:198-226`` semantics;
+- convergence is "assignment vector unchanged" (``KMeans.scala:149``) inside a
+  ``lax.while_loop`` — a dynamic trip count under jit;
+- instead of one thread-pool task per PQ subspace (reference
+  ``ProductQuantizer.scala:130-145``), all m codebooks train simultaneously:
+  the data is stacked ``[m, n, d]`` and every step is vmapped over axis 0.
+  Converged subspaces freeze (masked updates) while the rest keep iterating.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gulon_tpu.ops.distance import sq_norms
+
+
+class KMeansConfig(NamedTuple):
+    """Mirrors ``KMeans.Config`` (reference ``KMeans.scala:129-132``)."""
+
+    k: int
+    max_iters: int = 100
+    seed: int = 0
+    block_rows: int = 65536
+
+
+class KMeansResult(NamedTuple):
+    centroids: jax.Array  # [m, k, d] (or [k, d] for unstacked input)
+    assignments: jax.Array  # [m, n] int32
+    iterations: jax.Array  # scalar int32
+    converged: jax.Array  # [m] bool
+
+
+def _pad_rows(x: jax.Array, block: int):
+    """Pad rows to a multiple of ``block``; returns (padded, n_pad)."""
+    n = x.shape[0]
+    n_pad = (-n) % block
+    if n_pad:
+        x = jnp.pad(x, ((0, n_pad),) + ((0, 0),) * (x.ndim - 1))
+    return x, n_pad
+
+
+def _assign_blocked(x: jax.Array, centroids: jax.Array, block: int) -> jax.Array:
+    """Nearest-centroid assignment, tiled over rows. ``[n, d] -> [n] i32``."""
+    n = x.shape[0]
+    block = min(block, n)
+    cn = sq_norms(centroids)
+    xp, _ = _pad_rows(x, block)
+    tiles = xp.reshape(-1, block, x.shape[1])
+
+    def one_tile(xt):
+        scores = cn[None, :] - 2.0 * jnp.matmul(
+            xt,
+            centroids.T,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return jnp.argmin(scores, axis=-1).astype(jnp.int32)
+
+    assigns = jax.lax.map(one_tile, tiles)
+    return assigns.reshape(-1)[:n]
+
+
+def _update_blocked(
+    x: jax.Array, assignments: jax.Array, k: int, block: int
+) -> jax.Array:
+    """Per-cluster mean via blocked one-hot matmuls; empty clusters -> zeros."""
+    n, d = x.shape
+    block = min(block, n)
+    xp, n_pad = _pad_rows(x, block)
+    # Padded rows get cluster id k, which one-hot maps to all-zero rows.
+    ap = jnp.pad(assignments, (0, n_pad), constant_values=k)
+    x_tiles = xp.reshape(-1, block, d)
+    a_tiles = ap.reshape(-1, block)
+    cluster_ids = jnp.arange(k, dtype=jnp.int32)
+
+    def body(carry, xs):
+        sums, counts = carry
+        xt, at = xs
+        onehot = (at[:, None] == cluster_ids[None, :]).astype(jnp.float32)
+        sums = sums + jnp.matmul(
+            onehot.T,
+            xt,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        counts = counts + jnp.sum(onehot, axis=0)
+        return (sums, counts), None
+
+    init = (jnp.zeros((k, d), jnp.float32), jnp.zeros((k,), jnp.float32))
+    (sums, counts), _ = jax.lax.scan(body, init, (x_tiles, a_tiles))
+    safe = jnp.maximum(counts, 1.0)
+    return jnp.where(counts[:, None] > 0, sums / safe[:, None], 0.0)
+
+
+def init_centroids(x: jax.Array, k: int, seed: int) -> jax.Array:
+    """Seeded init: sample k rows uniformly with replacement.
+
+    Behavioral counterpart of reference ``KMeans.init`` (``KMeans.scala:188-196``,
+    ``rng.nextInt(n)`` k times).
+    """
+    m, n, _ = x.shape
+    key = jax.random.key(seed)
+    idx = jax.random.randint(key, (m, k), 0, n)
+    return jax.vmap(lambda xs, ix: xs[ix])(x, idx)
+
+
+class _LoopState(NamedTuple):
+    centroids: jax.Array  # [m, k, d]
+    assignments: jax.Array  # [m, n]
+    iteration: jax.Array  # i32
+    done: jax.Array  # [m] bool
+    step_size: jax.Array  # f32, mean centroid movement of last iteration
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "max_iters", "block_rows", "report_fn")
+)
+def _fit_stacked(
+    x: jax.Array,
+    init: jax.Array,
+    *,
+    k: int,
+    max_iters: int,
+    block_rows: int,
+    report_fn: Optional[Callable] = None,
+) -> KMeansResult:
+    assign_all = jax.vmap(lambda xs, cs: _assign_blocked(xs, cs, block_rows))
+    update_all = jax.vmap(lambda xs, a: _update_blocked(xs, a, k, block_rows))
+
+    a0 = assign_all(x, init)
+    state0 = _LoopState(
+        centroids=init,
+        assignments=a0,
+        iteration=jnp.int32(0),
+        done=jnp.zeros((x.shape[0],), jnp.bool_),
+        step_size=jnp.float32(jnp.inf),
+    )
+
+    def cond(st: _LoopState):
+        return jnp.logical_and(~jnp.all(st.done), st.iteration < max_iters)
+
+    def body(st: _LoopState):
+        new_c = update_all(x, st.assignments)
+        new_c = jnp.where(st.done[:, None, None], st.centroids, new_c)
+        new_a = assign_all(x, new_c)
+        new_a = jnp.where(st.done[:, None], st.assignments, new_a)
+        done = st.done | jnp.all(new_a == st.assignments, axis=1)
+        step = jnp.mean(
+            jnp.sqrt(jnp.sum((new_c - st.centroids) ** 2, axis=-1))
+        )
+        it = st.iteration + 1
+        if report_fn is not None:
+            jax.debug.callback(report_fn, it, step, jnp.sum(done))
+        return _LoopState(new_c, new_a, it, done, step)
+
+    final = jax.lax.while_loop(cond, body, state0)
+    return KMeansResult(
+        centroids=final.centroids,
+        assignments=final.assignments,
+        iterations=final.iteration,
+        converged=final.done,
+    )
+
+
+def fit_kmeans(
+    x,
+    config: KMeansConfig,
+    report_fn: Optional[Callable] = None,
+) -> KMeansResult:
+    """Train k-means. ``x`` is ``[n, d]`` or stacked ``[m, n, d]``.
+
+    Stacked input trains m independent codebooks in one jitted loop — the
+    TPU-native replacement for the reference's per-subspace thread-pool tasks
+    (``ProductQuantizer.scala:130-145``).
+    """
+    x = jnp.asarray(x, jnp.float32)
+    squeeze = x.ndim == 2
+    if squeeze:
+        x = x[None]
+    init = init_centroids(x, config.k, config.seed)
+    res = _fit_stacked(
+        x,
+        init,
+        k=config.k,
+        max_iters=config.max_iters,
+        block_rows=config.block_rows,
+        report_fn=report_fn,
+    )
+    if squeeze:
+        res = KMeansResult(
+            centroids=res.centroids[0],
+            assignments=res.assignments[0],
+            iterations=res.iterations,
+            converged=res.converged[0],
+        )
+    return res
+
+
+def lloyd_step(x: jax.Array, centroids: jax.Array, block_rows: int = 65536):
+    """One update+assign Lloyd step (benchmark unit, cf. ``KMeansBench.scala``).
+
+    Returns (new_centroids, assignments).
+    """
+    a = _assign_blocked(x, centroids, block_rows)
+    c = _update_blocked(x, a, centroids.shape[0], block_rows)
+    return c, a
+
+
+def kmeans_objective(x, centroids, assignments) -> jax.Array:
+    """Mean squared distance to assigned centroid (test invariant)."""
+    picked = centroids[assignments]
+    return jnp.mean(jnp.sum((x - picked) ** 2, axis=-1))

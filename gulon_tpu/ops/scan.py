@@ -1,0 +1,200 @@
+"""Streaming ADC / exact scans with fused top-k.
+
+The query hot path of the reference is a per-query LUT build followed by a
+code-gather + accumulate scan over 4096-row blocks feeding a bounded heap
+(``Index.scala:352-440``). On TPU that decomposes into three jitted,
+row-tiled scan strategies, all sharing one streaming top-k skeleton (carry
+the best (distance, row-id) pairs across tiles, concat + top_k per tile —
+the functional ``TopKHeap``):
+
+- ``adc_scan_decode`` — the MXU formulation of ADC. Mathematically identical
+  to the LUT scan: ``||q - x^||^2 = ||q||^2 + ||x^||^2 - 2<q, x^>`` where
+  ``x^`` is the PQ reconstruction. Per tile: gather-decode codes to
+  ``[T, m*dsub]`` (amortized over ALL queries in the batch, unlike per-query
+  LUT gathers), then one queries x tile matmul on the MXU with precomputed
+  reconstruction norms. The preferred strategy for batched queries.
+- ``adc_scan_lut`` — classic asymmetric-distance scan: per-subspace gathers
+  into the ``[Q, m, K]`` LUT. Cheaper per tile for tiny query batches
+  (moves ~d/m x less data than decoding), and the direct analog of
+  ``Index.scala:393-409``.
+- ``exact_scan`` — brute force over raw vectors (matmul + norms), the
+  counterpart of ``exactNearestNeighbours`` (``Index.scala:209-229``); also
+  the ground-truth engine for the recall harness.
+
+All scans return squared-L2 distances ascending plus global row ids.
+Padded rows carry +inf norms so they can never enter the top-k.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from gulon_tpu.ops.distance import sq_norms
+from gulon_tpu.ops.pq import split_subspaces
+from gulon_tpu.ops.topk import smallest_k
+
+DEFAULT_TILE_ROWS = 16384
+
+
+def _tile(arr: jax.Array, tile_rows: int, pad_value=0):
+    """Pad rows to a multiple of tile_rows and reshape to [n_tiles, T, ...]."""
+    n = arr.shape[0]
+    n_pad = (-n) % tile_rows
+    if n_pad:
+        pad_cfg = ((0, n_pad),) + ((0, 0),) * (arr.ndim - 1)
+        arr = jnp.pad(arr, pad_cfg, constant_values=pad_value)
+    return arr.reshape((-1, tile_rows) + arr.shape[1:])
+
+
+def _streaming_topk(dist_tile_fn, n_tiles, tile_rows, num_queries, k, xs):
+    """Fold tiles, carrying the k best (distance, global row id) per query."""
+
+    def body(carry, inp):
+        best_d, best_i = carry
+        tile_idx, tile_xs = inp
+        d = dist_tile_fn(tile_xs)  # [Q, T]
+        row_ids = tile_idx * tile_rows + jax.lax.broadcasted_iota(
+            jnp.int32, (num_queries, tile_rows), 1
+        )
+        cand_d = jnp.concatenate([best_d, d], axis=1)
+        cand_i = jnp.concatenate([best_i, row_ids], axis=1)
+        vals, pos = smallest_k(cand_d, k)
+        ids = jnp.take_along_axis(cand_i, pos, axis=1)
+        return (vals, ids), None
+
+    init = (
+        jnp.full((num_queries, k), jnp.inf, jnp.float32),
+        jnp.full((num_queries, k), -1, jnp.int32),
+    )
+    tile_indices = jnp.arange(n_tiles, dtype=jnp.int32)
+    (best_d, best_i), _ = jax.lax.scan(body, init, (tile_indices, xs))
+    return best_d, best_i
+
+
+@functools.partial(
+    jax.jit, static_argnames=("bounds", "k", "tile_rows")
+)
+def adc_scan_decode(
+    queries: jax.Array,  # [Q, D] f32
+    codebooks: jax.Array,  # [m, K, dsub] f32 (zero-padded subspaces)
+    codes: jax.Array,  # [N, m] uint
+    recon_norms: jax.Array,  # [N] f32 = ||decode(codes)||^2
+    *,
+    bounds,
+    k: int,
+    tile_rows: int = DEFAULT_TILE_ROWS,
+) -> Tuple[jax.Array, jax.Array]:
+    """Gather-decode + MXU matmul ADC scan. Returns ([Q,k] dists, [Q,k] ids)."""
+    num_q = queries.shape[0]
+    m, _, dsub = codebooks.shape
+    tile_rows = min(tile_rows, max(codes.shape[0], 1))
+
+    # Queries in the padded subspace layout [Q, m*dsub]; zero padding on both
+    # sides keeps inner products exact.
+    qs = split_subspaces(queries, bounds, dsub)  # [m, Q, dsub]
+    q_pad = jnp.transpose(qs, (1, 0, 2)).reshape(num_q, m * dsub)
+    qn = sq_norms(queries)
+
+    code_tiles = _tile(codes, tile_rows)  # [n_tiles, T, m]
+    norm_tiles = _tile(recon_norms, tile_rows, pad_value=jnp.inf)
+
+    def dist_tile(inp):
+        ct, xt = inp
+        ci = ct.astype(jnp.int32)
+        # [m, T, dsub] gather-decode, amortized across the whole query batch.
+        dec = jax.vmap(lambda cb_s, c_s: cb_s[c_s], in_axes=(0, 1))(
+            codebooks, ci
+        )
+        dec = jnp.transpose(dec, (1, 0, 2)).reshape(tile_rows, m * dsub)
+        ip = jnp.matmul(
+            q_pad,
+            dec.T,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return qn[:, None] + xt[None, :] - 2.0 * ip
+
+    return _streaming_topk(
+        dist_tile,
+        code_tiles.shape[0],
+        tile_rows,
+        num_q,
+        k,
+        (code_tiles, norm_tiles),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("k", "tile_rows"))
+def adc_scan_lut(
+    lut: jax.Array,  # [Q, m, K] f32 = ||q_sub - c||^2
+    codes: jax.Array,  # [N, m] uint
+    valid_rows: jax.Array,  # [N] bool (True = scannable)
+    *,
+    k: int,
+    tile_rows: int = DEFAULT_TILE_ROWS,
+) -> Tuple[jax.Array, jax.Array]:
+    """Classic LUT gather-accumulate ADC scan (``Index.scala:393-409``)."""
+    num_q, m, _ = lut.shape
+    tile_rows = min(tile_rows, max(codes.shape[0], 1))
+    code_tiles = _tile(codes, tile_rows)
+    valid_tiles = _tile(valid_rows, tile_rows, pad_value=False)
+    lut_t = jnp.transpose(lut, (1, 2, 0))  # [m, K, Q]
+
+    def dist_tile(inp):
+        ct, vt = inp
+        ci = ct.astype(jnp.int32)
+        acc = jnp.zeros((tile_rows, num_q), jnp.float32)
+        for s in range(m):
+            acc = acc + lut_t[s][ci[:, s]]  # [T, Q] gather from [K, Q]
+        d = acc.T
+        return jnp.where(vt[None, :], d, jnp.inf)
+
+    return _streaming_topk(
+        dist_tile,
+        code_tiles.shape[0],
+        tile_rows,
+        num_q,
+        k,
+        (code_tiles, valid_tiles),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("k", "tile_rows"))
+def exact_scan(
+    queries: jax.Array,  # [Q, D] f32
+    data: jax.Array,  # [N, D] f32
+    *,
+    k: int,
+    tile_rows: int = DEFAULT_TILE_ROWS,
+) -> Tuple[jax.Array, jax.Array]:
+    """Brute-force squared-L2 top-k (``exactNearestNeighbours``)."""
+    num_q = queries.shape[0]
+    tile_rows = min(tile_rows, max(data.shape[0], 1))
+    qn = sq_norms(queries)
+    data_tiles = _tile(data, tile_rows)
+    norm_tiles = _tile(
+        sq_norms(data), tile_rows, pad_value=jnp.inf
+    )
+
+    def dist_tile(inp):
+        xt, xn = inp
+        ip = jnp.matmul(
+            queries,
+            xt.T,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return qn[:, None] + xn[None, :] - 2.0 * ip
+
+    return _streaming_topk(
+        dist_tile,
+        data_tiles.shape[0],
+        tile_rows,
+        num_q,
+        k,
+        (data_tiles, norm_tiles),
+    )

@@ -1,0 +1,81 @@
+import numpy as np
+import pytest
+
+from generators import planted_clusters
+from gulon_tpu.ops.distance import nearest, pairwise_sqdist
+from gulon_tpu.ops.kmeans import (
+    KMeansConfig,
+    fit_kmeans,
+    kmeans_objective,
+    lloyd_step,
+)
+
+
+def _objective(x, c, a):
+    return float(np.mean(np.sum((x - np.asarray(c)[np.asarray(a)]) ** 2, -1)))
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_objective_monotone_nonincreasing(seed):
+    """Lloyd objective never increases (ref KMeansSpec property)."""
+    rng = np.random.default_rng(seed)
+    x, _, _ = planted_clusters(rng, 400, 8, 5, scale=0.3)
+    c = x[rng.choice(len(x), size=6, replace=False)]
+    a = np.asarray(nearest(x, c))
+    prev = _objective(x, c, a)
+    for _ in range(8):
+        c, a = lloyd_step(x, c, block_rows=128)
+        cur = _objective(x, np.asarray(c), np.asarray(a))
+        assert cur <= prev + 1e-4
+        prev = cur
+
+
+def test_converges_and_recovers_planted_clusters():
+    rng = np.random.default_rng(0)
+    x, true_c, labels = planted_clusters(rng, 600, 6, 4, scale=0.02, spread=3.0)
+    res = fit_kmeans(x, KMeansConfig(k=4, max_iters=50, seed=1, block_rows=256))
+    assert bool(res.converged)
+    assert int(res.iterations) < 50
+    # Objective close to the planted noise floor.
+    obj = float(kmeans_objective(x, res.centroids, res.assignments))
+    assert obj < 0.02 ** 2 * 6 * 10
+
+
+def test_stacked_training_matches_individual():
+    """Stacked [m,n,d] training == per-slice training (same seeds)."""
+    rng = np.random.default_rng(3)
+    xs = np.stack(
+        [planted_clusters(rng, 200, 4, 3, scale=0.1)[0] for _ in range(3)]
+    )
+    res = fit_kmeans(xs, KMeansConfig(k=3, max_iters=30, seed=5, block_rows=64))
+    assert res.centroids.shape == (3, 3, 4)
+    assert res.assignments.shape == (3, 200)
+    # Every subspace's result is a valid local optimum: assignment of each
+    # point is its nearest centroid.
+    for s in range(3):
+        d = np.asarray(pairwise_sqdist(xs[s], res.centroids[s]))
+        np.testing.assert_array_equal(
+            d.argmin(axis=1), np.asarray(res.assignments[s])
+        )
+
+
+def test_empty_clusters_become_zero():
+    """Empty cluster -> zero centroid (ref KMeans.scala:198-226 semantics)."""
+    x = np.array([[1.0, 1.0], [1.1, 1.0], [0.9, 1.0]], np.float32)
+    from gulon_tpu.ops.kmeans import _update_blocked
+
+    a = np.array([0, 0, 0], np.int32)
+    c = np.asarray(_update_blocked(x, a, 3, 2))
+    np.testing.assert_allclose(c[0], x.mean(0), rtol=1e-6)
+    np.testing.assert_array_equal(c[1], 0)
+    np.testing.assert_array_equal(c[2], 0)
+
+
+def test_blocked_assignment_matches_unblocked():
+    rng = np.random.default_rng(9)
+    x, c, _ = planted_clusters(rng, 333, 7, 9, scale=0.5)
+    from gulon_tpu.ops.kmeans import _assign_blocked
+
+    a1 = np.asarray(_assign_blocked(x, c, 50))
+    a2 = np.asarray(_assign_blocked(x, c, 1000))
+    np.testing.assert_array_equal(a1, a2)
