@@ -39,8 +39,14 @@ _EXPORTS = {
     "build_ivf_index": "gulon_tpu.models.build",
     "WordVectors": "gulon_tpu.utils.word2vec",
     "read_word2vec": "gulon_tpu.utils.word2vec",
+    "read_word2vec_path": "gulon_tpu.utils.word2vec",
+    "write_word2vec": "gulon_tpu.utils.word2vec",
     "load_index": "gulon_tpu.utils.serde",
     "save_index": "gulon_tpu.utils.serde",
+    "sample_ground_truth": "gulon_tpu.utils.eval",
+    "recall_of": "gulon_tpu.utils.eval",
+    "format_recall": "gulon_tpu.utils.eval",
+    "DEFAULT_KS": "gulon_tpu.utils.eval",
 }
 
 __all__ = sorted(_EXPORTS) + ["__version__"]

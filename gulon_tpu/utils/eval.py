@@ -1,0 +1,148 @@
+"""Recall@k evaluation harness.
+
+Counterpart of reference ``Tests.scala``: ground truth is built by sampling
+queries *from the indexed vectors themselves* (seed 0, 1000 samples —
+``Tests.scala:76-87``) and recording, per k, the exact k-th-nearest distance
+via brute force (``Tests.scala:89-97``). Recall@k of an index is measured by
+the *distance-cutoff* definition (``Tests.scala:22-40``): a returned
+neighbour counts iff its EXACT distance to the query is within
+``(sqrt(true_kth_dist_sq) * (1 + eps))^2`` — robust to ties and duplicate
+vectors, unlike id-set intersection.
+
+TPU-native redesign: the reference evaluates per query on a thread pool
+(``Tests.scala:109-122``); here ground truth is one batched ``exact_scan``
+and the index side is one ``batch_query``, so the whole protocol is a few
+device launches.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable, Dict, Optional, Sequence, Tuple
+
+import numpy as np
+
+from gulon_tpu.models.index import Index
+from gulon_tpu.ops.scan import exact_scan
+from gulon_tpu.ops.stats import SummaryStats
+
+# ``Tests.scala:53``
+DEFAULT_KS: Tuple[int, ...] = (1, 2, 3, 5, 10, 25, 50, 100, 500, 1000)
+
+
+@dataclasses.dataclass(frozen=True)
+class GroundTruth:
+    """Sampled queries + their exact k-th-nearest squared distances."""
+
+    queries: np.ndarray  # [Q, D] f32
+    query_keys: np.ndarray  # [Q] object — the sampled words
+    kth_distances: Dict[int, np.ndarray]  # k -> [Q] f32 squared L2
+    ks: Tuple[int, ...]
+
+
+@dataclasses.dataclass(frozen=True)
+class EvalProgress:
+    """Mirrors ``Tests.ProgressReport`` (``Tests.scala:55-74``)."""
+
+    completed: int
+    total: int
+    qps: float
+
+
+def sample_ground_truth(
+    keys: Sequence[str],
+    vectors: np.ndarray,
+    num_samples: int = 1000,
+    seed: int = 0,
+    ks: Sequence[int] = DEFAULT_KS,
+    normalize: bool = False,
+) -> GroundTruth:
+    """Build ground truth from self-queries (``Tests.sample``).
+
+    ``ks`` entries larger than the corpus are dropped, and queries are drawn
+    without replacement from the indexed vectors (seed-deterministic).
+    ``normalize`` applies the Cosine ingest transform so the truth matches
+    what a cosine index scans.
+    """
+    vectors = np.asarray(vectors, np.float32)
+    keys = np.asarray(keys, dtype=object)
+    n = len(vectors)
+    if normalize:
+        norms = np.linalg.norm(vectors, axis=1, keepdims=True)
+        safe = np.where(norms > 0, norms, 1.0)
+        vectors = np.where(norms > 0, vectors / safe, vectors)
+    ks = tuple(k for k in ks if k <= n)
+    if not ks:
+        raise ValueError("corpus smaller than every requested k")
+    rng = np.random.default_rng(seed)
+    num_samples = min(num_samples, n)
+    idx = rng.choice(n, size=num_samples, replace=False)
+    queries = vectors[idx]
+
+    max_k = max(ks)
+    dists, _ = exact_scan(queries, vectors, k=max_k)
+    dists = np.asarray(dists)
+    kth = {k: dists[:, k - 1].copy() for k in ks}
+    return GroundTruth(
+        queries=queries, query_keys=keys[idx], kth_distances=kth, ks=ks
+    )
+
+
+def recall_of(
+    index: Index,
+    truth: GroundTruth,
+    true_vectors: np.ndarray,
+    true_keys: Sequence[str],
+    epsilon: float = 0.0,
+    report_fn: Optional[Callable[[EvalProgress], None]] = None,
+    batch_size: int = 256,
+) -> Dict[int, SummaryStats]:
+    """Recall@k of ``index`` against ``truth`` (``Tests#recallOf``).
+
+    ``true_vectors``/``true_keys`` are the exact source vectors (the
+    reference looks returned words up in the original word-vector file,
+    ``Tests.scala:25-31``). For Cosine indices pass the normalized vectors
+    (ingest-side transform), matching what the reference stores.
+    """
+    true_vectors = np.asarray(true_vectors, np.float32)
+    key_to_row = {k: i for i, k in enumerate(true_keys)}
+    max_k = max(truth.ks)
+    q_total = len(truth.queries)
+    per_k: Dict[int, SummaryStats] = {k: SummaryStats() for k in truth.ks}
+
+    start = time.monotonic()
+    done = 0
+    for b0 in range(0, q_total, batch_size):
+        qb = truth.queries[b0 : b0 + batch_size]
+        results = index.batch_query(max_k, qb)
+        for qi, res in enumerate(results):
+            q = qb[qi]
+            rows = np.fromiter(
+                (key_to_row[w] for w in res.keys), np.int64, count=len(res)
+            )
+            exact = (
+                ((true_vectors[rows] - q[None, :]) ** 2).sum(axis=1)
+                if len(rows)
+                else np.zeros(0, np.float32)
+            )
+            for k in truth.ks:
+                true_kth = truth.kth_distances[k][b0 + qi]
+                # cutoff = (sqrt(d_k) * (1+eps))^2  (``Tests.scala:33-35``)
+                cutoff = true_kth * (1.0 + epsilon) ** 2
+                hits = int(np.count_nonzero(exact[:k] <= cutoff))
+                per_k[k] = per_k[k].update(hits / k)
+        done += len(qb)
+        if report_fn is not None:
+            elapsed = max(time.monotonic() - start, 1e-9)
+            report_fn(EvalProgress(done, q_total, done / elapsed))
+    return per_k
+
+
+def format_recall(per_k: Dict[int, SummaryStats]) -> str:
+    """``R@k: mean +/- stdDev`` lines (``Test.scala:39-43``)."""
+    lines = []
+    for k in sorted(per_k):
+        s = per_k[k]
+        lines.append(f"R@{k}: {s.mean:.4f} +/- {s.stddev:.4f}")
+    return "\n".join(lines)

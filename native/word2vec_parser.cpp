@@ -1,0 +1,302 @@
+// Native word2vec text-format parser for gulon_tpu.
+//
+// Role counterpart of the reference's hand-rolled single-pass line scanner
+// (reference WordVectors.scala:162-197, `readFast`): the ingest hot loop.
+// Re-designed as a native data-loader for the TPU pipeline: the file is
+// memory-mapped, split at newline boundaries into per-thread byte ranges,
+// and each range is scanned twice (count, then fill) so the output arrays
+// are allocated exactly once and written in parallel with no locks.
+//
+// Exposed as a tiny C ABI consumed via ctypes (gulon_tpu/utils/native.py).
+//
+// Build: make -C native  (produces libgulonio.so)
+
+#include <atomic>
+#include <cctype>
+#include <cerrno>
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
+#include <fcntl.h>
+#include <string>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <thread>
+#include <unistd.h>
+#include <vector>
+
+namespace {
+
+struct ChunkStats {
+  int64_t rows = 0;
+  int64_t key_bytes = 0;
+};
+
+struct Handle {
+  // mmap state
+  int fd = -1;
+  const char* data = nullptr;
+  size_t size = 0;
+  // parse results
+  int64_t rows = 0;
+  int32_t dim = 0;
+  std::vector<float> vectors;      // rows * dim
+  std::vector<char> keys;          // concatenated utf-8 bytes
+  std::vector<int64_t> key_offsets;  // rows + 1
+  std::string error;
+};
+
+inline const char* find_newline(const char* p, const char* end) {
+  const void* nl = memchr(p, '\n', static_cast<size_t>(end - p));
+  return nl ? static_cast<const char*>(nl) : end;
+}
+
+// Header iff the first line is exactly two base-10 integers
+// (reference WordVectors.scala:143-160).
+bool sniff_header(const char* line, const char* end, int64_t* count,
+                  int32_t* dim) {
+  const char* p = line;
+  char* q = nullptr;
+  errno = 0;
+  long long a = strtoll(p, &q, 10);
+  if (q == p || errno) return false;
+  p = q;
+  if (p >= end || *p != ' ') return false;
+  ++p;
+  long long b = strtoll(p, &q, 10);
+  if (q == p || errno) return false;
+  // Only whitespace may remain.
+  for (p = q; p < end; ++p)
+    if (*p != ' ' && *p != '\r') return false;
+  if (a <= 0 || b <= 0) return false;
+  *count = a;
+  *dim = static_cast<int32_t>(b);
+  return true;
+}
+
+// Count rows and key bytes in [begin, end); lines are '\n'-terminated
+// (final line may lack the terminator).
+ChunkStats scan_chunk(const char* begin, const char* end) {
+  ChunkStats st;
+  const char* p = begin;
+  while (p < end) {
+    const char* nl = find_newline(p, end);
+    if (nl > p) {  // skip empty lines
+      const void* sp = memchr(p, ' ', static_cast<size_t>(nl - p));
+      if (sp) {
+        st.rows += 1;
+        st.key_bytes += static_cast<const char*>(sp) - p;
+      }
+    }
+    p = nl + 1;
+  }
+  return st;
+}
+
+// Parse rows in [begin, end) into the output arrays starting at row_base /
+// key_base. Returns false (and sets *err_row) on malformed input.
+bool parse_chunk(const char* begin, const char* end, int32_t dim,
+                 float* vectors, char* keys, int64_t* key_offsets,
+                 int64_t row_base, int64_t key_base, int64_t* err_row) {
+  const char* p = begin;
+  int64_t row = row_base;
+  int64_t kb = key_base;
+  while (p < end) {
+    const char* nl = find_newline(p, end);
+    if (nl > p) {
+      const void* spv = memchr(p, ' ', static_cast<size_t>(nl - p));
+      if (spv) {
+        const char* sp = static_cast<const char*>(spv);
+        int64_t klen = sp - p;
+        memcpy(keys + kb, p, static_cast<size_t>(klen));
+        key_offsets[row] = kb;
+        kb += klen;
+
+        float* out = vectors + row * dim;
+        const char* fp = sp;
+        for (int32_t j = 0; j < dim; ++j) {
+          char* q = nullptr;
+          errno = 0;
+          float v = strtof(fp, &q);
+          if (q == fp || q > nl) {
+            *err_row = row;
+            return false;
+          }
+          out[j] = v;
+          fp = q;
+        }
+        // Only whitespace may remain on the line.
+        for (; fp < nl; ++fp) {
+          if (*fp != ' ' && *fp != '\r') {
+            *err_row = row;
+            return false;
+          }
+        }
+        ++row;
+      }
+    }
+    p = nl + 1;
+  }
+  key_offsets[row] = kb;  // chunk-final offset; overwritten by next chunk's base
+  return true;
+}
+
+void close_handle(Handle* h) {
+  if (h->data) munmap(const_cast<char*>(h->data), h->size);
+  if (h->fd >= 0) close(h->fd);
+  h->data = nullptr;
+  h->fd = -1;
+}
+
+}  // namespace
+
+extern "C" {
+
+void* w2v_open(const char* path, int32_t num_threads) {
+  Handle* h = new Handle();
+  h->fd = open(path, O_RDONLY);
+  if (h->fd < 0) {
+    h->error = std::string("cannot open ") + path + ": " + strerror(errno);
+    return h;
+  }
+  struct stat st;
+  if (fstat(h->fd, &st) != 0 || st.st_size == 0) {
+    h->error = "empty or unreadable file";
+    return h;
+  }
+  h->size = static_cast<size_t>(st.st_size);
+  void* m = mmap(nullptr, h->size, PROT_READ, MAP_PRIVATE, h->fd, 0);
+  if (m == MAP_FAILED) {
+    h->error = std::string("mmap failed: ") + strerror(errno);
+    return h;
+  }
+  madvise(m, h->size, MADV_SEQUENTIAL);
+  h->data = static_cast<const char*>(m);
+
+  const char* end = h->data + h->size;
+  const char* body = h->data;
+
+  // Header sniff with pushback semantics.
+  const char* first_nl = find_newline(h->data, end);
+  int64_t declared = -1;
+  if (sniff_header(h->data, first_nl, &declared, &h->dim)) {
+    body = first_nl < end ? first_nl + 1 : end;
+  }
+
+  // Dimension from the first data line when there was no header.
+  if (h->dim == 0) {
+    const char* nl = find_newline(body, end);
+    const void* spv = memchr(body, ' ', static_cast<size_t>(nl - body));
+    if (!spv) {
+      h->error = "malformed first line: no space separator";
+      return h;
+    }
+    int32_t d = 0;
+    const char* fp = static_cast<const char*>(spv);
+    while (fp < nl) {
+      char* q = nullptr;
+      strtof(fp, &q);
+      if (q == fp) break;
+      ++d;
+      fp = q;
+    }
+    if (d == 0) {
+      h->error = "malformed first line: no parseable floats";
+      return h;
+    }
+    h->dim = d;
+  }
+
+  int nt = num_threads > 0 ? num_threads
+                           : static_cast<int>(std::thread::hardware_concurrency());
+  if (nt < 1) nt = 1;
+  size_t body_size = static_cast<size_t>(end - body);
+  if (body_size < (1 << 20)) nt = 1;  // small file: threading not worth it
+
+  // Split the body into nt byte ranges aligned to newline boundaries.
+  std::vector<const char*> bounds(static_cast<size_t>(nt) + 1);
+  bounds[0] = body;
+  bounds[static_cast<size_t>(nt)] = end;
+  for (int t = 1; t < nt; ++t) {
+    const char* guess = body + body_size * static_cast<size_t>(t) / nt;
+    if (guess >= end) {
+      bounds[static_cast<size_t>(t)] = end;
+    } else {
+      const char* nl = find_newline(guess, end);
+      bounds[static_cast<size_t>(t)] = nl < end ? nl + 1 : end;
+    }
+  }
+  for (int t = 1; t <= nt; ++t)
+    if (bounds[t] < bounds[t - 1]) bounds[t] = bounds[t - 1];
+
+  // Pass 1: per-chunk row/key-byte counts.
+  std::vector<ChunkStats> stats(static_cast<size_t>(nt));
+  {
+    std::vector<std::thread> threads;
+    for (int t = 0; t < nt; ++t)
+      threads.emplace_back([&, t] { stats[t] = scan_chunk(bounds[t], bounds[t + 1]); });
+    for (auto& th : threads) th.join();
+  }
+  int64_t total_rows = 0, total_kb = 0;
+  std::vector<int64_t> row_base(static_cast<size_t>(nt)), key_base(static_cast<size_t>(nt));
+  for (int t = 0; t < nt; ++t) {
+    row_base[t] = total_rows;
+    key_base[t] = total_kb;
+    total_rows += stats[t].rows;
+    total_kb += stats[t].key_bytes;
+  }
+  if (total_rows == 0) {
+    h->error = "no data rows";
+    return h;
+  }
+  h->rows = total_rows;
+  h->vectors.resize(static_cast<size_t>(total_rows) * h->dim);
+  h->keys.resize(static_cast<size_t>(total_kb));
+  h->key_offsets.assign(static_cast<size_t>(total_rows) + 1, 0);
+
+  // Pass 2: parallel fill.
+  std::atomic<int64_t> bad_row(-1);
+  {
+    std::vector<std::thread> threads;
+    for (int t = 0; t < nt; ++t) {
+      threads.emplace_back([&, t] {
+        int64_t err_row = -1;
+        if (!parse_chunk(bounds[t], bounds[t + 1], h->dim, h->vectors.data(),
+                         h->keys.data(), h->key_offsets.data(), row_base[t],
+                         key_base[t], &err_row)) {
+          int64_t expect = -1;
+          bad_row.compare_exchange_strong(expect, err_row);
+        }
+      });
+    }
+    for (auto& th : threads) th.join();
+  }
+  if (bad_row.load() >= 0) {
+    h->error = "malformed line at data row " + std::to_string(bad_row.load());
+    return h;
+  }
+  h->key_offsets[static_cast<size_t>(total_rows)] = total_kb;
+  close_handle(h);  // parsed arrays live on; the mapping can go
+  return h;
+}
+
+const char* w2v_error(void* hv) {
+  Handle* h = static_cast<Handle*>(hv);
+  return h->error.empty() ? nullptr : h->error.c_str();
+}
+
+int64_t w2v_rows(void* hv) { return static_cast<Handle*>(hv)->rows; }
+int32_t w2v_dim(void* hv) { return static_cast<Handle*>(hv)->dim; }
+const float* w2v_vectors(void* hv) { return static_cast<Handle*>(hv)->vectors.data(); }
+const char* w2v_keys(void* hv) { return static_cast<Handle*>(hv)->keys.data(); }
+const int64_t* w2v_key_offsets(void* hv) {
+  return static_cast<Handle*>(hv)->key_offsets.data();
+}
+
+void w2v_close(void* hv) {
+  Handle* h = static_cast<Handle*>(hv);
+  close_handle(h);
+  delete h;
+}
+
+}  // extern "C"

@@ -1,0 +1,104 @@
+"""Recall harness properties: exact index must score recall 1.0; a PQ index
+scores high on planted clusters; epsilon loosens the cutoff (ref Tests.scala
+protocol)."""
+
+import numpy as np
+import pytest
+
+from generators import planted_clusters, random_keys
+from gulon_tpu.models.build import build_flat_index
+from gulon_tpu.models.metric import Metric
+from gulon_tpu.ops.pq import PQConfig
+from gulon_tpu.utils.eval import (
+    format_recall,
+    recall_of,
+    sample_ground_truth,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.default_rng(23)
+    n, d = 600, 16
+    x, _, _ = planted_clusters(rng, n, d, 8, scale=0.3)
+    keys = random_keys(rng, n)
+    # 1-dim subspaces with 64 codewords each: near-exact quantization, so
+    # the harness (not PQ quality) is what's being exercised.
+    index = build_flat_index(
+        keys,
+        x,
+        metric=Metric.L2,
+        pq_config=PQConfig(num_clusters=64, num_quantizers=16, max_iters=30),
+    )
+    return keys, x, index
+
+
+def test_ground_truth_shapes(setup):
+    keys, x, _ = setup
+    truth = sample_ground_truth(keys, x, num_samples=50, ks=(1, 5, 10))
+    assert truth.queries.shape == (50, x.shape[1])
+    assert set(truth.kth_distances) == {1, 5, 10}
+    # self-queries: the 1-NN distance of a DB vector is ~0
+    np.testing.assert_allclose(truth.kth_distances[1], 0.0, atol=1e-5)
+    # kth distances non-decreasing in k
+    assert np.all(truth.kth_distances[5] <= truth.kth_distances[10] + 1e-6)
+
+
+def test_ks_larger_than_corpus_dropped(setup):
+    keys, x, _ = setup
+    truth = sample_ground_truth(keys, x, num_samples=10, ks=(1, 10, 5000))
+    assert truth.ks == (1, 10)
+
+
+def test_pq_index_high_recall(setup):
+    keys, x, index = setup
+    truth = sample_ground_truth(keys, x, num_samples=40, ks=(1, 5, 10))
+    per_k = recall_of(index, truth, x, keys)
+    # PQ with 8x64 codes on well-separated planted clusters: near-perfect
+    assert per_k[10].mean > 0.8, format_recall(per_k)
+    assert per_k[10].count == 40
+
+
+def test_epsilon_monotone(setup):
+    keys, x, index = setup
+    truth = sample_ground_truth(keys, x, num_samples=30, ks=(5, 10))
+    tight = recall_of(index, truth, x, keys, epsilon=0.0)
+    loose = recall_of(index, truth, x, keys, epsilon=0.5)
+    for k in (5, 10):
+        assert loose[k].mean >= tight[k].mean - 1e-9
+
+
+def test_exactish_index_perfect_recall(setup):
+    """An index with lossless codes (k-means can memorize n<=K points)
+    scores exactly 1.0 — the harness's self-consistency check."""
+    rng = np.random.default_rng(7)
+    n, d = 60, 8
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    keys = random_keys(rng, n)
+    index = build_flat_index(
+        keys,
+        x,
+        pq_config=PQConfig(num_clusters=64, num_quantizers=1, max_iters=200),
+    )
+    # only meaningful if reconstruction is (near-)exact for every row
+    dec = np.asarray(index.pq.decode(np.asarray(index.codes)))
+    keys_sorted = index.key_index.keys
+    orig = {k: v for k, v in zip(keys, x)}
+    err = max(
+        float(((dec[i] - orig[keys_sorted[i]]) ** 2).sum()) for i in range(n)
+    )
+    if err > 1e-6:
+        pytest.skip("k-means failed to memorize; property vacuous")
+    truth = sample_ground_truth(keys, x, num_samples=20, ks=(1, 5, 10))
+    per_k = recall_of(index, truth, x, keys)
+    for k in (1, 5, 10):
+        assert per_k[k].mean == pytest.approx(1.0), format_recall(per_k)
+
+
+def test_progress_reports(setup):
+    keys, x, index = setup
+    truth = sample_ground_truth(keys, x, num_samples=20, ks=(1, 10))
+    reports = []
+    recall_of(index, truth, x, keys, report_fn=reports.append, batch_size=8)
+    assert reports[-1].completed == 20
+    assert reports[-1].qps > 0
