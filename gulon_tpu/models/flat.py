@@ -39,6 +39,12 @@ class FlatIndex(Index):
     metric: Metric
     scan_strategy: str = "auto"  # "auto" | "decode" | "lut"
     tile_rows: int = scan_ops.DEFAULT_TILE_ROWS
+    # "default" = fast MXU (bf16 passes), "highest" = full-f32 parity mode
+    precision: str = "default"
+    # "approx" = hardware PartialReduce per-tile top-k; "exact" = TopKHeap-
+    # faithful concat+top_k. approx falls back to exact on CPU.
+    topk_impl: str = "approx"
+    recall_target: float = 0.95
 
     @property
     def key_index(self) -> SortedKeyIndex:
@@ -63,7 +69,8 @@ class FlatIndex(Index):
         return q
 
     def batch_query(self, k: int, vectors) -> List[Result]:
-        q = self._prepare_queries(vectors)
+        scan_ops.resolve_precision(self.precision)  # validate even on paths
+        q = self._prepare_queries(vectors)          # that ignore it (lut)
         k_eff = min(k, self.size)
         strategy = self.scan_strategy
         if strategy == "auto":
@@ -77,6 +84,9 @@ class FlatIndex(Index):
                 bounds=self.pq.bounds,
                 k=k_eff,
                 tile_rows=self.tile_rows,
+                precision=self.precision,
+                topk_impl=self.topk_impl,
+                recall_target=self.recall_target,
             )
         elif strategy == "lut":
             lut = self.pq.lut(q)
@@ -86,6 +96,8 @@ class FlatIndex(Index):
                 jnp.ones((self.size,), jnp.bool_),
                 k=k_eff,
                 tile_rows=self.tile_rows,
+                topk_impl=self.topk_impl,
+                recall_target=self.recall_target,
             )
         else:
             raise ValueError(f"unknown scan strategy {strategy!r}")

@@ -96,7 +96,10 @@ def _probe_mask_limit_vectors(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("bounds", "k", "tile_rows")
+    jax.jit,
+    static_argnames=(
+        "bounds", "k", "tile_rows", "precision", "topk_impl", "recall_target"
+    ),
 )
 def _ivf_scan(
     queries: jax.Array,  # [Q, D]
@@ -110,6 +113,9 @@ def _ivf_scan(
     bounds,
     k: int,
     tile_rows: int,
+    precision: str = "default",
+    topk_impl: str = "approx",
+    recall_target: float = 0.95,
 ):
     num_q = queries.shape[0]
     m, _, dsub = codebooks.shape
@@ -126,15 +132,12 @@ def _ivf_scan(
     def dist_tile(inp):
         ct, rc, gid = inp
         ci = ct.astype(jnp.int32)
-        dec = jax.vmap(lambda cb_s, c_s: cb_s[c_s], in_axes=(0, 1))(
-            codebooks, ci
-        )
-        dec = jnp.transpose(dec, (1, 0, 2)).reshape(tile_rows, m * dsub)
+        dec = scan_ops.decode_tile(codebooks, ci, "onehot", precision)
         ip = jnp.matmul(
             q_pad,
             dec.T,
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=scan_ops.resolve_precision(precision),
         )
         gt = jnp.take(group_term, gid, axis=1)  # [Q, T]
         pm = jnp.take(probe_mask, gid, axis=1)  # [Q, T]
@@ -148,6 +151,8 @@ def _ivf_scan(
         num_q,
         k,
         (code_tiles, const_tiles, gid_tiles),
+        topk_impl=topk_impl,
+        recall_target=recall_target,
     )
 
 
@@ -162,6 +167,9 @@ class IVFIndex(Index):
     metric: Metric
     strategy: Strategy
     tile_rows: int = scan_ops.DEFAULT_TILE_ROWS
+    precision: str = "default"
+    topk_impl: str = "approx"
+    recall_target: float = 0.95
 
     @property
     def key_index(self) -> GroupedKeyIndex:
@@ -228,6 +236,9 @@ class IVFIndex(Index):
             bounds=self.pq.bounds,
             k=k_eff,
             tile_rows=self.tile_rows,
+            precision=self.precision,
+            topk_impl=self.topk_impl,
+            recall_target=self.recall_target,
         )
         return self._make_results(dists, ids)
 

@@ -39,6 +39,24 @@ from gulon_tpu.ops.topk import smallest_k
 
 DEFAULT_TILE_ROWS = 16384
 
+# Scan matmul precision. "default" lets the MXU run at full bf16-pass
+# throughput (~6x HIGHEST on v5e) with ~1e-2 relative error on distance
+# values -- immaterial for top-k ranking quality. "highest" forces full-f32
+# MXU passes for exact-parity comparisons (tests, recall audits).
+_PRECISIONS = {
+    "default": None,
+    "highest": __import__("jax").lax.Precision.HIGHEST,
+}
+
+
+def resolve_precision(name: str):
+    try:
+        return _PRECISIONS[name]
+    except KeyError:
+        raise ValueError(
+            f"unknown precision {name!r} (expected default|highest)"
+        ) from None
+
 
 def _tile(arr: jax.Array, tile_rows: int, pad_value=0):
     """Pad rows to a multiple of tile_rows and reshape to [n_tiles, T, ...]."""
@@ -50,8 +68,57 @@ def _tile(arr: jax.Array, tile_rows: int, pad_value=0):
     return arr.reshape((-1, tile_rows) + arr.shape[1:])
 
 
-def _streaming_topk(dist_tile_fn, n_tiles, tile_rows, num_queries, k, xs):
-    """Fold tiles, carrying the k best (distance, global row id) per query."""
+def _streaming_topk(
+    dist_tile_fn,
+    n_tiles,
+    tile_rows,
+    num_queries,
+    k,
+    xs,
+    topk_impl: str = "approx",
+    recall_target: float = 0.95,
+):
+    """Fold tiles, keeping the k best (distance, global row id) per query.
+
+    ``topk_impl="approx"`` selects per-tile winners with
+    ``lax.approx_min_k`` — TPU's hardware PartialReduce, ~100x faster than
+    ``lax.top_k`` on wide tiles — then reduces the n_tiles*k survivors with
+    one exact top-k. Per-tile recall is ``recall_target``; on CPU the op
+    falls back to exact. ``"exact"`` carries an exact concat+top_k per tile
+    (the literal functional ``TopKHeap``).
+    """
+
+    if topk_impl == "approx":
+        kk = min(k, tile_rows)  # per-tile winners; final reduce restores k
+
+        def body(_, inp):
+            tile_idx, tile_xs = inp
+            d = dist_tile_fn(tile_xs)  # [Q, T]
+            vals, pos = jax.lax.approx_min_k(
+                d, kk, recall_target=recall_target
+            )
+            ids = tile_idx * tile_rows + pos.astype(jnp.int32)
+            return None, (vals, ids)
+
+        tile_indices = jnp.arange(n_tiles, dtype=jnp.int32)
+        _, (all_vals, all_ids) = jax.lax.scan(
+            body, None, (tile_indices, xs)
+        )
+        # [n_tiles, Q, kk] -> [Q, n_tiles*kk] -> exact final reduce
+        cand_d = jnp.transpose(all_vals, (1, 0, 2)).reshape(
+            num_queries, n_tiles * kk
+        )
+        cand_i = jnp.transpose(all_ids, (1, 0, 2)).reshape(
+            num_queries, n_tiles * kk
+        )
+        best_d, pos = smallest_k(cand_d, k)
+        best_i = jnp.take_along_axis(cand_i, pos, axis=1)
+        # padding rows carry +inf distances; keep the -1 sentinel for them
+        best_i = jnp.where(jnp.isinf(best_d), -1, best_i)
+        return best_d, best_i
+
+    if topk_impl != "exact":
+        raise ValueError(f"unknown topk impl {topk_impl!r}")
 
     def body(carry, inp):
         best_d, best_i = carry
@@ -75,8 +142,50 @@ def _streaming_topk(dist_tile_fn, n_tiles, tile_rows, num_queries, k, xs):
     return best_d, best_i
 
 
+def decode_tile(
+    codebooks: jax.Array,  # [m, K, dsub]
+    ci: jax.Array,  # [T, m] int32
+    impl: str = "onehot",
+    precision: str = "default",
+) -> jax.Array:
+    """Decode a tile of PQ codes to ``[T, m*dsub]``.
+
+    ``"onehot"`` (default) reformulates the codeword gather as a batched
+    one-hot x codebook matmul — the decode runs on the MXU instead of the
+    scalar gather unit, which measures ~10x faster on v5e for large tiles.
+    At ``precision="default"`` the operands drop to bf16 (the one-hot side
+    is exact 0/1; only codebook entries round); ``"highest"`` keeps exact
+    f32 decode. ``"gather"`` is the direct formulation, always exact.
+    """
+    m, K, dsub = codebooks.shape
+    t = ci.shape[0]
+    if impl == "gather":
+        dec = jax.vmap(lambda cb_s, c_s: cb_s[c_s], in_axes=(0, 1))(
+            codebooks, ci
+        )  # [m, T, dsub]
+        return jnp.transpose(dec, (1, 0, 2)).reshape(t, m * dsub)
+    if impl == "onehot":
+        # f32 operands + DEFAULT precision run at bf16-pass MXU throughput
+        # on TPU while staying portable (CPU lacks a bf16 dot kernel).
+        iota = jax.lax.broadcasted_iota(jnp.int32, (t, m, K), 2)
+        onehot = (ci[:, :, None] == iota).astype(jnp.float32)
+        dec = jnp.einsum(
+            "tmk,mkd->tmd",
+            onehot,
+            codebooks,
+            preferred_element_type=jnp.float32,
+            precision=resolve_precision(precision),
+        )
+        return dec.reshape(t, m * dsub)
+    raise ValueError(f"unknown decode impl {impl!r}")
+
+
 @functools.partial(
-    jax.jit, static_argnames=("bounds", "k", "tile_rows")
+    jax.jit,
+    static_argnames=(
+        "bounds", "k", "tile_rows", "precision", "decode_impl",
+        "topk_impl", "recall_target",
+    ),
 )
 def adc_scan_decode(
     queries: jax.Array,  # [Q, D] f32
@@ -87,8 +196,12 @@ def adc_scan_decode(
     bounds,
     k: int,
     tile_rows: int = DEFAULT_TILE_ROWS,
+    precision: str = "default",
+    decode_impl: str = "onehot",
+    topk_impl: str = "approx",
+    recall_target: float = 0.95,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Gather-decode + MXU matmul ADC scan. Returns ([Q,k] dists, [Q,k] ids)."""
+    """Decode + MXU matmul ADC scan. Returns ([Q,k] dists, [Q,k] ids)."""
     num_q = queries.shape[0]
     m, _, dsub = codebooks.shape
     tile_rows = min(tile_rows, max(codes.shape[0], 1))
@@ -105,16 +218,13 @@ def adc_scan_decode(
     def dist_tile(inp):
         ct, xt = inp
         ci = ct.astype(jnp.int32)
-        # [m, T, dsub] gather-decode, amortized across the whole query batch.
-        dec = jax.vmap(lambda cb_s, c_s: cb_s[c_s], in_axes=(0, 1))(
-            codebooks, ci
-        )
-        dec = jnp.transpose(dec, (1, 0, 2)).reshape(tile_rows, m * dsub)
+        # [T, m*dsub] decode, amortized across the whole query batch.
+        dec = decode_tile(codebooks, ci, decode_impl, precision)
         ip = jnp.matmul(
             q_pad,
             dec.T,
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=resolve_precision(precision),
         )
         return qn[:, None] + xt[None, :] - 2.0 * ip
 
@@ -125,10 +235,15 @@ def adc_scan_decode(
         num_q,
         k,
         (code_tiles, norm_tiles),
+        topk_impl=topk_impl,
+        recall_target=recall_target,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("k", "tile_rows"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "tile_rows", "topk_impl", "recall_target"),
+)
 def adc_scan_lut(
     lut: jax.Array,  # [Q, m, K] f32 = ||q_sub - c||^2
     codes: jax.Array,  # [N, m] uint
@@ -136,6 +251,8 @@ def adc_scan_lut(
     *,
     k: int,
     tile_rows: int = DEFAULT_TILE_ROWS,
+    topk_impl: str = "approx",
+    recall_target: float = 0.95,
 ) -> Tuple[jax.Array, jax.Array]:
     """Classic LUT gather-accumulate ADC scan (``Index.scala:393-409``)."""
     num_q, m, _ = lut.shape
@@ -160,16 +277,24 @@ def adc_scan_lut(
         num_q,
         k,
         (code_tiles, valid_tiles),
+        topk_impl=topk_impl,
+        recall_target=recall_target,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("k", "tile_rows"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "tile_rows", "precision", "topk_impl", "recall_target"),
+)
 def exact_scan(
     queries: jax.Array,  # [Q, D] f32
     data: jax.Array,  # [N, D] f32
     *,
     k: int,
     tile_rows: int = DEFAULT_TILE_ROWS,
+    precision: str = "highest",
+    topk_impl: str = "exact",
+    recall_target: float = 0.95,
 ) -> Tuple[jax.Array, jax.Array]:
     """Brute-force squared-L2 top-k (``exactNearestNeighbours``)."""
     num_q = queries.shape[0]
@@ -186,7 +311,7 @@ def exact_scan(
             queries,
             xt.T,
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=resolve_precision(precision),
         )
         return qn[:, None] + xn[None, :] - 2.0 * ip
 
@@ -197,4 +322,6 @@ def exact_scan(
         num_q,
         k,
         (data_tiles, norm_tiles),
+        topk_impl=topk_impl,
+        recall_target=recall_target,
     )

@@ -1,19 +1,27 @@
-"""Test configuration: force an 8-device virtual CPU platform.
+"""Test configuration: force a virtual 8-device CPU platform.
 
 Multi-chip sharding paths are validated on a virtual CPU mesh
-(``--xla_force_host_platform_device_count=8``); the env vars must be set
-before jax is first imported, which conftest guarantees for pytest runs.
+(``--xla_force_host_platform_device_count=8``). The XLA flag must be set
+before jax initializes its backends. The TPU-tunnel sitecustomize can
+pre-register an ``axon`` backend at interpreter start and force the platform
+selection, so the env var alone is not enough — ``jax.config.update`` after
+import overrides it reliably.
 """
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+assert len(jax.devices()) == 8, (
+    f"expected 8 virtual CPU devices, got {jax.devices()}"
+)

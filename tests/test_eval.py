@@ -39,7 +39,7 @@ def test_ground_truth_shapes(setup):
     assert truth.queries.shape == (50, x.shape[1])
     assert set(truth.kth_distances) == {1, 5, 10}
     # self-queries: the 1-NN distance of a DB vector is ~0
-    np.testing.assert_allclose(truth.kth_distances[1], 0.0, atol=1e-5)
+    np.testing.assert_allclose(truth.kth_distances[1], 0.0, atol=1e-4)
     # kth distances non-decreasing in k
     assert np.all(truth.kth_distances[5] <= truth.kth_distances[10] + 1e-6)
 

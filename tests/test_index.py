@@ -22,6 +22,7 @@ def flat(request):
         ),
     )
     index.tile_rows = 64  # force multi-tile streaming
+    index.precision = "highest"  # exact-parity assertions below
     return index, keys, x
 
 

@@ -26,6 +26,7 @@ def ivf():
         coarse_max_iters=20,
     )
     index.tile_rows = 128
+    index.precision = "highest"  # exact-parity assertions below
     return index, keys, x
 
 

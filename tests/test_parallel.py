@@ -1,0 +1,223 @@
+"""Sharded-layer properties on the virtual 8-device CPU mesh.
+
+The central property: sharding is a pure placement transform — every sharded
+scan / index / trainer must produce results identical (or equal-quality for
+k-means, which is seed-deterministic and therefore exactly equal) to its
+single-chip counterpart.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from generators import planted_clusters, random_keys
+from gulon_tpu.models.build import build_flat_index, build_ivf_index
+from gulon_tpu.models.ivf import LimitGroups, LimitVectors
+from gulon_tpu.models.metric import Metric
+from gulon_tpu.ops.kmeans import KMeansConfig, fit_kmeans, kmeans_objective
+from gulon_tpu.ops.pq import PQConfig, train_product_quantizer
+from gulon_tpu.ops.scan import adc_scan_decode, exact_scan
+from gulon_tpu.parallel import (
+    make_mesh,
+    shard_index,
+    shard_rows,
+    sharded_adc_scan,
+    sharded_exact_scan,
+    sharded_fit_kmeans,
+)
+
+
+
+
+def _assert_same_topk(d_a, i_a, d_b, i_b, rtol=1e-4, atol=1e-4):
+    """Top-k equality up to ordering within exact-distance ties (the
+    reference's IndexSpec compares order-insensitively too)."""
+    d_a, i_a, d_b, i_b = map(np.asarray, (d_a, i_a, d_b, i_b))
+    np.testing.assert_allclose(d_a, d_b, rtol=rtol, atol=atol)
+    for q in range(d_a.shape[0]):
+        # ids must agree on slots whose distance is strictly untied
+        da = d_a[q]
+        near = np.isclose(da[1:], da[:-1], rtol=rtol, atol=atol)
+        strict = np.ones(len(da), bool)
+        strict[1:] &= ~near
+        strict[:-1] &= ~near
+        np.testing.assert_array_equal(i_a[q][strict], i_b[q][strict])
+        # and be permutations overall (ties at the k boundary aside)
+        assert set(i_a[q]) == set(i_b[q]) or np.allclose(
+            sorted(da), sorted(d_b[q]), rtol=rtol, atol=atol
+        )
+
+
+@pytest.fixture(scope="module")
+def data():
+    rng = np.random.default_rng(31)
+    n, d = 3000, 16
+    x, _, _ = planted_clusters(rng, n, d, 8, scale=0.4)
+    keys = random_keys(rng, n)
+    queries = x[rng.choice(n, 12, replace=False)] + rng.normal(
+        0, 0.05, (12, d)
+    ).astype(np.float32)
+    return keys, x, queries.astype(np.float32)
+
+
+def test_mesh_shapes():
+    assert dict(make_mesh().shape) == {"rows": 8, "sub": 1}
+    assert dict(make_mesh(sub_parallel=2).shape) == {"rows": 4, "sub": 2}
+    assert dict(make_mesh(4).shape) == {"rows": 4, "sub": 1}
+    with pytest.raises(ValueError):
+        make_mesh(sub_parallel=3)
+
+
+def test_sharded_adc_scan_matches_single_chip(data):
+    _, x, queries = data
+    mesh = make_mesh()
+    pq = train_product_quantizer(
+        x, PQConfig(num_clusters=32, num_quantizers=4, max_iters=10)
+    )
+    codes = np.asarray(pq.encode(x))
+    norms = np.asarray(pq.reconstruction_norms(jnp.asarray(codes)))
+    d_sh, i_sh = sharded_adc_scan(
+        jnp.asarray(queries),
+        pq.codebooks,
+        shard_rows(codes, mesh, 0),
+        shard_rows(norms, mesh, np.inf),
+        mesh=mesh,
+        bounds=pq.bounds,
+        k=10,
+        tile_rows=256,
+    )
+    d_1c, i_1c = adc_scan_decode(
+        jnp.asarray(queries), pq.codebooks, jnp.asarray(codes),
+        jnp.asarray(norms), bounds=pq.bounds, k=10, tile_rows=256,
+    )
+    _assert_same_topk(d_sh, i_sh, d_1c, i_1c, rtol=1e-5, atol=1e-5)
+
+
+def test_sharded_exact_scan_matches_single_chip(data):
+    _, x, queries = data
+    mesh = make_mesh()
+    d_sh, i_sh = sharded_exact_scan(
+        jnp.asarray(queries),
+        shard_rows(x, mesh),
+        shard_rows((x * x).sum(1), mesh, np.inf),
+        mesh=mesh,
+        k=10,
+        tile_rows=256,
+    )
+    d_1c, i_1c = exact_scan(
+        jnp.asarray(queries), jnp.asarray(x), k=10, tile_rows=256
+    )
+    _assert_same_topk(d_sh, i_sh, d_1c, i_1c)
+
+
+def test_sharded_exact_scan_unpadded_rows():
+    """Corpus size not divisible by the shard count: padding must be inert."""
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=(1001, 8)).astype(np.float32)
+    q = x[:3]
+    mesh = make_mesh()
+    d_sh, i_sh = sharded_exact_scan(
+        jnp.asarray(q),
+        shard_rows(x, mesh),
+        shard_rows((x * x).sum(1), mesh, np.inf),
+        mesh=mesh,
+        k=5,
+        tile_rows=64,
+    )
+    d_1c, i_1c = exact_scan(jnp.asarray(q), jnp.asarray(x), k=5, tile_rows=64)
+    np.testing.assert_allclose(
+        np.asarray(d_sh), np.asarray(d_1c), rtol=1e-4, atol=1e-4
+    )
+    assert np.all(np.asarray(i_sh) < 1001)
+
+
+@pytest.mark.parametrize("sub_parallel", [1, 2, 4])
+def test_sharded_kmeans_matches_quality(data, sub_parallel):
+    _, x, _ = data
+    mesh = make_mesh(sub_parallel=sub_parallel)
+    xs = np.stack([x[:, i * 4 : (i + 1) * 4] for i in range(4)])
+    cfg = KMeansConfig(k=16, max_iters=15, seed=3)
+    res_sh = sharded_fit_kmeans(xs, cfg, mesh)
+    res_1c = fit_kmeans(xs, cfg)
+    for s in range(4):
+        o_sh = float(
+            kmeans_objective(
+                xs[s],
+                np.asarray(res_sh.centroids)[s],
+                np.asarray(res_sh.assignments)[s],
+            )
+        )
+        o_1c = float(
+            kmeans_objective(
+                xs[s],
+                np.asarray(res_1c.centroids)[s],
+                np.asarray(res_1c.assignments)[s],
+            )
+        )
+        # same seeded init + same update rule => identical trajectories
+        assert o_sh == pytest.approx(o_1c, rel=1e-4)
+
+
+def test_sharded_flat_index_matches(data):
+    keys, x, queries = data
+    mesh = make_mesh()
+    index = build_flat_index(
+        keys,
+        x,
+        pq_config=PQConfig(num_clusters=32, num_quantizers=4, max_iters=10),
+    )
+    sharded = shard_index(index, mesh)
+    assert sharded.size == index.size
+    index.scan_strategy = "decode"
+    a = index.batch_query(8, queries)
+    b = sharded.batch_query(8, queries)
+    for ra, rb in zip(a, b):
+        np.testing.assert_allclose(
+            ra.distances, rb.distances, rtol=1e-4, atol=1e-4
+        )
+        # keys agree up to exact-distance ties
+        tied = np.concatenate(
+            [[False], np.isclose(ra.distances[1:], ra.distances[:-1],
+                                 rtol=1e-4, atol=1e-4)]
+        )
+        tied[:-1] |= tied[1:].copy()
+        # ties can also straddle the k boundary: only slots strictly below
+        # the k-th distance are comparable
+        cutoff = ra.distances[-1] - (1e-4 + 1e-4 * abs(ra.distances[-1]))
+        cmp = ~tied & (ra.distances < cutoff)
+        assert list(ra.keys[cmp]) == list(rb.keys[cmp])
+    assert sharded.lookup("nope") is None
+
+
+@pytest.mark.parametrize(
+    "strategy", [LimitGroups(4), LimitVectors(600)]
+)
+def test_sharded_ivf_index_matches(data, strategy):
+    keys, x, queries = data
+    mesh = make_mesh()
+    index = build_ivf_index(
+        keys,
+        x,
+        metric=Metric.COSINE,
+        pq_config=PQConfig(num_clusters=32, num_quantizers=4, max_iters=10),
+        num_partitions=12,
+        strategy=strategy,
+    )
+    sharded = shard_index(index, mesh)
+    a = index.batch_query(8, queries)
+    b = sharded.batch_query(8, queries)
+    for ra, rb in zip(a, b):
+        np.testing.assert_allclose(
+            ra.distances, rb.distances, rtol=1e-4, atol=1e-4
+        )
+        tied = np.concatenate(
+            [[False], np.isclose(ra.distances[1:], ra.distances[:-1],
+                                 rtol=1e-4, atol=1e-4)]
+        )
+        tied[:-1] |= tied[1:].copy()
+        # ties can also straddle the k boundary: only slots strictly below
+        # the k-th distance are comparable
+        cutoff = ra.distances[-1] - (1e-4 + 1e-4 * abs(ra.distances[-1]))
+        cmp = ~tied & (ra.distances < cutoff)
+        assert list(ra.keys[cmp]) == list(rb.keys[cmp])
