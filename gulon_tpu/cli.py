@@ -1,0 +1,262 @@
+"""``gulon-tpu`` command-line interface.
+
+Counterpart of the reference CLI (``command/Main.scala`` + subcommand files):
+``build-index``, ``query``, ``query-words`` and ``test`` with the same flags
+and defaults —
+
+- ``build-index`` (``BuildIndex.scala:29-68,104-106``): ``--metric`` required,
+  ``-k/--clusters`` default 256 (1..65536), ``-m/--quantizers`` default 25,
+  ``-n/--max-iters`` default 100, ``-p/--partitioned``, ``--partitions``
+  default size/1000, ``--limit`` default max(5% of partitions, 5) — the last
+  two only valid with ``--partitioned`` — ``-o`` output, input path arg;
+- ``query`` (``Query.scala``): ``-k`` default 1, prints ``key: n1,n2,...``;
+- ``query-words`` (``QueryWords.scala``): words on stdin, ``<word> not
+  found`` for misses;
+- ``test`` (``Test.scala:17-37``): ``--vectors``, ``--index``, ``--sample``
+  default 1000, ``-e/--error`` relative epsilon default 0, prints
+  ``R@k: mean +/- stdDev`` lines.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from typing import List, Optional
+
+import numpy as np
+
+
+def _positive_int(lo: int, hi: Optional[int] = None):
+    def parse(value: str) -> int:
+        v = int(value)
+        if v < lo or (hi is not None and v > hi):
+            bound = f">= {lo}" if hi is None else f"in [{lo}, {hi}]"
+            raise argparse.ArgumentTypeError(f"expected {bound}, got {v}")
+        return v
+
+    return parse
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        prog="gulon-tpu",
+        description="TPU-native approximate nearest-neighbour indices "
+        "over keyed embedding vectors",
+    )
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    b = sub.add_parser(
+        "build-index", help="build an ANN index from word2vec-format vectors"
+    )
+    b.add_argument(
+        "--metric",
+        required=True,
+        choices=["l2", "cosine"],
+        help="distance metric",
+    )
+    b.add_argument(
+        "-k", "--clusters",
+        type=_positive_int(1, 65536),
+        default=256,
+        help="codewords per subquantizer (default 256)",
+    )
+    b.add_argument(
+        "-m", "--quantizers",
+        type=_positive_int(1),
+        default=25,
+        help="number of subquantizers (default 25)",
+    )
+    b.add_argument(
+        "-n", "--max-iters",
+        type=_positive_int(1),
+        default=100,
+        help="max k-means iterations (default 100)",
+    )
+    b.add_argument(
+        "-p", "--partitioned",
+        action="store_true",
+        help="build a partitioned (IVF residual) index",
+    )
+    b.add_argument(
+        "--partitions",
+        type=_positive_int(1),
+        default=None,
+        help="number of coarse partitions (default: size/1000)",
+    )
+    b.add_argument(
+        "--limit",
+        type=_positive_int(1),
+        default=None,
+        help="partitions probed per query (default: max(5%% of partitions, 5))",
+    )
+    b.add_argument("-o", "--output", required=True, help="output index file")
+    b.add_argument("input", help="word2vec-format text file")
+
+    q = sub.add_parser("query", help="batch query an index")
+    q.add_argument("-k", type=_positive_int(1), default=1)
+    q.add_argument("--index", required=True, help="index file")
+    q.add_argument("input", help="word2vec-format query file")
+
+    w = sub.add_parser(
+        "query-words", help="interactive nearest-word lookup (words on stdin)"
+    )
+    w.add_argument("-k", type=_positive_int(1), default=1)
+    w.add_argument("--index", required=True, help="index file")
+
+    t = sub.add_parser("test", help="measure recall@k of an index")
+    t.add_argument("--vectors", required=True, help="word2vec-format source")
+    t.add_argument("--index", required=True, help="index file")
+    t.add_argument(
+        "--sample", type=_positive_int(1), default=1000,
+        help="number of sampled self-queries (default 1000)",
+    )
+    t.add_argument(
+        "-e", "--error", type=float, default=0.0,
+        help="relative distance epsilon (default 0)",
+    )
+    return parser
+
+
+def cmd_build_index(args, reporter) -> int:
+    from gulon_tpu.models.build import build_flat_index, build_ivf_index
+    from gulon_tpu.models.ivf import LimitGroups
+    from gulon_tpu.models.build import default_limit, default_num_partitions
+    from gulon_tpu.models.metric import Metric
+    from gulon_tpu.ops.pq import PQConfig
+    from gulon_tpu.utils.serde import save_index
+    from gulon_tpu.utils.word2vec import read_word2vec_path
+    from gulon_tpu.utils.progress import format_bytes
+
+    if not args.partitioned and (args.partitions or args.limit):
+        reporter.out.write(
+            "error: --partitions/--limit require --partitioned\n"
+        )
+        return 1
+
+    metric = Metric.parse(args.metric)
+    with reporter.task(f"reading {args.input}"):
+        wv = read_word2vec_path(
+            args.input,
+            normalize=False,  # builders normalize; matches BuildIndex.scala:116
+            report_fn=lambda p: reporter.progress(
+                "reading",
+                (p.lines_read / p.total_lines) if p.total_lines else None,
+                f"{p.lines_read} vectors, ~{format_bytes(p.size_estimate_bytes)}",
+            ),
+        )
+    pq_config = PQConfig(
+        num_clusters=args.clusters,
+        num_quantizers=args.quantizers,
+        max_iters=args.max_iters,
+    )
+    if args.partitioned:
+        num_partitions = args.partitions or default_num_partitions(len(wv))
+        limit = args.limit or default_limit(num_partitions)
+        with reporter.task(
+            f"building partitioned index ({num_partitions} partitions, "
+            f"probe {limit})"
+        ):
+            index = build_ivf_index(
+                wv.keys,
+                wv.vectors,
+                metric=metric,
+                pq_config=pq_config,
+                num_partitions=num_partitions,
+                strategy=LimitGroups(limit),
+            )
+    else:
+        with reporter.task("building index"):
+            index = build_flat_index(
+                wv.keys, wv.vectors, metric=metric, pq_config=pq_config
+            )
+    with reporter.task(f"writing {args.output}"):
+        save_index(index, args.output)
+    return 0
+
+
+def cmd_query(args, reporter) -> int:
+    from gulon_tpu.utils.serde import load_index
+    from gulon_tpu.utils.word2vec import read_word2vec_path
+
+    with reporter.task(f"loading {args.index}"):
+        index = load_index(args.index)
+    with reporter.task(f"reading {args.input}"):
+        wv = read_word2vec_path(args.input)
+    with reporter.task(f"querying {len(wv)} vectors"):
+        results = index.batch_query(args.k, wv.vectors)
+    for key, res in zip(wv.keys, results):
+        print(f"{key}: {','.join(str(w) for w in res.keys)}")
+    return 0
+
+
+def cmd_query_words(args, reporter) -> int:
+    from gulon_tpu.utils.serde import load_index
+
+    with reporter.task(f"loading {args.index}"):
+        index = load_index(args.index)
+    for line in sys.stdin:
+        word = line.strip()
+        if not word:
+            continue
+        res = index.query_by_word(args.k, word)
+        if res is None:
+            print(f"{word} not found")
+        else:
+            print(f"{word}: {','.join(str(w) for w in res.keys)}")
+    return 0
+
+
+def cmd_test(args, reporter) -> int:
+    from gulon_tpu.utils.eval import (
+        format_recall,
+        recall_of,
+        sample_ground_truth,
+    )
+    from gulon_tpu.utils.serde import load_index
+    from gulon_tpu.utils.word2vec import read_word2vec_path
+
+    with reporter.task(f"loading {args.index}"):
+        index = load_index(args.index)
+    with reporter.task(f"reading {args.vectors}"):
+        wv = read_word2vec_path(args.vectors)
+    if index.metric.normalized:
+        wv = wv.normalized()
+    with reporter.task(f"sampling {args.sample} ground-truth queries"):
+        truth = sample_ground_truth(
+            wv.keys, wv.vectors, num_samples=args.sample
+        )
+    with reporter.task("measuring recall"):
+        per_k = recall_of(
+            index,
+            truth,
+            wv.vectors,
+            wv.keys,
+            epsilon=args.error,
+            report_fn=lambda p: reporter.progress(
+                "recall", p.completed / p.total, f"{p.qps:.0f} qps"
+            ),
+        )
+    print(format_recall(per_k))
+    return 0
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    from gulon_tpu.utils.progress import Reporter
+
+    args = build_parser().parse_args(argv)
+    reporter = Reporter()
+    handlers = {
+        "build-index": cmd_build_index,
+        "query": cmd_query,
+        "query-words": cmd_query_words,
+        "test": cmd_test,
+    }
+    try:
+        return handlers[args.command](args, reporter)
+    except (OSError, ValueError) as e:
+        sys.stderr.write(f"error: {e}\n")
+        return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
