@@ -41,6 +41,10 @@ def _low_rank_corpus(rng, n, d, intrinsic=16, n_clusters=1000, noise=0.05):
 
 def main():
     import jax
+
+    from gulon_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
     import jax.numpy as jnp
 
     from gulon_tpu.ops.pq import PQConfig, train_product_quantizer
@@ -111,17 +115,37 @@ def main():
     us_per_query = per_batch / n_queries * 1e6
     qps = n_queries / per_batch
 
-    # recall@10 vs exact brute force (id-set definition)
+    # recall@10 vs exact brute force (id-set definition), plus the PQ
+    # ceiling: recall of exact NN over the *decoded* vectors — the best any
+    # scan of these codes can do. scan_efficiency ~= 1.0 means the query
+    # path is lossless given the code budget.
     sample = 256
     d_adc, i_adc = query_step(q_pool_dev[:sample])
     d_ex, i_ex = exact_scan(q_pool_dev[:sample], jnp.asarray(x), k=topk)
+    from gulon_tpu.ops.scan import cached_scan, decode_tile
+    from gulon_tpu.ops.pq import split_subspaces
+    dsub = pq.pad_width
+    dec = decode_tile(
+        pq.codebooks, codes.astype(jnp.int32), "onehot", "highest"
+    )
+    qs = split_subspaces(q_pool_dev[:sample], pq.bounds, dsub)
+    q_pad = jnp.transpose(qs, (1, 0, 2)).reshape(sample, m * dsub)
+    _, i_ceil = cached_scan(
+        q_pad, dec, norms, k=topk, topk_impl="exact"
+    )
     i_adc = np.asarray(i_adc)
     i_ex = np.asarray(i_ex)
-    recall = float(
-        np.mean(
-            [len(set(i_adc[q]) & set(i_ex[q])) / topk for q in range(sample)]
+    i_ceil = np.asarray(i_ceil)
+
+    def _recall(ids):
+        return float(
+            np.mean(
+                [len(set(ids[q]) & set(i_ex[q])) / topk for q in range(sample)]
+            )
         )
-    )
+
+    recall = _recall(i_adc)
+    recall_ceiling = _recall(i_ceil)
 
     print(
         json.dumps(
@@ -132,6 +156,8 @@ def main():
                 "vs_baseline": round(5000.0 / us_per_query, 1),
                 "qps_per_chip": round(qps, 1),
                 "recall_at_10_vs_exact": round(recall, 4),
+                "recall_at_10_pq_ceiling": round(recall_ceiling, 4),
+                "scan_efficiency": round(recall / max(recall_ceiling, 1e-9), 4),
                 "index_build_s": round(build_s, 2),
                 "device": str(jax.devices()[0]),
             }

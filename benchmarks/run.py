@@ -1,0 +1,324 @@
+"""Benchmark suite — the BASELINE.md configurations on synthetic stand-ins.
+
+Zero-egress environment: real GloVe/fastText/Deep1B files are unavailable,
+so each config uses a synthetic low-intrinsic-dimension corpus with the same
+(n, d) shape and code budget. Every benchmark prints one JSON line.
+
+Configs (BASELINE.json):
+  glove100   — 400k x 100d, PQ 8x256, batched top-10 + recall vs exact
+  glove300   — 2.2M x 300d, PQ 16x256, 1k-query batched ADC
+  fasttext   — 2M x 300d, exact brute-force scan path (no quantization)
+  deep10m    — 10M x 96d, row-sharded scan + top-k merge over the mesh
+  sent1024   — 1M x 1024d, code-bytes vs recall sweep (subspace/LUT stress)
+  kmeans     — one Lloyd iteration, n=10k d=100 k=25 (ref KMeansBench mirror)
+  build10m   — 10M x 300d full index build (codebook fit + bulk encode)
+
+Usage: python benchmarks/run.py <config> [--devices N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")  # repo root
+from benchmarks.common import idset_recall, low_rank_corpus, time_device_loop
+
+
+def _emit(payload):
+    print(json.dumps(payload), flush=True)
+
+
+def bench_adc(n, d, m, k_codes, n_queries, name, max_iters=25):
+    import jax.numpy as jnp
+
+    from gulon_tpu.ops.pq import PQConfig, train_product_quantizer
+    from gulon_tpu.ops.scan import adc_scan_decode, exact_scan
+
+    rng = np.random.default_rng(0)
+    x = low_rank_corpus(rng, n, d, intrinsic=min(32, d // 2))
+    q_pool = x[rng.choice(n, n_queries * 4, replace=False)].copy()
+
+    t0 = time.monotonic()
+    pq = train_product_quantizer(
+        x,
+        PQConfig(
+            num_clusters=k_codes,
+            num_quantizers=m,
+            max_iters=max_iters,
+            train_sample=min(n, 200_000),
+        ),
+    )
+    codes = pq.encode(x)
+    norms = pq.reconstruction_norms(codes)
+    _ = np.asarray(norms[:1])
+    build_s = time.monotonic() - t0
+
+    q_dev = jnp.asarray(q_pool)
+
+    def step(acc):
+        import jax
+
+        start = (acc.astype(jnp.int32) % 4) * n_queries
+        qb = jax.lax.dynamic_slice_in_dim(q_dev, start, n_queries, 0)
+        dd, ii = adc_scan_decode(
+            qb + acc * 1e-30, pq.codebooks, codes, norms,
+            bounds=pq.bounds, k=10,
+        )
+        return acc + dd[0, 0] + jnp.float32(ii[0, 0] % 7)
+
+    per_batch = time_device_loop(step, float)
+    # recall vs exact
+    sample = min(256, n_queries)
+    _, i_adc = adc_scan_decode(
+        q_dev[:sample], pq.codebooks, codes, norms, bounds=pq.bounds, k=10
+    )
+    _, i_ex = exact_scan(q_dev[:sample], jnp.asarray(x), k=10)
+    recall = idset_recall(np.asarray(i_adc), np.asarray(i_ex), 10)
+
+    import jax
+
+    _emit(
+        {
+            "benchmark": name,
+            "corpus": f"{n}x{d}",
+            "code_bytes_per_vector": int(np.asarray(codes).dtype.itemsize * m),
+            "batch": n_queries,
+            "us_per_query": round(per_batch / n_queries * 1e6, 3),
+            "qps_per_chip": round(n_queries / per_batch, 1),
+            "recall_at_10_vs_exact": round(recall, 4),
+            "build_s": round(build_s, 2),
+            "device": str(jax.devices()[0]),
+        }
+    )
+
+
+def bench_exact(n, d, n_queries, name):
+    import jax
+    import jax.numpy as jnp
+
+    from gulon_tpu.ops.scan import exact_scan
+
+    rng = np.random.default_rng(0)
+    x = low_rank_corpus(rng, n, d, intrinsic=32)
+    q_pool = x[rng.choice(n, n_queries * 4, replace=False)].copy()
+    x_dev = jnp.asarray(x)
+    q_dev = jnp.asarray(q_pool)
+
+    def step(acc):
+        start = (acc.astype(jnp.int32) % 4) * n_queries
+        qb = jax.lax.dynamic_slice_in_dim(q_dev, start, n_queries, 0)
+        dd, ii = exact_scan(
+            qb + acc * 1e-30, x_dev, k=10,
+            precision="default", topk_impl="approx",
+        )
+        return acc + dd[0, 0] + jnp.float32(ii[0, 0] % 7)
+
+    per_batch = time_device_loop(step, float)
+    _emit(
+        {
+            "benchmark": name,
+            "corpus": f"{n}x{d}",
+            "mode": "exact brute force (matmul + top-k)",
+            "batch": n_queries,
+            "us_per_query": round(per_batch / n_queries * 1e6, 3),
+            "qps_per_chip": round(n_queries / per_batch, 1),
+            "device": str(jax.devices()[0]),
+        }
+    )
+
+
+def bench_deep10m(n_devices, n=10_000_000, d=96, n_queries=1024):
+    import jax
+    import jax.numpy as jnp
+
+    from gulon_tpu.ops.pq import PQConfig, train_product_quantizer
+    from gulon_tpu.parallel.mesh import make_mesh, shard_rows
+    from gulon_tpu.parallel.ops import sharded_adc_scan
+
+    rng = np.random.default_rng(0)
+    x = low_rank_corpus(rng, n, d, intrinsic=24, n_clusters=10_000)
+    queries = x[rng.choice(n, n_queries, replace=False)].copy()
+
+    t0 = time.monotonic()
+    pq = train_product_quantizer(
+        x,
+        PQConfig(
+            num_clusters=256, num_quantizers=12, max_iters=15,
+            train_sample=200_000,
+        ),
+    )
+    codes = np.asarray(pq.encode(x))
+    norms = np.asarray(pq.reconstruction_norms(jnp.asarray(codes)))
+    build_s = time.monotonic() - t0
+
+    mesh = make_mesh(n_devices)
+    codes_sh = shard_rows(codes, mesh, 0)
+    norms_sh = shard_rows(norms, mesh, np.inf)
+    q_dev = jnp.asarray(queries)
+
+    t0 = time.perf_counter()
+    dd, ii = sharded_adc_scan(
+        q_dev, pq.codebooks, codes_sh, norms_sh,
+        mesh=mesh, bounds=pq.bounds, k=10,
+    )
+    _ = np.asarray(dd[:1, :1])
+    first = time.perf_counter() - t0
+    ts = []
+    for _i in range(8):
+        t0 = time.perf_counter()
+        dd, ii = sharded_adc_scan(
+            q_dev, pq.codebooks, codes_sh, norms_sh,
+            mesh=mesh, bounds=pq.bounds, k=10,
+        )
+        _ = np.asarray(dd[:1, :1])
+        ts.append(time.perf_counter() - t0)
+    _emit(
+        {
+            "benchmark": "deep10m",
+            "corpus": f"{n}x{d}",
+            "devices": n_devices,
+            "batch": n_queries,
+            "ms_per_batch_incl_rtt": round(float(np.median(ts)) * 1e3, 2),
+            "first_call_s": round(first, 2),
+            "build_s": round(build_s, 2),
+            "device": str(jax.devices()[0]),
+        }
+    )
+
+
+def bench_sent1024(n=1_000_000, d=1024, n_queries=512):
+    import jax.numpy as jnp
+
+    from gulon_tpu.ops.pq import PQConfig, train_product_quantizer
+    from gulon_tpu.ops.scan import adc_scan_decode, exact_scan
+
+    rng = np.random.default_rng(0)
+    x = low_rank_corpus(rng, n, d, intrinsic=64, n_clusters=5000)
+    queries = x[rng.choice(n, n_queries, replace=False)].copy()
+    q_dev = jnp.asarray(queries)
+    _, i_ex = exact_scan(q_dev, jnp.asarray(x), k=10)
+    i_ex = np.asarray(i_ex)
+
+    sweep = []
+    for m in (16, 32, 64):
+        pq = train_product_quantizer(
+            x,
+            PQConfig(
+                num_clusters=256, num_quantizers=m, max_iters=10,
+                train_sample=100_000,
+            ),
+        )
+        codes = pq.encode(x)
+        norms = pq.reconstruction_norms(codes)
+        _, i_adc = adc_scan_decode(
+            q_dev, pq.codebooks, codes, norms, bounds=pq.bounds, k=10
+        )
+        sweep.append(
+            {
+                "code_bytes": m,
+                "recall_at_10": round(
+                    idset_recall(np.asarray(i_adc), i_ex, 10), 4
+                ),
+            }
+        )
+    _emit({"benchmark": "sent1024", "corpus": f"{n}x{d}", "sweep": sweep})
+
+
+def bench_kmeans(n=10_000, d=100, k=25):
+    import jax.numpy as jnp
+
+    from gulon_tpu.ops.kmeans import lloyd_step
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+    c0 = x[:k]
+
+    def step(acc):
+        c, a = lloyd_step(x + acc * 1e-30, c0)
+        return acc + c[0, 0] + jnp.float32(a[0])
+
+    per_iter = time_device_loop(step, float)
+    import jax
+
+    _emit(
+        {
+            "benchmark": "kmeans_lloyd_iteration",
+            "config": f"n={n} d={d} k={k} (ref KMeansBench.scala)",
+            "us_per_iteration": round(per_iter * 1e6, 1),
+            "device": str(jax.devices()[0]),
+        }
+    )
+
+
+def bench_build10m(n=10_000_000, d=300, m=25, k_codes=256):
+    import time as _t
+
+    import jax.numpy as jnp
+
+    from gulon_tpu.ops.pq import PQConfig, train_product_quantizer
+
+    rng = np.random.default_rng(0)
+    x = low_rank_corpus(rng, n, d, intrinsic=32, n_clusters=10_000)
+    t0 = _t.monotonic()
+    pq = train_product_quantizer(
+        x,
+        PQConfig(
+            num_clusters=k_codes, num_quantizers=m, max_iters=25,
+            train_sample=500_000,
+        ),
+    )
+    train_s = _t.monotonic() - t0
+    t1 = _t.monotonic()
+    chunk = 1 << 20
+    total = 0
+    last = None
+    for start in range(0, n, chunk):
+        c = pq.encode(x[start : start + chunk])
+        last = c
+        total += c.shape[0]
+    _ = np.asarray(last[:1])
+    encode_s = _t.monotonic() - t1
+    import jax
+
+    _emit(
+        {
+            "benchmark": "build10m",
+            "corpus": f"{n}x{d}",
+            "codebook_train_s": round(train_s, 1),
+            "bulk_encode_s": round(encode_s, 1),
+            "total_s": round(train_s + encode_s, 1),
+            "target_s": 120,
+            "device": str(jax.devices()[0]),
+        }
+    )
+
+
+CONFIGS = {
+    "glove100": lambda a: bench_adc(400_000, 100, 8, 256, 1024, "glove100"),
+    "glove300": lambda a: bench_adc(2_200_000, 300, 16, 256, 1024, "glove300"),
+    "fasttext": lambda a: bench_exact(2_000_000, 300, 1024, "fasttext"),
+    "deep10m": lambda a: bench_deep10m(a.devices),
+    "sent1024": lambda a: bench_sent1024(),
+    "kmeans": lambda a: bench_kmeans(),
+    "build10m": lambda a: bench_build10m(),
+}
+
+
+def main():
+    from gulon_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+    p = argparse.ArgumentParser()
+    p.add_argument("config", choices=sorted(CONFIGS))
+    p.add_argument("--devices", type=int, default=1)
+    args = p.parse_args()
+    CONFIGS[args.config](args)
+
+
+if __name__ == "__main__":
+    main()

@@ -241,7 +241,10 @@ def cmd_test(args, reporter) -> int:
 
 
 def main(argv: Optional[List[str]] = None) -> int:
+    from gulon_tpu.utils.cache import enable_persistent_cache
     from gulon_tpu.utils.progress import Reporter
+
+    enable_persistent_cache()
 
     args = build_parser().parse_args(argv)
     reporter = Reporter()

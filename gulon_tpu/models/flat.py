@@ -1,12 +1,18 @@
 """Flat full-scan PQ index (counterpart of ``SortedIndex``, ``Index.scala:310-337``).
 
 Keys are globally sorted; the whole code matrix is scanned per query batch.
-Two device scan strategies (see ``gulon_tpu.ops.scan``):
+Scan strategies (see ``gulon_tpu.ops.scan`` / ``gulon_tpu.ops.pallas.adc``):
 
-- ``"decode"`` (default): gather-decode + MXU matmul — fastest for batched
-  queries, the TPU-native ADC formulation;
+- ``"decode"`` (default): one-hot decode + MXU matmul — the TPU-native ADC
+  formulation for batched queries, code-resident (m bytes/vector);
 - ``"lut"``: per-query lookup-table scan, the direct analog of the
-  reference's hot loop — lighter for tiny batches;
+  reference's hot loop;
+- ``"cached"``: scan a cached (bf16) decode of the code matrix — pure MXU
+  matmul per batch, ~4x the decode strategy's throughput at
+  ``2*m*dsub`` bytes/vector of HBM (call :meth:`enable_cache` or just use
+  the strategy; the cache builds lazily);
+- ``"pallas"``: the fused single-kernel scan (decode + distances + top-k in
+  VMEM), the latency-path kernel;
 - ``"auto"``: picks by batch size.
 """
 
@@ -37,7 +43,7 @@ class FlatIndex(Index):
     codes: jax.Array  # [N, m] uint
     recon_norms: jax.Array  # [N] f32
     metric: Metric
-    scan_strategy: str = "auto"  # "auto" | "decode" | "lut"
+    scan_strategy: str = "auto"  # "auto"|"decode"|"lut"|"cached"|"pallas"
     tile_rows: int = scan_ops.DEFAULT_TILE_ROWS
     # "default" = fast MXU (bf16 passes), "highest" = full-f32 parity mode
     precision: str = "default"
@@ -45,6 +51,7 @@ class FlatIndex(Index):
     # faithful concat+top_k. approx falls back to exact on CPU.
     topk_impl: str = "approx"
     recall_target: float = 0.95
+    decoded_cache: Optional[jax.Array] = None  # [N, m*dsub], see enable_cache
 
     @property
     def key_index(self) -> SortedKeyIndex:
@@ -99,9 +106,71 @@ class FlatIndex(Index):
                 topk_impl=self.topk_impl,
                 recall_target=self.recall_target,
             )
+        elif strategy == "cached":
+            if self.decoded_cache is None:
+                self.enable_cache()
+            q_pad = self._q_pad(q)
+            dists, ids = scan_ops.cached_scan(
+                q_pad,
+                self.decoded_cache,
+                self.recon_norms,
+                k=k_eff,
+                tile_rows=self.tile_rows,
+                topk_impl=self.topk_impl,
+                recall_target=self.recall_target,
+            )
+        elif strategy == "pallas":
+            from gulon_tpu.ops.pallas.adc import adc_scan_pallas
+
+            if self.size < 256 * min(k_eff, 64) or k_eff > 64:
+                # kernel constraints (tiny corpus / large k): decode path
+                return dataclasses.replace(
+                    self, scan_strategy="decode"
+                ).batch_query(k, vectors)
+            dists, ids = adc_scan_pallas(
+                q,
+                self.pq.codebooks,
+                self.codes,
+                self.recon_norms,
+                bounds=self.pq.bounds,
+                k=k_eff,
+                interpret=jax.default_backend() == "cpu",
+            )
         else:
             raise ValueError(f"unknown scan strategy {strategy!r}")
         return self._make_results(dists, ids)
+
+    def _q_pad(self, q: jax.Array) -> jax.Array:
+        from gulon_tpu.ops.pq import split_subspaces
+
+        qs = split_subspaces(q, self.pq.bounds, self.pq.pad_width)
+        return jnp.transpose(qs, (1, 0, 2)).reshape(
+            q.shape[0], self.pq.num_quantizers * self.pq.pad_width
+        )
+
+    def enable_cache(self, dtype=None, chunk: int = 1 << 20) -> None:
+        """Materialize the decoded corpus for the ``"cached"`` strategy.
+
+        bf16 on TPU (2 bytes/dim), f32 elsewhere (CPU lacks bf16 matmul).
+        """
+        if dtype is None:
+            dtype = (
+                jnp.bfloat16
+                if jax.default_backend() == "tpu"
+                else jnp.float32
+            )
+        m, dsub = self.pq.num_quantizers, self.pq.pad_width
+        parts = []
+        codes = np.asarray(self.codes)
+        for start in range(0, self.size, chunk):
+            ci = jnp.asarray(codes[start : start + chunk], jnp.int32)
+            dec = scan_ops.decode_tile(self.pq.codebooks, ci, "onehot")
+            parts.append(dec.astype(dtype))
+        self.decoded_cache = (
+            jnp.concatenate(parts, axis=0)
+            if parts
+            else jnp.zeros((0, m * dsub), dtype)
+        )
 
     def lookup(self, word: str) -> Optional[np.ndarray]:
         row = self._key_index.lookup(word)

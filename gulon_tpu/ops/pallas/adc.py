@@ -1,0 +1,271 @@
+"""Fused Pallas ADC-scan kernel.
+
+The XLA formulation of the ADC scan (``gulon_tpu.ops.scan.adc_scan_decode``)
+materializes a one-hot decode operand in HBM (~64 MB per 16k-row tile),
+making the scan bandwidth-bound. This kernel fuses the whole pipeline in
+VMEM and keeps a *running top-k across row tiles* in persistent scratch:
+
+    per grid step (one row tile):
+      codes tile [T, m] -> one-hot [T, K] -> decode matmul (MXU)
+        -> query x tile matmul (MXU) -> scores [Q, T]
+        -> k-round min-extraction -> tile winners [Q, k]
+        -> merge with running winners (VMEM scratch, persists across steps)
+    final step: write [Q, 128] winner lanes once.
+
+HBM traffic is just the code bytes in plus one [Q, 128] pair out. Winner
+selection takes per-128-block minima (the same approximation as the
+hardware PartialReduce behind ``lax.approx_min_k``; measured recall vs the
+exact scan ~0.99 at k=10 over 400k rows) and merges them into the running
+winners with a k-round extraction loop. The per-query ``||q||^2`` term is
+added *after* the kernel — it cannot change any argmin.
+
+Role counterpart of the reference's hot loop ``PQIndex.distances``
+(``Index.scala:393-409``) + ``TopKHeap`` (``TopKHeap.scala:69-79``), fused.
+
+Performance status (v5e, 400k x 100d PQ8x256): correct but currently
+slower than the XLA decode + ``approx_min_k`` path for large batches
+(~130 ms vs ~3.5 ms per 1024-query batch) — the in-kernel selection and
+its [Q, T] -> [Q, T/128, 128] relayout dominate; XLA's fused hardware
+PartialReduce is not expressible in Pallas today. At small Q the two paths
+are equal (~2.5 ms full-scan latency). The XLA path is therefore the
+default; this kernel is the foundation for future fused work (e.g.
+streaming IVF scans) and a working example of the VMEM-resident pipeline.
+
+Limits: K <= 1024 (one-hot tile must fit VMEM), k <= 64, corpus >= 256*k
+rows. Callers fall back to the XLA path outside those bounds.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gulon_tpu.ops.pq import split_subspaces
+from gulon_tpu.ops.distance import sq_norms
+
+_BIG = 3.0e38  # python float: kernels must not capture traced constants
+_INT_BIG = 2**30
+_K_LANES = 128  # winner buffers are padded to the TPU lane width
+
+
+def _pick_tile_rows(num_q: int, k_codes: int, m: int, dsub: int) -> int:
+    """Largest row tile whose VMEM working set stays comfortable.
+
+    Budget accounts for the scores scratch plus the extraction temps
+    (lane iota + masks), which Mosaic also places on the kernel stack.
+    """
+    budget = 5 * 1024 * 1024
+    for t in (4096, 2048, 1024, 512, 256):
+        scores = 4 * num_q * t
+        iota = 4 * num_q * t
+        onehot = 4 * t * k_codes
+        if scores + iota + onehot < 2 * budget and scores + onehot < budget:
+            return t
+    return 256
+
+
+def _adc_tile_kernel(
+    q_ref,       # [Q, mdsub] f32 (whole)
+    cb_ref,      # [m, dsub, K] f32 (whole; K on lanes, no padding)
+    codes_ref,   # [m, T] i32 (block; transposed for lane-friendly layout)
+    norms_ref,   # [1, T] f32 (block)
+    vals_ref,    # out [Q, 128] f32 (constant block)
+    ids_ref,     # out [Q, 128] i32 (constant block)
+    dec_ref,     # scratch [T, mdsub] f32
+    scores_ref,  # scratch [Q, T] f32
+    best_v_ref,  # scratch [Q, 128] f32 (persists across grid steps)
+    best_i_ref,  # scratch [Q, 128] i32
+    *,
+    m: int,
+    k_codes: int,
+    dsub: int,
+    k: int,
+    tile_rows: int,
+):
+    t = tile_rows
+    num_q = scores_ref.shape[0]
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _():
+        best_v_ref[:] = jnp.full((num_q, _K_LANES), _BIG, jnp.float32)
+        best_i_ref[:] = jnp.full((num_q, _K_LANES), -1, jnp.int32)
+
+    # --- decode: per-subspace one-hot (VMEM) x codebook (MXU) ---
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (t, k_codes), 1)
+    for s in range(m):
+        code_col = codes_ref[s, :].reshape(t, 1)
+        onehot = (code_col == col_iota).astype(jnp.float32)
+        # contract over K (both lane dims): [t, K] x [dsub, K] -> [t, dsub]
+        dec_ref[:, s * dsub : (s + 1) * dsub] = jax.lax.dot_general(
+            onehot,
+            cb_ref[s],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    # --- scores (without the per-query ||q||^2 term) ---
+    ip = jax.lax.dot_general(
+        q_ref[:],
+        dec_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [Q, T]
+    scores_ref[:] = norms_ref[0, :].reshape(1, t) - 2.0 * ip
+
+    # --- selection: per-128-block minima, then merge with the running top-k.
+    # One winner per 128-lane block (the same approximation hardware
+    # PartialReduce / approx_min_k makes): losing a true top-k member
+    # requires two of them to land in the same 128-row block, which for
+    # k << N/128 has negligible probability. Cost is ~2 VPU passes over the
+    # scores instead of k full extraction rounds.
+    tile_base = step * t
+    n_blocks = t // 128
+    sview = scores_ref[:].reshape(num_q, n_blocks, 128)
+    bmin = jnp.min(sview, axis=2)  # [Q, n_blocks]
+    in_lane = jax.lax.broadcasted_iota(jnp.int32, (num_q, n_blocks, 128), 2)
+    pos_in_block = jnp.min(
+        jnp.where(sview <= bmin[:, :, None], in_lane, jnp.int32(_INT_BIG)),
+        axis=2,
+    )  # [Q, n_blocks]
+    block_base = jax.lax.broadcasted_iota(jnp.int32, (num_q, n_blocks), 1)
+    bids = tile_base + block_base * 128 + pos_in_block
+
+    # merge candidates [Q, n_blocks + 128] with k extraction rounds
+    cand_v0 = jnp.concatenate([bmin, best_v_ref[:]], axis=1)
+    cand_i0 = jnp.concatenate([bids, best_i_ref[:]], axis=1)
+    width = n_blocks + _K_LANES
+    lane_l = jax.lax.broadcasted_iota(jnp.int32, (num_q, width), 1)
+    lane_k = jax.lax.broadcasted_iota(jnp.int32, (num_q, _K_LANES), 1)
+    init_bv = jnp.full((num_q, _K_LANES), _BIG, jnp.float32)
+    init_bi = jnp.full((num_q, _K_LANES), -1, jnp.int32)
+
+    def extract_round(j, carry):
+        cv, bv, bi = carry
+        mn = jnp.min(cv, axis=1, keepdims=True)
+        at_min = cv <= mn
+        pos = jnp.min(
+            jnp.where(at_min, lane_l, jnp.int32(_INT_BIG)),
+            axis=1, keepdims=True,
+        )
+        sel = lane_l == pos
+        wid = jnp.min(
+            jnp.where(sel, cand_i0, jnp.int32(_INT_BIG)),
+            axis=1, keepdims=True,
+        )
+        bv = jnp.where(lane_k == j, mn, bv)
+        bi = jnp.where(lane_k == j, wid, bi)
+        return jnp.where(sel, _BIG, cv), bv, bi
+
+    _, bv, bi = jax.lax.fori_loop(
+        0, k, extract_round, (cand_v0, init_bv, init_bi)
+    )
+    best_v_ref[:] = bv
+    best_i_ref[:] = bi
+
+    # constant output block: written back to HBM once, after the last step
+    vals_ref[:] = best_v_ref[:]
+    ids_ref[:] = best_i_ref[:]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("bounds", "k", "tile_rows", "interpret"),
+)
+def adc_scan_pallas(
+    queries: jax.Array,  # [Q, D] f32
+    codebooks: jax.Array,  # [m, K, dsub] f32 (zero-padded subspaces)
+    codes: jax.Array,  # [N, m] uint
+    recon_norms: jax.Array,  # [N] f32
+    *,
+    bounds,
+    k: int,
+    tile_rows: int = 0,  # 0 = auto
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Fused-kernel ADC scan. Returns ([Q, k] dists asc, [Q, k] ids)."""
+    num_q, _ = queries.shape
+    m, k_codes, dsub = codebooks.shape
+    n = codes.shape[0]
+    if k_codes > 1024:
+        raise ValueError(
+            f"pallas ADC kernel supports K <= 1024, got {k_codes}"
+        )
+    if k > 64:
+        raise ValueError(f"pallas ADC kernel supports k <= 64, got {k}")
+    kk = min(k, n)
+    # block-min selection yields one winner per 128-row block; the corpus
+    # must span comfortably more blocks than k or winners are lost
+    if n < 256 * kk:
+        raise ValueError(
+            f"pallas ADC kernel needs corpus >= 256*k rows (n={n}, k={kk}); "
+            "use the XLA scan for small corpora"
+        )
+
+    t = tile_rows or _pick_tile_rows(num_q, k_codes, m, dsub)
+    if n < t:  # small corpus: one tile, rounded up to the sublane multiple
+        t = max(256, ((n + 255) // 256) * 256)
+
+    qs = split_subspaces(queries, bounds, dsub)
+    q_pad = jnp.transpose(qs, (1, 0, 2)).reshape(num_q, m * dsub)
+    qn = sq_norms(queries)
+
+    n_pad = (-n) % t
+    codes_i = codes.astype(jnp.int32)
+    norms = recon_norms.astype(jnp.float32)
+    if n_pad:
+        codes_i = jnp.pad(codes_i, ((0, n_pad), (0, 0)))
+        norms = jnp.pad(norms, (0, n_pad), constant_values=_BIG)
+    n_tiles = codes_i.shape[0] // t
+    codes_t = codes_i.T  # [m, N'] — lane axis is rows: no lane padding
+    cb_t = jnp.transpose(codebooks, (0, 2, 1))  # [m, dsub, K]: K on lanes
+
+    kernel = functools.partial(
+        _adc_tile_kernel,
+        m=m,
+        k_codes=k_codes,
+        dsub=dsub,
+        k=kk,
+        tile_rows=t,
+    )
+    best_v, best_i = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # q_pad (whole)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # codebooks (whole)
+            pl.BlockSpec((m, t), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (num_q, _K_LANES), lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (num_q, _K_LANES), lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((num_q, _K_LANES), jnp.float32),
+            jax.ShapeDtypeStruct((num_q, _K_LANES), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((t, m * dsub), jnp.float32),
+            pltpu.VMEM((num_q, t), jnp.float32),
+            pltpu.VMEM((num_q, _K_LANES), jnp.float32),
+            pltpu.VMEM((num_q, _K_LANES), jnp.int32),
+        ],
+        interpret=interpret,
+    )(q_pad, cb_t, codes_t, norms.reshape(1, -1))
+
+    best_d = best_v[:, :kk] + qn[:, None]  # restore the per-query term
+    best_ids = best_i[:, :kk]
+    invalid = best_v[:, :kk] >= _BIG
+    best_d = jnp.where(invalid, jnp.inf, best_d)
+    best_ids = jnp.where(invalid, -1, best_ids)
+    return best_d, best_ids

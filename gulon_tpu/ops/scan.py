@@ -284,6 +284,55 @@ def adc_scan_lut(
 
 @functools.partial(
     jax.jit,
+    static_argnames=("k", "tile_rows", "topk_impl", "recall_target"),
+)
+def cached_scan(
+    q_pad: jax.Array,  # [Q, mdsub] f32 — queries in padded subspace layout
+    decoded: jax.Array,  # [N, mdsub] bf16/f32 — precomputed reconstructions
+    recon_norms: jax.Array,  # [N] f32 (exact, not recomputed from bf16)
+    *,
+    k: int,
+    tile_rows: int = DEFAULT_TILE_ROWS,
+    topk_impl: str = "approx",
+    recall_target: float = 0.95,
+) -> Tuple[jax.Array, jax.Array]:
+    """ADC scan over a *cached decode* of the code matrix.
+
+    Serving-speed mode: the PQ reconstruction is materialized once
+    (typically bf16, ~2 bytes/dim) so every query batch is a pure MXU
+    matmul — no per-batch decode. Results are identical to the decode scan
+    up to bf16 rounding of the stored reconstructions; memory cost is
+    ``2 * m * dsub`` bytes/vector instead of ``m`` code bytes.
+    """
+    num_q = q_pad.shape[0]
+    tile_rows = min(tile_rows, max(decoded.shape[0], 1))
+    qn = sq_norms(q_pad)
+    dec_tiles = _tile(decoded, tile_rows)
+    norm_tiles = _tile(recon_norms, tile_rows, pad_value=jnp.inf)
+
+    def dist_tile(inp):
+        dt, nt = inp
+        ip = jnp.matmul(
+            q_pad.astype(dt.dtype),
+            dt.T,
+            preferred_element_type=jnp.float32,
+        )
+        return qn[:, None] + nt[None, :] - 2.0 * ip
+
+    return _streaming_topk(
+        dist_tile,
+        dec_tiles.shape[0],
+        tile_rows,
+        num_q,
+        k,
+        (dec_tiles, norm_tiles),
+        topk_impl=topk_impl,
+        recall_target=recall_target,
+    )
+
+
+@functools.partial(
+    jax.jit,
     static_argnames=("k", "tile_rows", "precision", "topk_impl", "recall_target"),
 )
 def exact_scan(

@@ -1,0 +1,91 @@
+"""Fused Pallas ADC kernel (interpret mode on CPU) + cached-scan strategy."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from generators import planted_clusters, random_keys
+from gulon_tpu.models.build import build_flat_index
+from gulon_tpu.ops.pq import PQConfig, train_product_quantizer
+from gulon_tpu.ops.scan import adc_scan_decode
+from gulon_tpu.ops.pallas.adc import adc_scan_pallas
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.default_rng(41)
+    n, d = 5000, 16
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    q = (x[:16] + rng.normal(0, 0.01, (16, d))).astype(np.float32)
+    pq = train_product_quantizer(
+        x, PQConfig(num_clusters=32, num_quantizers=4, max_iters=8)
+    )
+    codes = pq.encode(x)
+    norms = pq.reconstruction_norms(codes)
+    return x, q, pq, codes, norms
+
+
+def test_pallas_matches_exact_scan(setup):
+    x, q, pq, codes, norms = setup
+    d_ref, i_ref = adc_scan_decode(
+        jnp.asarray(q), pq.codebooks, codes, norms,
+        bounds=pq.bounds, k=10,
+        precision="highest", decode_impl="gather", topk_impl="exact",
+    )
+    d_pl, i_pl = adc_scan_pallas(
+        jnp.asarray(q), pq.codebooks, codes, norms,
+        bounds=pq.bounds, k=10, tile_rows=5120, interpret=True,
+    )
+    d_ref, i_ref, d_pl, i_pl = map(np.asarray, (d_ref, i_ref, d_pl, i_pl))
+    # block-min selection: recall >= ~0.95 class; distances of agreeing
+    # slots exact
+    recall = np.mean(
+        [len(set(i_pl[qq]) & set(i_ref[qq])) / 10 for qq in range(len(q))]
+    )
+    assert recall >= 0.9
+    np.testing.assert_allclose(d_pl[:, 0], d_ref[:, 0], rtol=1e-4)
+    assert np.all(np.diff(d_pl, axis=1) >= -1e-6)
+
+
+def test_pallas_rejects_tiny_corpus(setup):
+    """Block-min selection needs >= 256*k rows; tiny corpora are refused
+    (FlatIndex falls back to the XLA scan)."""
+    x, q, pq, codes, norms = setup
+    with pytest.raises(ValueError):
+        adc_scan_pallas(
+            jnp.asarray(q[:2]), pq.codebooks, codes[:5], norms[:5],
+            bounds=pq.bounds, k=10, interpret=True,
+        )
+
+
+def test_pallas_rejects_large_k_codes(setup):
+    x, q, pq, codes, norms = setup
+    big_cb = jnp.zeros((4, 2048, 4), jnp.float32)
+    with pytest.raises(ValueError):
+        adc_scan_pallas(
+            jnp.asarray(q), big_cb, codes, norms,
+            bounds=pq.bounds, k=10, interpret=True,
+        )
+
+
+def test_cached_strategy_matches_decode():
+    rng = np.random.default_rng(7)
+    n, d = 3000, 24
+    x, _, _ = planted_clusters(rng, n, d, 8, scale=0.3)
+    keys = random_keys(rng, n)
+    index = build_flat_index(
+        keys, x,
+        pq_config=PQConfig(num_clusters=32, num_quantizers=6, max_iters=10),
+    )
+    q = x[:8]
+    index.scan_strategy = "decode"
+    a = index.batch_query(10, q)
+    index.scan_strategy = "cached"
+    b = index.batch_query(10, q)
+    assert index.decoded_cache is not None  # lazily built
+    for ra, rb in zip(a, b):
+        np.testing.assert_allclose(
+            ra.distances, rb.distances, rtol=2e-2, atol=1e-2
+        )
+        # same candidate sets modulo float ties
+        assert len(set(ra.keys) & set(rb.keys)) >= 8
