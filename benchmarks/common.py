@@ -16,6 +16,37 @@ from typing import Callable
 import numpy as np
 
 
+def low_rank_corpus_device(
+    seed: int,
+    n: int,
+    d: int,
+    intrinsic: int = 16,
+    n_clusters: int = 1000,
+    noise: float = 0.05,
+):
+    """Device-side corpus generation (host->device is ~11 MB/s through the
+    remote-TPU tunnel here; generating multi-GB corpora on device avoids it).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, static_argnames=("n", "d", "intrinsic", "n_clusters"))
+    def gen(key, n, d, intrinsic, n_clusters):
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        basis = jax.random.normal(k1, (intrinsic, d), jnp.float32)
+        centers = jax.random.normal(k2, (n_clusters, intrinsic), jnp.float32)
+        labels = jax.random.randint(k3, (n,), 0, n_clusters)
+        z = centers[labels] + 0.3 * jax.random.normal(
+            k4, (n, intrinsic), jnp.float32
+        )
+        x = z @ basis / jnp.sqrt(jnp.float32(intrinsic))
+        return x + noise * jax.random.normal(
+            jax.random.fold_in(key, 9), (n, d), jnp.float32
+        )
+
+    return gen(jax.random.key(seed), n, d, intrinsic, n_clusters)
+
+
 def low_rank_corpus(
     rng: np.random.Generator,
     n: int,
@@ -72,3 +103,35 @@ def idset_recall(approx_ids: np.ndarray, exact_ids: np.ndarray, k: int) -> float
             ]
         )
     )
+
+
+def time_direct(run_fn: Callable, reps: int = 8):
+    """Median per-call seconds of ``run_fn(i) -> (dists, ids)`` minus the
+    measured tunnel RTT. Coarser than :func:`time_device_loop` but does not
+    require compiling a wrapper loop (which can dominate for huge operands).
+    """
+    import jax
+    import jax.numpy as jnp
+    import time as _t
+
+    d0, _ = run_fn(0)
+    _ = np.asarray(d0[:1, :1])  # compile + settle
+    tiny = jax.jit(lambda a: jnp.sum(a[:1, :1]))
+    float(tiny(d0))
+    rtt = float(
+        np.median(
+            [
+                (lambda t0: (float(tiny(d0)), _t.perf_counter() - t0)[1])(
+                    _t.perf_counter()
+                )
+                for _ in range(10)
+            ]
+        )
+    )
+    ts = []
+    for i in range(reps):
+        t0 = _t.perf_counter()
+        dd, _ii = run_fn(i + 1)
+        _ = np.asarray(dd[:1, :1])
+        ts.append(_t.perf_counter() - t0)
+    return max(float(np.median(ts)) - rtt, 1e-9)

@@ -26,7 +26,13 @@ import time
 import numpy as np
 
 sys.path.insert(0, ".")  # repo root
-from benchmarks.common import idset_recall, low_rank_corpus, time_device_loop
+from benchmarks.common import (
+    idset_recall,
+    low_rank_corpus,
+    low_rank_corpus_device,
+    time_device_loop,
+    time_direct,
+)
 
 
 def _emit(payload):
@@ -40,8 +46,9 @@ def bench_adc(n, d, m, k_codes, n_queries, name, max_iters=25):
     from gulon_tpu.ops.scan import adc_scan_decode, exact_scan
 
     rng = np.random.default_rng(0)
-    x = low_rank_corpus(rng, n, d, intrinsic=min(32, d // 2))
-    q_pool = x[rng.choice(n, n_queries * 4, replace=False)].copy()
+    x = low_rank_corpus_device(0, n, d, intrinsic=min(32, d // 2))
+    q_idx = rng.choice(n, n_queries * 4, replace=False)
+    q_pool = jnp.take(x, jnp.asarray(np.sort(q_idx)), axis=0)
 
     t0 = time.monotonic()
     pq = train_product_quantizer(
@@ -58,7 +65,7 @@ def bench_adc(n, d, m, k_codes, n_queries, name, max_iters=25):
     _ = np.asarray(norms[:1])
     build_s = time.monotonic() - t0
 
-    q_dev = jnp.asarray(q_pool)
+    q_dev = q_pool
 
     def step(acc):
         import jax
@@ -72,13 +79,20 @@ def bench_adc(n, d, m, k_codes, n_queries, name, max_iters=25):
         return acc + dd[0, 0] + jnp.float32(ii[0, 0] % 7)
 
     per_batch = time_device_loop(step, float)
-    # recall vs exact
+    # recall vs exact, plus the PQ ceiling (exact NN over decoded vectors):
+    # scan_efficiency ~ 1.0 means the query path is lossless for the codes
     sample = min(256, n_queries)
     _, i_adc = adc_scan_decode(
         q_dev[:sample], pq.codebooks, codes, norms, bounds=pq.bounds, k=10
     )
-    _, i_ex = exact_scan(q_dev[:sample], jnp.asarray(x), k=10)
+    _, i_ex = exact_scan(q_dev[:sample], x, k=10)
+    from gulon_tpu.ops.scan import adc_scan_decode as _ceil_scan
+    _, i_ceil = _ceil_scan(
+        q_dev[:sample], pq.codebooks, codes, norms, bounds=pq.bounds, k=10,
+        precision="highest", decode_impl="gather", topk_impl="exact",
+    )
     recall = idset_recall(np.asarray(i_adc), np.asarray(i_ex), 10)
+    ceiling = idset_recall(np.asarray(i_ceil), np.asarray(i_ex), 10)
 
     import jax
 
@@ -91,6 +105,8 @@ def bench_adc(n, d, m, k_codes, n_queries, name, max_iters=25):
             "us_per_query": round(per_batch / n_queries * 1e6, 3),
             "qps_per_chip": round(n_queries / per_batch, 1),
             "recall_at_10_vs_exact": round(recall, 4),
+            "recall_at_10_pq_ceiling": round(ceiling, 4),
+            "scan_efficiency": round(recall / max(ceiling, 1e-9), 4),
             "build_s": round(build_s, 2),
             "device": str(jax.devices()[0]),
         }
@@ -104,21 +120,17 @@ def bench_exact(n, d, n_queries, name):
     from gulon_tpu.ops.scan import exact_scan
 
     rng = np.random.default_rng(0)
-    x = low_rank_corpus(rng, n, d, intrinsic=32)
-    q_pool = x[rng.choice(n, n_queries * 4, replace=False)].copy()
-    x_dev = jnp.asarray(x)
-    q_dev = jnp.asarray(q_pool)
+    x_dev = low_rank_corpus_device(0, n, d, intrinsic=32)
+    q_idx = np.sort(rng.choice(n, n_queries * 4, replace=False))
+    q_dev = jnp.take(x_dev, jnp.asarray(q_idx), axis=0)
 
-    def step(acc):
-        start = (acc.astype(jnp.int32) % 4) * n_queries
-        qb = jax.lax.dynamic_slice_in_dim(q_dev, start, n_queries, 0)
-        dd, ii = exact_scan(
-            qb + acc * 1e-30, x_dev, k=10,
-            precision="default", topk_impl="approx",
+    def run(i):
+        qb = jax.lax.dynamic_slice_in_dim(q_dev, (i % 4) * n_queries, n_queries, 0)
+        return exact_scan(
+            qb, x_dev, k=10, precision="default", topk_impl="approx"
         )
-        return acc + dd[0, 0] + jnp.float32(ii[0, 0] % 7)
 
-    per_batch = time_device_loop(step, float)
+    per_batch = time_direct(run)
     _emit(
         {
             "benchmark": name,
@@ -127,6 +139,7 @@ def bench_exact(n, d, n_queries, name):
             "batch": n_queries,
             "us_per_query": round(per_batch / n_queries * 1e6, 3),
             "qps_per_chip": round(n_queries / per_batch, 1),
+            "timing": "direct median-of-8, RTT-subtracted",
             "device": str(jax.devices()[0]),
         }
     )
@@ -141,8 +154,9 @@ def bench_deep10m(n_devices, n=10_000_000, d=96, n_queries=1024):
     from gulon_tpu.parallel.ops import sharded_adc_scan
 
     rng = np.random.default_rng(0)
-    x = low_rank_corpus(rng, n, d, intrinsic=24, n_clusters=10_000)
-    queries = x[rng.choice(n, n_queries, replace=False)].copy()
+    x = low_rank_corpus_device(0, n, d, intrinsic=24, n_clusters=10_000)
+    q_idx = np.sort(rng.choice(n, n_queries, replace=False))
+    queries = jnp.take(x, jnp.asarray(q_idx), axis=0)
 
     t0 = time.monotonic()
     pq = train_product_quantizer(
@@ -159,7 +173,7 @@ def bench_deep10m(n_devices, n=10_000_000, d=96, n_queries=1024):
     mesh = make_mesh(n_devices)
     codes_sh = shard_rows(codes, mesh, 0)
     norms_sh = shard_rows(norms, mesh, np.inf)
-    q_dev = jnp.asarray(queries)
+    q_dev = queries
 
     t0 = time.perf_counter()
     dd, ii = sharded_adc_scan(
@@ -198,10 +212,10 @@ def bench_sent1024(n=1_000_000, d=1024, n_queries=512):
     from gulon_tpu.ops.scan import adc_scan_decode, exact_scan
 
     rng = np.random.default_rng(0)
-    x = low_rank_corpus(rng, n, d, intrinsic=64, n_clusters=5000)
-    queries = x[rng.choice(n, n_queries, replace=False)].copy()
-    q_dev = jnp.asarray(queries)
-    _, i_ex = exact_scan(q_dev, jnp.asarray(x), k=10)
+    x = low_rank_corpus_device(0, n, d, intrinsic=64, n_clusters=5000)
+    q_idx = np.sort(rng.choice(n, n_queries, replace=False))
+    q_dev = jnp.take(x, jnp.asarray(q_idx), axis=0)
+    _, i_ex = exact_scan(q_dev, x, k=10)
     i_ex = np.asarray(i_ex)
 
     sweep = []
@@ -213,7 +227,13 @@ def bench_sent1024(n=1_000_000, d=1024, n_queries=512):
                 train_sample=100_000,
             ),
         )
-        codes = pq.encode(x)
+        # encode in chunks: the stacked subspace copy of a 1M x 1024 corpus
+        # would otherwise double the 4 GB corpus in HBM
+        chunk = 250_000
+        codes = jnp.concatenate(
+            [pq.encode(x[s0 : s0 + chunk]) for s0 in range(0, n, chunk)],
+            axis=0,
+        )
         norms = pq.reconstruction_norms(codes)
         _, i_adc = adc_scan_decode(
             q_dev, pq.codebooks, codes, norms, bounds=pq.bounds, k=10
@@ -256,39 +276,43 @@ def bench_kmeans(n=10_000, d=100, k=25):
 
 
 def bench_build10m(n=10_000_000, d=300, m=25, k_codes=256):
+    """Streaming build: 10M x 300d f32 (12 GB) exceeds one chip's HBM
+    alongside working buffers, so the corpus is produced (and in a real
+    deployment, loaded) chunk-wise — train on a 500k sample, then
+    generate+encode 1M-row chunks with nothing but codes retained."""
     import time as _t
 
+    import jax
     import jax.numpy as jnp
 
     from gulon_tpu.ops.pq import PQConfig, train_product_quantizer
 
-    rng = np.random.default_rng(0)
-    x = low_rank_corpus(rng, n, d, intrinsic=32, n_clusters=10_000)
+    chunk = 1_000_000
     t0 = _t.monotonic()
+    sample = low_rank_corpus_device(0, 500_000, d, intrinsic=32,
+                                    n_clusters=10_000)
     pq = train_product_quantizer(
-        x,
-        PQConfig(
-            num_clusters=k_codes, num_quantizers=m, max_iters=25,
-            train_sample=500_000,
-        ),
+        sample,
+        PQConfig(num_clusters=k_codes, num_quantizers=m, max_iters=25),
     )
+    _ = np.asarray(pq.codebooks[:1, :1, :1])
     train_s = _t.monotonic() - t0
+
     t1 = _t.monotonic()
-    chunk = 1 << 20
     total = 0
-    last = None
-    for start in range(0, n, chunk):
-        c = pq.encode(x[start : start + chunk])
-        last = c
-        total += c.shape[0]
-    _ = np.asarray(last[:1])
+    codes_out = []
+    for ci, start in enumerate(range(0, n, chunk)):
+        xc = low_rank_corpus_device(ci + 1, chunk, d, intrinsic=32,
+                                    n_clusters=10_000)
+        codes_out.append(pq.encode(xc))
+        total += chunk
+    _ = np.asarray(codes_out[-1][:1])
     encode_s = _t.monotonic() - t1
-    import jax
 
     _emit(
         {
             "benchmark": "build10m",
-            "corpus": f"{n}x{d}",
+            "corpus": f"{n}x{d} (streamed in {chunk}-row chunks)",
             "codebook_train_s": round(train_s, 1),
             "bulk_encode_s": round(encode_s, 1),
             "total_s": round(train_s + encode_s, 1),

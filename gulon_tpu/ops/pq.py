@@ -201,17 +201,30 @@ def train_product_quantizer(
 
     Subspace i trains with seed ``config.seed + i`` (the reference seeds each
     subspace's k-means with its index, ``ProductQuantizer.scala:140``).
+
+    Device-resident input stays on device (no host round-trip — host<->device
+    transfers can be the bottleneck for multi-GB corpora); host input is
+    subsampled host-side before the transfer.
     """
-    x = np.asarray(x, np.float32)
+    on_device = isinstance(x, jax.Array)
+    if not on_device:
+        x = np.asarray(x, np.float32)
     n, d = x.shape
     bounds = subspace_bounds(d, config.num_quantizers)
     pad_width = max(w for _, w in bounds)
 
     train_x = x
     if config.train_sample is not None and config.train_sample < n:
-        rng = np.random.default_rng(config.seed)
-        idx = rng.choice(n, size=config.train_sample, replace=False)
-        train_x = x[np.sort(idx)]
+        if on_device:
+            key = jax.random.key(config.seed)
+            idx = jax.random.choice(
+                key, n, (config.train_sample,), replace=False
+            )
+            train_x = jnp.take(x, jnp.sort(idx), axis=0)
+        else:
+            rng = np.random.default_rng(config.seed)
+            idx = rng.choice(n, size=config.train_sample, replace=False)
+            train_x = x[np.sort(idx)]
 
     xs = split_subspaces(jnp.asarray(train_x), bounds, pad_width)
     res = fit_kmeans(
