@@ -26,17 +26,32 @@ import time
 import numpy as np
 
 
-def _low_rank_corpus(rng, n, d, intrinsic=16, n_clusters=1000, noise=0.05):
-    """Cluster mixture on a low-dim manifold embedded in R^d."""
-    basis = rng.normal(0, 1.0, (intrinsic, d)).astype(np.float32)
-    centers_z = rng.normal(0, 1.0, (n_clusters, intrinsic)).astype(np.float32)
-    labels = rng.integers(0, n_clusters, n)
-    z = centers_z[labels] + rng.normal(0, 0.3, (n, intrinsic)).astype(
-        np.float32
+def _low_rank_corpus_device(seed, n, d, intrinsic=16, n_clusters=1000,
+                            noise=0.05):
+    """Cluster mixture on a low-dim manifold, generated ON DEVICE (the
+    remote-TPU tunnel here moves host->device data at ~11 MB/s)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(
+        jax.jit, static_argnames=("n", "d", "intrinsic", "n_clusters")
     )
-    x = z @ basis / np.sqrt(intrinsic)
-    x += rng.normal(0, noise, (n, d)).astype(np.float32)
-    return x.astype(np.float32)
+    def gen(key, n, d, intrinsic, n_clusters):
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        basis = jax.random.normal(k1, (intrinsic, d), jnp.float32)
+        centers = jax.random.normal(k2, (n_clusters, intrinsic), jnp.float32)
+        labels = jax.random.randint(k3, (n,), 0, n_clusters)
+        z = centers[labels] + 0.3 * jax.random.normal(
+            k4, (n, intrinsic), jnp.float32
+        )
+        x = z @ basis / jnp.sqrt(jnp.float32(intrinsic))
+        return x + noise * jax.random.normal(
+            jax.random.fold_in(key, 9), (n, d), jnp.float32
+        )
+
+    return gen(jax.random.key(seed), n, d, intrinsic, n_clusters)
 
 
 def main():
@@ -56,10 +71,9 @@ def main():
     pool_batches = 8  # distinct query batches cycled through device-side
 
     rng = np.random.default_rng(0)
-    x = _low_rank_corpus(rng, n, d)
-    q_pool = x[
-        rng.choice(n, n_queries * pool_batches, replace=False)
-    ] + rng.normal(0, 0.01, (n_queries * pool_batches, d)).astype(np.float32)
+    x = _low_rank_corpus_device(0, n, d)
+    q_idx = np.sort(rng.choice(n, n_queries * pool_batches, replace=False))
+    q_pool = jnp.take(x, jnp.asarray(q_idx), axis=0)
 
     t_build0 = time.monotonic()
     pq = train_product_quantizer(
@@ -76,7 +90,7 @@ def main():
     _ = np.asarray(norms[:1])  # force build completion before stopping clock
     build_s = time.monotonic() - t_build0
 
-    q_pool_dev = jnp.asarray(q_pool)
+    q_pool_dev = q_pool
 
     def query_step(q):
         return adc_scan_decode(
@@ -121,7 +135,7 @@ def main():
     # path is lossless given the code budget.
     sample = 256
     d_adc, i_adc = query_step(q_pool_dev[:sample])
-    d_ex, i_ex = exact_scan(q_pool_dev[:sample], jnp.asarray(x), k=topk)
+    d_ex, i_ex = exact_scan(q_pool_dev[:sample], x, k=topk)
     from gulon_tpu.ops.scan import cached_scan, decode_tile
     from gulon_tpu.ops.pq import split_subspaces
     dsub = pq.pad_width

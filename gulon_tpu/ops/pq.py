@@ -84,6 +84,8 @@ class PQConfig(NamedTuple):
     max_iters: int = 100
     seed: int = 0
     block_rows: int = 65536
+    # Training/encode matmul precision; see KMeansConfig.precision.
+    precision: str = "default"
     # Optional row subsample for codebook training (the reference always
     # trains on every row; a large sample is statistically equivalent and
     # keeps HBM bounded for huge corpora).
@@ -127,10 +129,12 @@ class ProductQuantizer:
             jnp.asarray(x, jnp.float32), self.bounds, self.pad_width
         )
 
-    def encode(self, x, block_rows: int = 65536) -> jax.Array:
+    def encode(
+        self, x, block_rows: int = 65536, precision: str = "default"
+    ) -> jax.Array:
         """``[n, D] -> [n, m]`` nearest-codeword indices per subspace."""
         xs = self.split(x)
-        return _encode_stacked(xs, self.codebooks, block_rows).astype(
+        return _encode_stacked(xs, self.codebooks, block_rows, precision).astype(
             self.dtype_codes
         )
 
@@ -152,11 +156,14 @@ class ProductQuantizer:
         return _lut(qs, self.codebooks)
 
 
-@functools.partial(jax.jit, static_argnames=("block_rows",))
-def _encode_stacked(xs: jax.Array, codebooks: jax.Array, block_rows: int):
-    assigns = jax.vmap(lambda x, c: _assign_blocked(x, c, block_rows))(
-        xs, codebooks
-    )  # [m, n]
+@functools.partial(jax.jit, static_argnames=("block_rows", "precision"))
+def _encode_stacked(
+    xs: jax.Array, codebooks: jax.Array, block_rows: int,
+    precision: str = "default",
+):
+    assigns = jax.vmap(
+        lambda x, c: _assign_blocked(x, c, block_rows, precision)
+    )(xs, codebooks)  # [m, n]
     return assigns.T  # [n, m]
 
 
@@ -234,6 +241,7 @@ def train_product_quantizer(
             max_iters=config.max_iters,
             seed=config.seed,
             block_rows=config.block_rows,
+            precision=config.precision,
         ),
         report_fn=report_fn,
     )
