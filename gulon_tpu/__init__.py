@@ -37,6 +37,8 @@ _EXPORTS = {
     "LimitVectors": "gulon_tpu.models.ivf",
     "build_flat_index": "gulon_tpu.models.build",
     "build_ivf_index": "gulon_tpu.models.build",
+    "ExactIndex": "gulon_tpu.models.exact",
+    "build_exact_index": "gulon_tpu.models.exact",
     "WordVectors": "gulon_tpu.utils.word2vec",
     "read_word2vec": "gulon_tpu.utils.word2vec",
     "read_word2vec_path": "gulon_tpu.utils.word2vec",

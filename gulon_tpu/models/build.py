@@ -54,8 +54,12 @@ def build_flat_index(
     *,
     encode_chunk: int = _DEFAULT_ENCODE_CHUNK,
     report_fn=None,
+    mesh=None,
 ) -> FlatIndex:
-    """Linear build: sort -> PQ train -> encode (``BuildIndex.scala:84-93``)."""
+    """Linear build: sort -> PQ train -> encode (``BuildIndex.scala:84-93``).
+
+    With ``mesh`` the codebooks train distributed across devices.
+    """
     x = np.asarray(vectors, np.float32)
     keys = np.asarray(keys, dtype=object)
     if len(keys) != len(x):
@@ -67,7 +71,7 @@ def build_flat_index(
     keys = keys[order]
     x = x[order]
 
-    pq = train_product_quantizer(x, pq_config, report_fn=report_fn)
+    pq = train_product_quantizer(x, pq_config, report_fn=report_fn, mesh=mesh)
     codes = jnp.asarray(_encode_chunked(pq, x, encode_chunk))
     recon_norms = pq.reconstruction_norms(codes)
     return FlatIndex(
@@ -101,8 +105,15 @@ def build_ivf_index(
     coarse_seed: int = 0,
     encode_chunk: int = _DEFAULT_ENCODE_CHUNK,
     report_fn=None,
+    mesh=None,
 ) -> IVFIndex:
-    """Sublinear build (``BuildIndex.scala:70-82``)."""
+    """Sublinear build (``BuildIndex.scala:70-82``).
+
+    With ``mesh`` the k-means stages train distributed (rows data-parallel,
+    PQ subspaces model-parallel; see ``gulon_tpu.parallel``).
+    """
+    from gulon_tpu.utils.word2vec import WordVectors
+
     x = np.asarray(vectors, np.float32)
     keys = np.asarray(keys, dtype=object)
     if len(keys) != len(x):
@@ -116,33 +127,28 @@ def build_ivf_index(
         strategy = LimitGroups(default_limit(num_partitions))
 
     # Coarse clustering over the full vectors (CommandUtils.scala:127-133).
-    coarse = fit_kmeans(
-        x,
-        KMeansConfig(
-            k=num_partitions, max_iters=coarse_max_iters, seed=coarse_seed
-        ),
-        report_fn=report_fn,
+    coarse_cfg = KMeansConfig(
+        k=num_partitions, max_iters=coarse_max_iters, seed=coarse_seed
     )
-    assignments = np.asarray(coarse.assignments)
-    all_centroids = np.asarray(coarse.centroids)
+    if mesh is not None:
+        from gulon_tpu.parallel.ops import sharded_fit_kmeans
 
-    # Group rows by (cluster, key) — stable, like sortBy(word).sortBy(cluster)
-    # at WordVectors.scala:28-31 — and drop empty clusters.
-    order = np.lexsort((keys, assignments))
-    keys_g = keys[order]
-    x_g = x[order]
-    assign_g = assignments[order]
-    used = np.unique(assign_g)  # ascending == order of first appearance
-    centroids = all_centroids[used]
-    remap = np.zeros(int(assignments.max()) + 1 if n else 1, np.int32)
-    remap[used] = np.arange(len(used), dtype=np.int32)
-    group_ids = remap[assign_g]
-    # Internal group boundaries (offsets exclude 0 and n; Index.scala:241-242).
-    change = np.nonzero(np.diff(group_ids))[0] + 1
-    group_offsets = change.astype(np.int32)
+        coarse = sharded_fit_kmeans(x, coarse_cfg, mesh)
+    else:
+        coarse = fit_kmeans(x, coarse_cfg, report_fn=report_fn)
 
-    residuals = x_g - centroids[group_ids]
-    pq = train_product_quantizer(residuals, pq_config, report_fn=report_fn)
+    # Group rows by (cluster, key), dropping empty clusters
+    # (WordVectors.scala:24-58).
+    grouped = WordVectors(keys, x).grouped(
+        np.asarray(coarse.centroids), np.asarray(coarse.assignments)
+    )
+    centroids = grouped.centroids
+    group_ids = grouped.group_ids
+
+    residuals = grouped.residuals()
+    pq = train_product_quantizer(
+        residuals, pq_config, report_fn=report_fn, mesh=mesh
+    )
     codes_np = _encode_chunked(pq, residuals, encode_chunk)
     codes = jnp.asarray(codes_np)
 
@@ -157,7 +163,7 @@ def build_ivf_index(
     row_const = jnp.asarray(rnorm + 2.0 * crdot)
 
     return IVFIndex(
-        _key_index=GroupedKeyIndex(keys_g, group_offsets),
+        _key_index=GroupedKeyIndex(grouped.keys, grouped.group_offsets),
         pq=pq,
         codes=codes,
         row_const=row_const,

@@ -1,0 +1,110 @@
+"""Exact brute-force index over raw float vectors.
+
+The reference exposes exact search only internally (ground truth + coarse
+centroid ranking, ``exactNearestNeighbours`` at ``Index.scala:209-229``).
+On TPU an unquantized full scan is itself a production-grade serving path —
+one MXU matmul per row tile (the BASELINE "fastText crawl 300d exact scan"
+configuration: 2M x 300d at ~30 us/query on one v5e chip) — so it gets a
+first-class index with the same API as the PQ indices.
+
+Persistence is npz (raw vectors have no reference wire format to match).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gulon_tpu.models.index import Index, Result
+from gulon_tpu.models.keyindex import SortedKeyIndex
+from gulon_tpu.models.metric import Metric
+from gulon_tpu.ops import scan as scan_ops
+from gulon_tpu.ops.distance import normalize_rows
+
+
+@dataclasses.dataclass
+class ExactIndex(Index):
+    _key_index: SortedKeyIndex
+    vectors: jax.Array  # [N, D] f32 (normalized at build for Cosine)
+    metric: Metric
+    tile_rows: int = scan_ops.DEFAULT_TILE_ROWS
+    precision: str = "default"
+    topk_impl: str = "approx"
+    recall_target: float = 0.95
+
+    @property
+    def key_index(self) -> SortedKeyIndex:
+        return self._key_index
+
+    @property
+    def dimension(self) -> int:
+        return int(self.vectors.shape[1])
+
+    @property
+    def size(self) -> int:
+        return int(self.vectors.shape[0])
+
+    def batch_query(self, k: int, vectors) -> List[Result]:
+        scan_ops.resolve_precision(self.precision)
+        q = jnp.asarray(vectors, jnp.float32)
+        if q.ndim != 2 or q.shape[1] != self.dimension:
+            raise ValueError(
+                f"queries must be [Q, {self.dimension}], got {q.shape}"
+            )
+        if self.metric.normalized:
+            q = normalize_rows(q)
+        dists, ids = scan_ops.exact_scan(
+            q,
+            self.vectors,
+            k=min(k, self.size),
+            tile_rows=self.tile_rows,
+            precision=self.precision,
+            topk_impl=self.topk_impl,
+            recall_target=self.recall_target,
+        )
+        return self._make_results(dists, ids)
+
+    def lookup(self, word: str) -> Optional[np.ndarray]:
+        row = self._key_index.lookup(word)
+        if row is None:
+            return None
+        return np.asarray(self.vectors[row])
+
+    def save(self, path) -> None:
+        np.savez_compressed(
+            path,
+            keys=np.asarray(self.key_index.keys, dtype=np.str_),
+            vectors=np.asarray(self.vectors),
+            metric=np.int32(self.metric.proto_value),
+        )
+
+    @staticmethod
+    def load(path) -> "ExactIndex":
+        with np.load(path, allow_pickle=False) as z:
+            keys = z["keys"].astype(object)
+            vectors = jnp.asarray(z["vectors"])
+            metric = Metric.from_proto(int(z["metric"]))
+        return ExactIndex(SortedKeyIndex(keys), vectors, metric)
+
+
+def build_exact_index(
+    keys, vectors, metric: Metric = Metric.L2
+) -> ExactIndex:
+    """Sort keys and place the raw vectors on device."""
+    x = np.asarray(vectors, np.float32)
+    keys = np.asarray(keys, dtype=object)
+    if len(keys) != len(x):
+        raise ValueError("keys and vectors must have equal length")
+    if metric.normalized:
+        norms = np.linalg.norm(x, axis=1, keepdims=True)
+        x = np.where(norms > 0, x / np.where(norms > 0, norms, 1.0), x)
+    order = np.argsort(keys, kind="stable")
+    return ExactIndex(
+        _key_index=SortedKeyIndex(keys[order]),
+        vectors=jnp.asarray(x[order]),
+        metric=metric,
+    )

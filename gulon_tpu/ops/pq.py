@@ -203,6 +203,7 @@ def train_product_quantizer(
     x,
     config: PQConfig,
     report_fn=None,
+    mesh=None,
 ) -> ProductQuantizer:
     """Train per-subspace codebooks (``ProductQuantizer.scala:121-153``).
 
@@ -234,17 +235,19 @@ def train_product_quantizer(
             train_x = x[np.sort(idx)]
 
     xs = split_subspaces(jnp.asarray(train_x), bounds, pad_width)
-    res = fit_kmeans(
-        xs,
-        KMeansConfig(
-            k=config.num_clusters,
-            max_iters=config.max_iters,
-            seed=config.seed,
-            block_rows=config.block_rows,
-            precision=config.precision,
-        ),
-        report_fn=report_fn,
+    kmeans_cfg = KMeansConfig(
+        k=config.num_clusters,
+        max_iters=config.max_iters,
+        seed=config.seed,
+        block_rows=config.block_rows,
+        precision=config.precision,
     )
+    if mesh is not None:
+        from gulon_tpu.parallel.ops import sharded_fit_kmeans
+
+        res = sharded_fit_kmeans(np.asarray(xs), kmeans_cfg, mesh)
+    else:
+        res = fit_kmeans(xs, kmeans_cfg, report_fn=report_fn)
     return ProductQuantizer(
         codebooks=res.centroids,
         bounds=bounds,

@@ -11,6 +11,7 @@ from gulon_tpu.parallel.ops import (
     sharded_fit_kmeans,
 )
 from gulon_tpu.parallel.index import (
+    ShardedExactIndex,
     ShardedFlatIndex,
     ShardedIVFIndex,
     shard_index,
@@ -25,6 +26,7 @@ __all__ = [
     "sharded_adc_scan",
     "sharded_exact_scan",
     "sharded_fit_kmeans",
+    "ShardedExactIndex",
     "ShardedFlatIndex",
     "ShardedIVFIndex",
     "shard_index",

@@ -21,6 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
+from gulon_tpu.models.exact import ExactIndex
 from gulon_tpu.models.flat import FlatIndex
 from gulon_tpu.models.index import Index, Result
 from gulon_tpu.models.ivf import (
@@ -251,12 +252,70 @@ class ShardedIVFIndex(Index):
         return self.base.lookup(word)
 
 
+@dataclasses.dataclass
+class ShardedExactIndex(Index):
+    """Row-sharded counterpart of :class:`ExactIndex`."""
+
+    base: ExactIndex
+    mesh: Mesh
+    vectors_sharded: jax.Array  # [N', D] padded + row-sharded
+    norms_sharded: jax.Array  # [N'] +inf padding
+
+    @staticmethod
+    def shard(index: ExactIndex, mesh: Mesh) -> "ShardedExactIndex":
+        x = np.asarray(index.vectors)
+        return ShardedExactIndex(
+            base=index,
+            mesh=mesh,
+            vectors_sharded=shard_rows(x, mesh, 0),
+            norms_sharded=shard_rows((x * x).sum(1), mesh, np.inf),
+        )
+
+    @property
+    def key_index(self):
+        return self.base.key_index
+
+    @property
+    def dimension(self) -> int:
+        return self.base.dimension
+
+    @property
+    def size(self) -> int:
+        return self.base.size
+
+    def batch_query(self, k: int, vectors) -> List[Result]:
+        q = jnp.asarray(vectors, jnp.float32)
+        if q.ndim != 2 or q.shape[1] != self.dimension:
+            raise ValueError(
+                f"queries must be [Q, {self.dimension}], got {q.shape}"
+            )
+        if self.base.metric.normalized:
+            q = normalize_rows(q)
+        dists, ids = pops.sharded_exact_scan(
+            q,
+            self.vectors_sharded,
+            self.norms_sharded,
+            mesh=self.mesh,
+            k=min(k, self.size),
+            tile_rows=self.base.tile_rows,
+            precision=self.base.precision,
+            topk_impl=self.base.topk_impl,
+            recall_target=self.base.recall_target,
+        )
+        return self._make_results(dists, ids)
+
+    def lookup(self, word: str) -> Optional[np.ndarray]:
+        return self.base.lookup(word)
+
+
 def shard_index(
-    index: Union[FlatIndex, IVFIndex], mesh: Mesh
-) -> Union[ShardedFlatIndex, ShardedIVFIndex]:
+    index: Union[FlatIndex, IVFIndex, ExactIndex], mesh: Mesh
+) -> Union[ShardedFlatIndex, ShardedIVFIndex, "ShardedExactIndex"]:
     """Place an index row-sharded on a mesh. Query results are unchanged."""
     if isinstance(index, FlatIndex):
         return ShardedFlatIndex.shard(index, mesh)
     if isinstance(index, IVFIndex):
         return ShardedIVFIndex.shard(index, mesh)
+    if isinstance(index, ExactIndex):
+        return ShardedExactIndex.shard(index, mesh)
     raise TypeError(f"cannot shard {type(index)!r}")

@@ -156,7 +156,8 @@ class _ShardedLoopState(NamedTuple):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("mesh", "k", "max_iters", "block_rows")
+    jax.jit,
+    static_argnames=("mesh", "k", "max_iters", "block_rows", "precision"),
 )
 def _sharded_fit(
     x: jax.Array,  # [m, N', d] sharded (SUB, ROWS, None)
@@ -167,6 +168,7 @@ def _sharded_fit(
     k: int,
     max_iters: int,
     block_rows: int,
+    precision: str = "default",
 ):
     def shard_fn(x_loc, valid_loc, c_init):
         m_loc, n_loc, d = x_loc.shape
@@ -182,7 +184,7 @@ def _sharded_fit(
                     s = cn[None, :] - 2.0 * jnp.matmul(
                         xt, c.T,
                         preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST,
+                        precision=scan_ops.resolve_precision(precision),
                     )
                     return jnp.argmin(s, axis=-1).astype(jnp.int32)
 
@@ -319,6 +321,7 @@ def sharded_fit_kmeans(
         k=config.k,
         max_iters=config.max_iters,
         block_rows=config.block_rows,
+        precision=config.precision,
     )
     assigns = assigns[:, :n]
     if squeeze:

@@ -1,0 +1,99 @@
+"""ExactIndex: brute-force results, metric handling, npz round-trip,
+sharded variant parity, grouped word-vectors state."""
+
+import numpy as np
+import pytest
+
+from generators import planted_clusters, random_keys
+from gulon_tpu.models.exact import ExactIndex, build_exact_index
+from gulon_tpu.models.metric import Metric
+from gulon_tpu.ops.kmeans import KMeansConfig, fit_kmeans
+from gulon_tpu.parallel import make_mesh, shard_index
+from gulon_tpu.utils.word2vec import WordVectors
+
+
+@pytest.fixture(scope="module")
+def data():
+    rng = np.random.default_rng(77)
+    x, _, _ = planted_clusters(rng, 1200, 16, 6, scale=0.3)
+    return random_keys(rng, 1200), x
+
+
+def test_exact_matches_numpy_bruteforce(data):
+    keys, x = data
+    index = build_exact_index(keys, x)
+    index.precision = "highest"
+    index.topk_impl = "exact"
+    q = x[:5] + 0.01
+    results = index.batch_query(8, q)
+    keys_sorted = index.key_index.keys
+    xs = np.asarray(index.vectors)
+    for qi, res in enumerate(results):
+        d = ((xs - q[qi][None]) ** 2).sum(1)
+        expect = np.sort(d)[:8]
+        np.testing.assert_allclose(res.distances, expect, rtol=1e-4, atol=1e-4)
+        assert res.keys[0] == keys_sorted[int(np.argmin(d))]
+
+
+def test_exact_cosine_and_lookup(data):
+    keys, x = data
+    index = build_exact_index(keys, x, metric=Metric.COSINE)
+    w = keys[3]
+    vec = index.lookup(w)
+    assert vec is not None
+    np.testing.assert_allclose(np.linalg.norm(vec), 1.0, rtol=1e-5)
+    res = index.query_by_word(3, w)
+    assert res.keys[0] == w
+    assert index.lookup("zzz-missing") is None
+
+
+def test_exact_npz_roundtrip(data, tmp_path):
+    keys, x = data
+    index = build_exact_index(keys, x, metric=Metric.COSINE)
+    p = tmp_path / "exact.npz"
+    index.save(p)
+    loaded = ExactIndex.load(p)
+    q = x[:4]
+    a = index.batch_query(5, q)
+    b = loaded.batch_query(5, q)
+    for ra, rb in zip(a, b):
+        assert list(ra.keys) == list(rb.keys)
+        np.testing.assert_allclose(ra.distances, rb.distances, rtol=1e-6)
+
+
+def test_sharded_exact_index_matches(data):
+    keys, x = data
+    index = build_exact_index(keys, x)
+    sharded = shard_index(index, make_mesh())
+    q = x[:6] + 0.02
+    a = index.batch_query(7, q)
+    b = sharded.batch_query(7, q)
+    for ra, rb in zip(a, b):
+        np.testing.assert_allclose(ra.distances, rb.distances, rtol=1e-4,
+                                   atol=1e-4)
+        assert list(ra.keys) == list(rb.keys)
+
+
+def test_grouped_word_vectors_state(data):
+    """WordVectors.grouped: stable (cluster, key) order, empty clusters
+    dropped, residuals invert (ref WordVectorsSpec:73-124)."""
+    keys, x = data
+    wv = WordVectors(keys, x)
+    res = fit_kmeans(x, KMeansConfig(k=10, max_iters=10, seed=1))
+    grouped = wv.grouped(np.asarray(res.centroids), np.asarray(res.assignments))
+    # groups contiguous & keys sorted within each group
+    gids = grouped.group_ids
+    assert np.all(np.diff(gids) >= 0)
+    bounds = np.concatenate([[0], grouped.group_offsets, [len(grouped)]])
+    for g in range(grouped.num_groups):
+        seg = grouped.keys[bounds[g] : bounds[g + 1]]
+        assert list(seg) == sorted(seg)
+    # mapping preserved
+    orig = {k: v for k, v in zip(keys, x)}
+    for i in range(0, len(grouped), 97):
+        np.testing.assert_array_equal(grouped.vectors[i], orig[grouped.keys[i]])
+    # residual + centroid == original
+    rec = grouped.residuals() + grouped.centroids[gids]
+    np.testing.assert_allclose(rec, grouped.vectors, rtol=1e-5, atol=1e-5)
+    # cluster_of consistent
+    assert grouped.cluster_of(0) == gids[0]
