@@ -322,11 +322,81 @@ def bench_build10m(n=10_000_000, d=300, m=25, k_codes=256):
     )
 
 
+def bench_ivf1m(n=300_000, d=96, n_queries=1024, partitions=300, probe=15):
+    """IVF residual index: build + batched probed queries.
+
+    The IVF scan executes as a masked full scan (see models/ivf.py), so its
+    throughput tracks the flat scan; this config tracks build cost, recall
+    vs the probe budget, and parity of the probed result set. Sized at 300k
+    rows because the build pipeline is host-centric (grouping/lexsort) and
+    the tunnel moves host<->device data at ~11 MB/s.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from gulon_tpu.models.build import build_ivf_index
+    from gulon_tpu.models.ivf import LimitGroups
+    from gulon_tpu.ops.pq import PQConfig
+    from gulon_tpu.ops.scan import exact_scan
+
+    rng = np.random.default_rng(0)
+    x_dev = low_rank_corpus_device(0, n, d, intrinsic=24, n_clusters=4096)
+    x = np.asarray(x_dev)  # builders are host-side (grouping/lexsort)
+    keys = np.array([f"r{i:08d}" for i in range(n)], dtype=object)
+    q_idx = np.sort(rng.choice(n, n_queries, replace=False))
+    q_dev = jnp.take(x_dev, jnp.asarray(q_idx), axis=0)
+
+    t0 = time.monotonic()
+    index = build_ivf_index(
+        keys, x,
+        pq_config=PQConfig(
+            num_clusters=256, num_quantizers=12, max_iters=10,
+            train_sample=200_000,
+        ),
+        num_partitions=partitions,
+        strategy=LimitGroups(probe),
+        coarse_max_iters=10,
+    )
+    build_s = time.monotonic() - t0
+
+    # time through the public API (returns host Results; includes host
+    # result assembly like a real serving call)
+    results = index.batch_query(10, np.asarray(q_dev))  # compile + warm
+    t0 = time.perf_counter()
+    results = index.batch_query(10, np.asarray(q_dev))
+    per_batch = time.perf_counter() - t0
+
+    # recall vs exact over raw vectors
+    _, i_ex = exact_scan(q_dev, x_dev, k=10)
+    i_ex = np.asarray(i_ex)
+    keys_by_row = {k: i for i, k in enumerate(keys)}
+    sorted_keys = index.key_index.keys
+    # map returned keys to original row ids via key lookup
+    rec = []
+    for qi, res in enumerate(results[:256]):
+        got = {keys_by_row[w] for w in res.keys}
+        rec.append(len(got & set(i_ex[qi])) / 10)
+    _emit(
+        {
+            "benchmark": "ivf1m",
+            "corpus": f"{n}x{d}",
+            "partitions": partitions,
+            "probe": probe,
+            "batch": n_queries,
+            "ms_per_batch_incl_host": round(per_batch * 1e3, 1),
+            "recall_at_10_vs_exact": round(float(np.mean(rec)), 4),
+            "build_s": round(build_s, 1),
+            "device": str(jax.devices()[0]),
+        }
+    )
+
+
 CONFIGS = {
     "glove100": lambda a: bench_adc(400_000, 100, 8, 256, 1024, "glove100"),
     "glove300": lambda a: bench_adc(2_200_000, 300, 16, 256, 1024, "glove300"),
     "fasttext": lambda a: bench_exact(2_000_000, 300, 1024, "fasttext"),
     "deep10m": lambda a: bench_deep10m(a.devices),
+    "ivf1m": lambda a: bench_ivf1m(),
     "sent1024": lambda a: bench_sent1024(),
     "kmeans": lambda a: bench_kmeans(),
     "build10m": lambda a: bench_build10m(),

@@ -114,6 +114,13 @@ def build_parser() -> argparse.ArgumentParser:
         "-e", "--error", type=float, default=0.0,
         help="relative distance epsilon (default 0)",
     )
+    for sp in (b, q, w, t):
+        sp.add_argument(
+            "--profile",
+            metavar="DIR",
+            default=None,
+            help="write a jax profiler trace (view with xprof/tensorboard)",
+        )
     return parser
 
 
@@ -254,11 +261,22 @@ def main(argv: Optional[List[str]] = None) -> int:
         "query-words": cmd_query_words,
         "test": cmd_test,
     }
+    profile_dir = getattr(args, "profile", None)
+    if profile_dir:
+        import jax
+
+        jax.profiler.start_trace(profile_dir)
     try:
         return handlers[args.command](args, reporter)
     except (OSError, ValueError) as e:
         sys.stderr.write(f"error: {e}\n")
         return 1
+    finally:
+        if profile_dir:
+            import jax
+
+            jax.profiler.stop_trace()
+            reporter.out.write(f"profiler trace written to {profile_dir}\n")
 
 
 if __name__ == "__main__":
