@@ -156,6 +156,17 @@ def cmd_build_index(args, reporter) -> int:
         num_quantizers=args.quantizers,
         max_iters=args.max_iters,
     )
+
+    def kmeans_progress(iteration, step_size, converged_count):
+        # jax.debug.callback delivers (iteration, mean centroid step, number
+        # of converged subspaces) per Lloyd iteration — the reference's
+        # KMeans.ProgressReport (KMeans.scala:119-127)
+        reporter.progress(
+            "k-means",
+            float(iteration) / args.max_iters,
+            f"iter {int(iteration)}/{args.max_iters} "
+            f"step {float(step_size):.3e} ({int(converged_count)} done)",
+        )
     if args.partitioned:
         num_partitions = args.partitions or default_num_partitions(len(wv))
         limit = args.limit or default_limit(num_partitions)
@@ -170,11 +181,13 @@ def cmd_build_index(args, reporter) -> int:
                 pq_config=pq_config,
                 num_partitions=num_partitions,
                 strategy=LimitGroups(limit),
+                report_fn=kmeans_progress,
             )
     else:
         with reporter.task("building index"):
             index = build_flat_index(
-                wv.keys, wv.vectors, metric=metric, pq_config=pq_config
+                wv.keys, wv.vectors, metric=metric, pq_config=pq_config,
+                report_fn=kmeans_progress,
             )
     with reporter.task(f"writing {args.output}"):
         save_index(index, args.output)

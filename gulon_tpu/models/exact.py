@@ -49,6 +49,9 @@ class ExactIndex(Index):
         return int(self.vectors.shape[0])
 
     def batch_query(self, k: int, vectors) -> List[Result]:
+        return self._make_results(*self.query_arrays(k, vectors))
+
+    def query_arrays(self, k: int, vectors):
         scan_ops.resolve_precision(self.precision)
         q = jnp.asarray(vectors, jnp.float32)
         if q.ndim != 2 or q.shape[1] != self.dimension:
@@ -66,7 +69,7 @@ class ExactIndex(Index):
             topk_impl=self.topk_impl,
             recall_target=self.recall_target,
         )
-        return self._make_results(dists, ids)
+        return dists, ids
 
     def lookup(self, word: str) -> Optional[np.ndarray]:
         row = self._key_index.lookup(word)

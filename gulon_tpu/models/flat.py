@@ -76,6 +76,9 @@ class FlatIndex(Index):
         return q
 
     def batch_query(self, k: int, vectors) -> List[Result]:
+        return self._make_results(*self.query_arrays(k, vectors))
+
+    def query_arrays(self, k: int, vectors):
         scan_ops.resolve_precision(self.precision)  # validate even on paths
         q = self._prepare_queries(vectors)          # that ignore it (lut)
         k_eff = min(k, self.size)
@@ -126,7 +129,7 @@ class FlatIndex(Index):
                 # kernel constraints (tiny corpus / large k): decode path
                 return dataclasses.replace(
                     self, scan_strategy="decode"
-                ).batch_query(k, vectors)
+                ).query_arrays(k, vectors)
             dists, ids = adc_scan_pallas(
                 q,
                 self.pq.codebooks,
@@ -138,7 +141,7 @@ class FlatIndex(Index):
             )
         else:
             raise ValueError(f"unknown scan strategy {strategy!r}")
-        return self._make_results(dists, ids)
+        return dists, ids
 
     def _q_pad(self, q: jax.Array) -> jax.Array:
         from gulon_tpu.ops.pq import split_subspaces

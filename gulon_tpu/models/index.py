@@ -58,6 +58,13 @@ class Index(abc.ABC):
     def batch_query(self, k: int, vectors) -> List[Result]:
         """Approximate k nearest neighbours for each row of ``vectors``."""
 
+    def query_arrays(self, k: int, vectors):
+        """Serving fast path: ([Q, k] squared distances, [Q, k] row ids)
+        as device arrays — no per-query Result assembly on the host.
+        Resolve ids to keys with ``index.key_index.keys[ids]``.
+        """
+        raise NotImplementedError
+
     def query(self, k: int, vector) -> Result:
         vec = np.asarray(vector, np.float32).reshape(1, -1)
         return self.batch_query(k, vec)[0]

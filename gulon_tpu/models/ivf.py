@@ -193,6 +193,9 @@ class IVFIndex(Index):
         return np.diff(bounds).astype(np.int32)
 
     def batch_query(self, k: int, vectors) -> List[Result]:
+        return self._make_results(*self.query_arrays(k, vectors))
+
+    def query_arrays(self, k: int, vectors):
         q = jnp.asarray(vectors, jnp.float32)
         if q.ndim != 2 or q.shape[1] != self.dimension:
             raise ValueError(
@@ -240,7 +243,7 @@ class IVFIndex(Index):
             topk_impl=self.topk_impl,
             recall_target=self.recall_target,
         )
-        return self._make_results(dists, ids)
+        return dists, ids
 
     def lookup(self, word: str) -> Optional[np.ndarray]:
         """Decode residual + add partition centroid (``Index.scala:247-254``)."""

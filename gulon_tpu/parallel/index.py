@@ -73,6 +73,9 @@ class ShardedFlatIndex(Index):
         return self.base.size
 
     def batch_query(self, k: int, vectors) -> List[Result]:
+        return self._make_results(*self.query_arrays(k, vectors))
+
+    def query_arrays(self, k: int, vectors):
         q = self.base._prepare_queries(vectors)
         k_eff = min(k, self.size)
         dists, ids = pops.sharded_adc_scan(
@@ -88,7 +91,7 @@ class ShardedFlatIndex(Index):
             topk_impl=self.base.topk_impl,
             recall_target=self.base.recall_target,
         )
-        return self._make_results(dists, ids)
+        return dists, ids
 
     def lookup(self, word: str) -> Optional[np.ndarray]:
         return self.base.lookup(word)
@@ -204,6 +207,9 @@ class ShardedIVFIndex(Index):
         return self.base.size
 
     def batch_query(self, k: int, vectors) -> List[Result]:
+        return self._make_results(*self.query_arrays(k, vectors))
+
+    def query_arrays(self, k: int, vectors):
         q = jnp.asarray(vectors, jnp.float32)
         if q.ndim != 2 or q.shape[1] != self.dimension:
             raise ValueError(
@@ -246,7 +252,7 @@ class ShardedIVFIndex(Index):
             topk_impl=self.base.topk_impl,
             recall_target=self.base.recall_target,
         )
-        return self._make_results(dists, ids)
+        return dists, ids
 
     def lookup(self, word: str) -> Optional[np.ndarray]:
         return self.base.lookup(word)
@@ -284,6 +290,9 @@ class ShardedExactIndex(Index):
         return self.base.size
 
     def batch_query(self, k: int, vectors) -> List[Result]:
+        return self._make_results(*self.query_arrays(k, vectors))
+
+    def query_arrays(self, k: int, vectors):
         q = jnp.asarray(vectors, jnp.float32)
         if q.ndim != 2 or q.shape[1] != self.dimension:
             raise ValueError(
@@ -302,7 +311,7 @@ class ShardedExactIndex(Index):
             topk_impl=self.base.topk_impl,
             recall_target=self.base.recall_target,
         )
-        return self._make_results(dists, ids)
+        return dists, ids
 
     def lookup(self, word: str) -> Optional[np.ndarray]:
         return self.base.lookup(word)
