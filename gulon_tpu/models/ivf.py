@@ -156,6 +156,65 @@ def _ivf_scan(
     )
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_probe", "pmax", "k", "topk_impl", "recall_target"),
+)
+def _ivf_scan_gathered(
+    queries: jax.Array,      # [Q, D] f32 (already normalized)
+    recon: jax.Array,        # [N + pmax, D] bf16/f32, padded reconstruction
+    recon_norms: jax.Array,  # [N + pmax] f32, +inf on padding
+    starts: jax.Array,       # [P] i32 partition start rows
+    sizes: jax.Array,        # [P] i32 partition sizes
+    probe_ids: jax.Array,    # [Q, L] i32 partitions to probe, best first
+    *,
+    num_probe: int,
+    pmax: int,
+    k: int,
+    topk_impl: str = "exact",
+    recall_target: float = 0.95,
+):
+    """Sublinear probed scan: per query, L contiguous partition slices.
+
+    Partitions are contiguous row ranges (rows grouped at build), so a
+    probe is one ``dynamic_slice`` of the cached reconstruction — the
+    per-query work is O(L * pmax) rows regardless of corpus size. The win
+    over the masked full scan (``_ivf_scan``) is the latency/small-batch
+    regime; for large batches whose probes jointly cover the corpus the
+    masked scan reads everything once and stays preferable.
+    """
+    num_q, d = queries.shape
+    qn = sq_norms(queries)
+    row_iota = jnp.arange(pmax, dtype=jnp.int32)
+
+    def per_query(qv, qn_v, pids):
+        def per_slot(p):
+            s = starts[p]
+            block = jax.lax.dynamic_slice(recon, (s, 0), (pmax, d))
+            bn = jax.lax.dynamic_slice(recon_norms, (s,), (pmax,))
+            valid = row_iota < sizes[p]
+            return block, jnp.where(valid, bn, jnp.inf), s + row_iota
+
+        blocks, bns, ids = jax.vmap(per_slot)(pids)  # [L, pmax, ...]
+        flat = blocks.reshape(num_probe * pmax, d)
+        ip = jnp.matmul(
+            flat, qv.astype(flat.dtype)[:, None],
+            preferred_element_type=jnp.float32,
+        )[:, 0]
+        dist = qn_v + bns.reshape(-1) - 2.0 * ip
+        if topk_impl == "approx" and num_probe * pmax >= 256 * k:
+            vals, pos = jax.lax.approx_min_k(
+                dist[None], k, recall_target=recall_target
+            )
+        else:
+            vals, pos = smallest_k(dist[None], k)
+        return vals[0], ids.reshape(-1)[pos[0]]
+
+    dists, ids = jax.vmap(per_query)(queries, qn, probe_ids)
+    ids = jnp.where(jnp.isinf(dists), -1, ids)
+    return dists, ids
+
+
 @dataclasses.dataclass
 class IVFIndex(Index):
     _key_index: GroupedKeyIndex
@@ -170,6 +229,12 @@ class IVFIndex(Index):
     precision: str = "default"
     topk_impl: str = "approx"
     recall_target: float = 0.95
+    # "masked" = single masked full scan (default; best for large batches);
+    # "gathered" = per-query partition slices over a cached reconstruction
+    # (sublinear in corpus size; best for latency / small batches)
+    scan_strategy: str = "masked"
+    recon_cache: Optional[jax.Array] = None  # [N + pmax, D], see enable_cache
+    recon_norms_cache: Optional[jax.Array] = None  # [N + pmax] f32
 
     @property
     def key_index(self) -> GroupedKeyIndex:
@@ -228,6 +293,41 @@ class IVFIndex(Index):
             raise ValueError(f"unknown strategy {self.strategy!r}")
 
         k_eff = min(k, self.size)
+        if self.scan_strategy == "gathered":
+            if self.recon_cache is None:
+                self.enable_cache()
+            sizes_np = self.partition_sizes()
+            pmax = int(sizes_np.max())
+            if isinstance(self.strategy, LimitGroups):
+                num_probe = min(self.strategy.count, self.num_partitions)
+            else:
+                # LimitVectors: probe the mask's max set size (static bound)
+                num_probe = int(np.asarray(probe_mask.sum(axis=1)).max())
+            # the num_probe nearest centroids, best first
+            _, probe_ids = smallest_k(
+                jnp.where(probe_mask, cdist, jnp.inf), num_probe
+            )
+            starts = np.concatenate(
+                [[0], np.cumsum(sizes_np)[:-1]]
+            ).astype(np.int32)
+            dists, ids = _ivf_scan_gathered(
+                q,
+                self.recon_cache,
+                self.recon_norms_cache,
+                jnp.asarray(starts),
+                jnp.asarray(sizes_np),
+                probe_ids.astype(jnp.int32),
+                num_probe=num_probe,
+                pmax=pmax,
+                k=k_eff,
+                topk_impl=self.topk_impl,
+                recall_target=self.recall_target,
+            )
+            return dists, ids
+        if self.scan_strategy != "masked":
+            raise ValueError(
+                f"unknown ivf scan strategy {self.scan_strategy!r}"
+            )
         dists, ids = _ivf_scan(
             q,
             self.pq.codebooks,
@@ -244,6 +344,46 @@ class IVFIndex(Index):
             recall_target=self.recall_target,
         )
         return dists, ids
+
+    def enable_cache(self, dtype=None, chunk: int = 1 << 20) -> None:
+        """Materialize the full reconstruction (residual decode + centroid)
+        for the ``"gathered"`` strategy. bf16 on TPU, f32 elsewhere. The
+        buffer is padded by one max-partition so probe slices never clamp.
+        """
+        if dtype is None:
+            dtype = (
+                jnp.bfloat16
+                if jax.default_backend() == "tpu"
+                else jnp.float32
+            )
+        sizes = self.partition_sizes()
+        pmax = int(sizes.max()) if len(sizes) else 1
+        gids = np.asarray(self.group_ids)
+        cents = np.asarray(self.centroids)
+        codes = np.asarray(self.codes)
+        parts = []
+        norms = []
+        for start in range(0, self.size, chunk):
+            sl = slice(start, min(start + chunk, self.size))
+            dec = np.asarray(self.pq.decode(jnp.asarray(codes[sl])))
+            rec = dec + cents[gids[sl]]
+            norms.append((rec.astype(np.float64) ** 2).sum(1).astype(np.float32))
+            parts.append(rec.astype(np.float32))
+        rec_full = (
+            np.concatenate(parts, axis=0)
+            if parts
+            else np.zeros((0, self.dimension), np.float32)
+        )
+        pad = np.zeros((pmax, self.dimension), np.float32)
+        self.recon_cache = jnp.asarray(
+            np.concatenate([rec_full, pad], axis=0)
+        ).astype(dtype)
+        norms_full = (
+            np.concatenate(norms) if norms else np.zeros(0, np.float32)
+        )
+        self.recon_norms_cache = jnp.asarray(
+            np.concatenate([norms_full, np.full(pmax, np.inf, np.float32)])
+        )
 
     def lookup(self, word: str) -> Optional[np.ndarray]:
         """Decode residual + add partition centroid (``Index.scala:247-254``)."""

@@ -124,3 +124,56 @@ def test_ivf_cosine_roundtrip():
     )
     res = index.query_by_word(3, keys[0])
     assert keys[0] in set(res.keys)
+
+
+def test_gathered_strategy_matches_masked():
+    """The sublinear gathered scan returns the same probed results as the
+    masked full scan (both implement the reference's probed-partition
+    semantics, Index.scala:267-283)."""
+    from generators import planted_clusters, random_keys
+    from gulon_tpu.models.build import build_ivf_index
+    from gulon_tpu.models.ivf import LimitGroups, LimitVectors
+    from gulon_tpu.models.metric import Metric
+    from gulon_tpu.ops.pq import PQConfig
+
+    rng = np.random.default_rng(13)
+    x, _, _ = planted_clusters(rng, 4000, 20, 8, scale=0.3)
+    keys = random_keys(rng, 4000)
+    for strategy in (LimitGroups(5), LimitVectors(900)):
+        index = build_ivf_index(
+            keys, x,
+            metric=Metric.COSINE,
+            pq_config=PQConfig(
+                num_clusters=32, num_quantizers=5, max_iters=8
+            ),
+            num_partitions=14,
+            strategy=strategy,
+        )
+        q = (x[:10] + rng.normal(0, 0.02, (10, 20))).astype(np.float32)
+        a = index.batch_query(7, q)
+        index.scan_strategy = "gathered"
+        index.topk_impl = "exact"
+        b = index.batch_query(7, q)
+        assert index.recon_cache is not None  # lazily built
+        for ra, rb in zip(a, b):
+            np.testing.assert_allclose(
+                ra.distances, rb.distances, rtol=2e-2, atol=1e-2
+            )
+            assert set(ra.keys) == set(rb.keys)
+
+
+def test_gathered_rejects_bogus_strategy():
+    from generators import planted_clusters, random_keys
+    from gulon_tpu.models.build import build_ivf_index
+    from gulon_tpu.ops.pq import PQConfig
+
+    rng = np.random.default_rng(3)
+    x, _, _ = planted_clusters(rng, 500, 8, 4)
+    index = build_ivf_index(
+        random_keys(rng, 500), x,
+        pq_config=PQConfig(num_clusters=8, num_quantizers=2, max_iters=5),
+        num_partitions=4,
+    )
+    index.scan_strategy = "compacted"
+    with pytest.raises(ValueError):
+        index.query(3, x[0])
