@@ -79,6 +79,18 @@ class Index(abc.ABC):
             return None
         return self.query(k, vec)
 
+    def warmup(self, k: int = 10, batch_sizes: Sequence[int] = (1, 1024)):
+        """Precompile the query path for the given (batch, k) shapes.
+
+        First-query jit compilation can cost seconds (minutes through a
+        remote-compile tunnel); serving systems call this at startup. Uses
+        the persistent compilation cache when enabled
+        (``gulon_tpu.utils.cache.enable_persistent_cache``).
+        """
+        for b in batch_sizes:
+            q = np.zeros((b, self.dimension), np.float32)
+            self.batch_query(k, q)
+
     def _make_results(
         self, dists: np.ndarray, ids: np.ndarray
     ) -> List[Result]:

@@ -132,7 +132,7 @@ def _ivf_scan(
     def dist_tile(inp):
         ct, rc, gid = inp
         ci = ct.astype(jnp.int32)
-        dec = scan_ops.decode_tile(codebooks, ci, "onehot", precision)
+        dec = scan_ops.decode_tile(codebooks, ci, "auto", precision)
         ip = jnp.matmul(
             q_pad,
             dec.T,

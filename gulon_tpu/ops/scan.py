@@ -142,23 +142,32 @@ def _streaming_topk(
     return best_d, best_i
 
 
+# Above this codebook size the one-hot operand ([T, m, K]) outweighs the
+# MXU win and the gather decode takes over (16-bit codes would need a
+# [T, m, 65536] temp).
+_ONEHOT_MAX_K = 512
+
+
 def decode_tile(
     codebooks: jax.Array,  # [m, K, dsub]
     ci: jax.Array,  # [T, m] int32
-    impl: str = "onehot",
+    impl: str = "auto",
     precision: str = "default",
 ) -> jax.Array:
     """Decode a tile of PQ codes to ``[T, m*dsub]``.
 
-    ``"onehot"`` (default) reformulates the codeword gather as a batched
-    one-hot x codebook matmul — the decode runs on the MXU instead of the
-    scalar gather unit, which measures ~10x faster on v5e for large tiles.
-    At ``precision="default"`` the operands drop to bf16 (the one-hot side
-    is exact 0/1; only codebook entries round); ``"highest"`` keeps exact
-    f32 decode. ``"gather"`` is the direct formulation, always exact.
+    ``"onehot"`` reformulates the codeword gather as a batched one-hot x
+    codebook matmul — the decode runs on the MXU instead of the scalar
+    gather unit, ~10x faster on v5e for large tiles at K <= 256. At
+    ``precision="default"`` the MXU runs bf16 passes; ``"highest"`` keeps
+    exact f32. ``"gather"`` is the direct formulation, always exact, and
+    the only viable one for large codebooks (the one-hot operand scales
+    with K). ``"auto"`` (default) picks by K.
     """
     m, K, dsub = codebooks.shape
     t = ci.shape[0]
+    if impl == "auto":
+        impl = "onehot" if K <= _ONEHOT_MAX_K else "gather"
     if impl == "gather":
         dec = jax.vmap(lambda cb_s, c_s: cb_s[c_s], in_axes=(0, 1))(
             codebooks, ci
@@ -197,7 +206,7 @@ def adc_scan_decode(
     k: int,
     tile_rows: int = DEFAULT_TILE_ROWS,
     precision: str = "default",
-    decode_impl: str = "onehot",
+    decode_impl: str = "auto",
     topk_impl: str = "approx",
     recall_target: float = 0.95,
 ) -> Tuple[jax.Array, jax.Array]:

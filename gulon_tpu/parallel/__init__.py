@@ -1,6 +1,7 @@
 from gulon_tpu.parallel.mesh import (
     ROWS,
     SUB,
+    distributed_init,
     make_mesh,
     replicate,
     shard_rows,
@@ -20,6 +21,7 @@ from gulon_tpu.parallel.index import (
 __all__ = [
     "ROWS",
     "SUB",
+    "distributed_init",
     "make_mesh",
     "replicate",
     "shard_rows",

@@ -137,7 +137,7 @@ def _sharded_ivf_scan(
         def dist_tile(inp):
             ct, rc, gid = inp
             ci = ct.astype(jnp.int32)
-            dec = scan_ops.decode_tile(cb, ci, "onehot", precision)
+            dec = scan_ops.decode_tile(cb, ci, "auto", precision)
             ip = jnp.matmul(
                 q_pad, dec.T,
                 preferred_element_type=jnp.float32,

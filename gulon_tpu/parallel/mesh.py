@@ -27,6 +27,25 @@ ROWS = "rows"
 SUB = "sub"
 
 
+def distributed_init(**kwargs) -> None:
+    """Join a multi-host JAX runtime (``jax.distributed.initialize``).
+
+    On multi-host TPU slices every host must call this before any jax use;
+    afterwards ``jax.devices()`` spans the whole slice and ``make_mesh()``
+    lays the row/sub axes across it — intra-slice collectives ride ICI,
+    cross-host segments ride DCN, transparently. No-op when already
+    initialized. Accepts the usual coordinator_address/num_processes/
+    process_id overrides; on Cloud TPU they are auto-detected.
+    """
+    import jax
+
+    try:
+        jax.distributed.initialize(**kwargs)
+    except RuntimeError as e:
+        if "already" not in str(e).lower():
+            raise
+
+
 def make_mesh(
     num_devices: Optional[int] = None,
     *,
