@@ -52,6 +52,8 @@ class FlatIndex(Index):
     topk_impl: str = "approx"
     recall_target: float = 0.95
     decoded_cache: Optional[jax.Array] = None  # [N, m*dsub], see enable_cache
+    # 0 = codes are [N, m] uint; 2/4 = row-packed uint8 (see pack_memory)
+    packed_width: int = 0
 
     @property
     def key_index(self) -> SortedKeyIndex:
@@ -97,8 +99,14 @@ class FlatIndex(Index):
                 precision=self.precision,
                 topk_impl=self.topk_impl,
                 recall_target=self.recall_target,
+                packed_width=self.packed_width,
             )
         elif strategy == "lut":
+            if self.packed_width:
+                raise ValueError(
+                    "lut strategy needs unpacked codes (index.pack_memory()"
+                    " was called); use scan_strategy='decode'"
+                )
             lut = self.pq.lut(q)
             dists, ids = scan_ops.adc_scan_lut(
                 lut,
@@ -110,6 +118,11 @@ class FlatIndex(Index):
                 recall_target=self.recall_target,
             )
         elif strategy == "cached":
+            if self.packed_width and self.decoded_cache is None:
+                raise ValueError(
+                    "cached strategy needs unpacked codes; build the cache "
+                    "before pack_memory()"
+                )
             if self.decoded_cache is None:
                 self.enable_cache()
             q_pad = self._q_pad(q)
@@ -124,6 +137,12 @@ class FlatIndex(Index):
             )
         elif strategy == "pallas":
             from gulon_tpu.ops.pallas.adc import adc_scan_pallas
+
+            if self.packed_width:
+                raise ValueError(
+                    "pallas strategy needs unpacked codes; use "
+                    "scan_strategy='decode' after pack_memory()"
+                )
 
             if self.size < 256 * min(k_eff, 64) or k_eff > 64:
                 # kernel constraints (tiny corpus / large k): decode path
@@ -175,9 +194,40 @@ class FlatIndex(Index):
             else jnp.zeros((0, m * dsub), dtype)
         )
 
+    def pack_memory(self) -> None:
+        """Pack sub-byte codes in HBM (width 2/4 only): 2-4x less memory,
+        unpacking fused into the scan. Only the "decode" strategy reads
+        packed codes; lut/cached/pallas require unpacked (ValueError)."""
+        width = self.pq.code_bits
+        if self.packed_width:
+            return
+        if width > 4:
+            raise ValueError(
+                f"in-memory packing needs code width <= 4 bits, got {width}"
+            )
+        width = 4 if width > 2 else 2
+        self.codes = scan_ops.pack_rows(self.codes, width)
+        self.packed_width = width
+        self.scan_strategy = "decode"
+
+    def _unpacked_codes(self) -> jax.Array:
+        if not self.packed_width:
+            return self.codes
+        return scan_ops.unpack_tile(
+            self.codes, self.pq.num_quantizers, self.packed_width
+        )
+
     def lookup(self, word: str) -> Optional[np.ndarray]:
         row = self._key_index.lookup(word)
         if row is None:
             return None
-        rec = self.pq.decode(self.codes[row : row + 1])
+        if self.packed_width:
+            ci = scan_ops.unpack_tile(
+                self.codes[row : row + 1],
+                self.pq.num_quantizers,
+                self.packed_width,
+            )
+            rec = self.pq.decode(ci)
+        else:
+            rec = self.pq.decode(self.codes[row : row + 1])
         return np.asarray(rec)[0]

@@ -142,6 +142,41 @@ def _streaming_topk(
     return best_d, best_i
 
 
+def pack_rows(codes, width: int):
+    """Pack an ``[N, m]`` code matrix to ``[N, ceil(m*width/8)]`` uint8.
+
+    Row-major in-memory packing for sub-byte code widths (2/4 bits): the
+    reference stores packed codes in RAM too (``EncodedMatrix``); here the
+    packed form halves/quarters HBM at scan time, with unpacking fused into
+    the distance tile (a few VPU shifts). Distinct from the *wire* layout
+    (``ops/coder.py``), which is quantizer-major for format compatibility.
+    """
+    if width not in (2, 4):
+        raise ValueError(f"in-memory packing supports widths 2/4, got {width}")
+    codes = jnp.asarray(codes, jnp.uint8)
+    n, m = codes.shape
+    per = 8 // width
+    pad = (-m) % per
+    if pad:
+        codes = jnp.pad(codes, ((0, 0), (0, pad)))
+    grouped = codes.reshape(n, -1, per).astype(jnp.uint32)
+    shifts = (jnp.arange(per, dtype=jnp.uint32) * width)[None, None, :]
+    return jnp.sum(grouped << shifts, axis=2).astype(jnp.uint8)
+
+
+def unpack_tile(packed: jax.Array, m: int, width: int) -> jax.Array:
+    """``[T, B] uint8 -> [T, m] int32`` (inverse of :func:`pack_rows`)."""
+    per = 8 // width
+    mask = (1 << width) - 1
+    p32 = packed.astype(jnp.int32)
+    cols = []
+    for s_ in range(m):
+        byte = s_ // per
+        shift = (s_ % per) * width
+        cols.append((p32[:, byte] >> shift) & mask)
+    return jnp.stack(cols, axis=1)
+
+
 # Above this codebook size the one-hot operand ([T, m, K]) outweighs the
 # MXU win and the gather decode takes over (16-bit codes would need a
 # [T, m, 65536] temp).
@@ -193,7 +228,7 @@ def decode_tile(
     jax.jit,
     static_argnames=(
         "bounds", "k", "tile_rows", "precision", "decode_impl",
-        "topk_impl", "recall_target",
+        "topk_impl", "recall_target", "packed_width",
     ),
 )
 def adc_scan_decode(
@@ -209,6 +244,7 @@ def adc_scan_decode(
     decode_impl: str = "auto",
     topk_impl: str = "approx",
     recall_target: float = 0.95,
+    packed_width: int = 0,  # 0 = unpacked [N, m]; 2/4 = row-packed uint8
 ) -> Tuple[jax.Array, jax.Array]:
     """Decode + MXU matmul ADC scan. Returns ([Q,k] dists, [Q,k] ids)."""
     num_q = queries.shape[0]
@@ -226,7 +262,10 @@ def adc_scan_decode(
 
     def dist_tile(inp):
         ct, xt = inp
-        ci = ct.astype(jnp.int32)
+        if packed_width:
+            ci = unpack_tile(ct, m, packed_width)
+        else:
+            ci = ct.astype(jnp.int32)
         # [T, m*dsub] decode, amortized across the whole query batch.
         dec = decode_tile(codebooks, ci, decode_impl, precision)
         ip = jnp.matmul(

@@ -101,3 +101,35 @@ def test_k_larger_than_index(flat):
     index, keys, x = flat
     res = index.query(10_000, x[0])
     assert len(res) == index.size
+
+
+def test_pack_memory_preserves_results():
+    """In-HBM packed sub-byte codes: 2-4x memory, identical query results,
+    lookup still decodes (memory counterpart of the wire Coder)."""
+    rng = np.random.default_rng(55)
+    x = rng.normal(size=(1500, 12)).astype(np.float32)
+    keys = np.array([f"p{i:04d}" for i in range(1500)], dtype=object)
+    index = build_flat_index(
+        keys, x,
+        pq_config=PQConfig(num_clusters=4, num_quantizers=6, max_iters=8),
+    )
+    index.scan_strategy = "decode"
+    q = x[:6]
+    a = index.batch_query(7, q)
+    before = np.asarray(index.codes).nbytes
+    index.pack_memory()
+    assert index.packed_width == 2  # 4 clusters -> 2-bit codes
+    # 6 subquantizers x 2 bits -> ceil(12/8) = 2 bytes/row (was 6)
+    assert np.asarray(index.codes).shape[1] == 2
+    assert np.asarray(index.codes).nbytes < before
+    b = index.batch_query(7, q)
+    for ra, rb in zip(a, b):
+        assert list(ra.keys) == list(rb.keys)
+        np.testing.assert_allclose(ra.distances, rb.distances, rtol=1e-5)
+    # lookup still reconstructs
+    vec = index.lookup("p0003")
+    assert vec is not None and vec.shape == (12,)
+    # incompatible strategies refuse clearly
+    index.scan_strategy = "lut"
+    with pytest.raises(ValueError):
+        index.batch_query(3, q)
