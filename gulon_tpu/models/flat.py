@@ -144,8 +144,13 @@ class FlatIndex(Index):
                     "scan_strategy='decode' after pack_memory()"
                 )
 
-            if self.size < 256 * min(k_eff, 64) or k_eff > 64:
-                # kernel constraints (tiny corpus / large k): decode path
+            if (
+                self.size < 256 * min(k_eff, 64)
+                or k_eff > 64
+                or self.pq.num_clusters > 1024
+            ):
+                # kernel constraints (tiny corpus / large k / large K):
+                # fall back to the XLA decode path
                 return dataclasses.replace(
                     self, scan_strategy="decode"
                 ).query_arrays(k, vectors)
@@ -170,7 +175,7 @@ class FlatIndex(Index):
             q.shape[0], self.pq.num_quantizers * self.pq.pad_width
         )
 
-    def enable_cache(self, dtype=None, chunk: int = 1 << 20) -> None:
+    def enable_cache(self, dtype=None, chunk: int = 16384) -> None:
         """Materialize the decoded corpus for the ``"cached"`` strategy.
 
         bf16 on TPU (2 bytes/dim), f32 elsewhere (CPU lacks bf16 matmul).
@@ -186,7 +191,8 @@ class FlatIndex(Index):
         codes = np.asarray(self.codes)
         for start in range(0, self.size, chunk):
             ci = jnp.asarray(codes[start : start + chunk], jnp.int32)
-            dec = scan_ops.decode_tile(self.pq.codebooks, ci, "onehot")
+            # "auto": one-hot only while the [chunk, m, K] operand is sane
+            dec = scan_ops.decode_tile(self.pq.codebooks, ci, "auto")
             parts.append(dec.astype(dtype))
         self.decoded_cache = (
             jnp.concatenate(parts, axis=0)

@@ -166,7 +166,7 @@ def _ivf_scan_gathered(
     recon_norms: jax.Array,  # [N + pmax] f32, +inf on padding
     starts: jax.Array,       # [P] i32 partition start rows
     sizes: jax.Array,        # [P] i32 partition sizes
-    probe_ids: jax.Array,    # [Q, L] i32 partitions to probe, best first
+    probe_ids: jax.Array,    # [Q, L] i32 partitions to probe; -1 = unused
     *,
     num_probe: int,
     pmax: int,
@@ -189,10 +189,12 @@ def _ivf_scan_gathered(
 
     def per_query(qv, qn_v, pids):
         def per_slot(p):
-            s = starts[p]
+            active = p >= 0  # LimitVectors probe sets vary per query
+            p_safe = jnp.maximum(p, 0)
+            s = starts[p_safe]
             block = jax.lax.dynamic_slice(recon, (s, 0), (pmax, d))
             bn = jax.lax.dynamic_slice(recon_norms, (s,), (pmax,))
-            valid = row_iota < sizes[p]
+            valid = active & (row_iota < sizes[p_safe])
             return block, jnp.where(valid, bn, jnp.inf), s + row_iota
 
         blocks, bns, ids = jax.vmap(per_slot)(pids)  # [L, pmax, ...]
@@ -303,26 +305,36 @@ class IVFIndex(Index):
             else:
                 # LimitVectors: probe the mask's max set size (static bound)
                 num_probe = int(np.asarray(probe_mask.sum(axis=1)).max())
-            # the num_probe nearest centroids, best first
-            _, probe_ids = smallest_k(
-                jnp.where(probe_mask, cdist, jnp.inf), num_probe
-            )
+            # the num_probe nearest centroids, best first; queries with
+            # smaller probe sets (LimitVectors) mark unused slots -1
+            masked_cdist = jnp.where(probe_mask, cdist, jnp.inf)
+            probe_d, probe_ids = smallest_k(masked_cdist, num_probe)
+            probe_ids = jnp.where(
+                jnp.isinf(probe_d), -1, probe_ids
+            ).astype(jnp.int32)
             starts = np.concatenate(
                 [[0], np.cumsum(sizes_np)[:-1]]
             ).astype(np.int32)
+            # the gathered candidate pool holds num_probe*pmax rows
+            k_g = min(k_eff, num_probe * pmax)
             dists, ids = _ivf_scan_gathered(
                 q,
                 self.recon_cache,
                 self.recon_norms_cache,
                 jnp.asarray(starts),
                 jnp.asarray(sizes_np),
-                probe_ids.astype(jnp.int32),
+                probe_ids,
                 num_probe=num_probe,
                 pmax=pmax,
-                k=k_eff,
+                k=k_g,
                 topk_impl=self.topk_impl,
                 recall_target=self.recall_target,
             )
+            if k_g < k_eff:  # pad to the requested width (inf/-1 slots)
+                pad = k_eff - k_g
+                dists = jnp.pad(dists, ((0, 0), (0, pad)),
+                                constant_values=jnp.inf)
+                ids = jnp.pad(ids, ((0, 0), (0, pad)), constant_values=-1)
             return dists, ids
         if self.scan_strategy != "masked":
             raise ValueError(

@@ -28,6 +28,18 @@ import numpy as np
 
 from gulon_tpu.ops.distance import sq_norms
 
+# Progress callbacks are delivered through a stable module-level trampoline
+# so the jitted training loop's cache key only depends on WHETHER reporting
+# is on, never on the callback object (fresh lambdas would otherwise force
+# a retrace per build).
+_REPORT_FN: list = [None]
+
+
+def _report_trampoline(iteration, step_size, converged_count):
+    fn = _REPORT_FN[0]
+    if fn is not None:
+        fn(iteration, step_size, converged_count)
+
 
 class KMeansConfig(NamedTuple):
     """Mirrors ``KMeans.Config`` (reference ``KMeans.scala:129-132``)."""
@@ -116,16 +128,36 @@ def _update_blocked(
     return jnp.where(counts[:, None] > 0, sums / safe[:, None], 0.0)
 
 
-def init_centroids(x: jax.Array, k: int, seed: int) -> jax.Array:
+def init_centroids(
+    x, k: int, seed: int, backend: str = "device"
+) -> jax.Array:
     """Seeded init: sample k rows uniformly with replacement.
 
-    Behavioral counterpart of reference ``KMeans.init`` (``KMeans.scala:188-196``,
-    ``rng.nextInt(n)`` k times).
+    Behavioral counterpart of reference ``KMeans.init``
+    (``KMeans.scala:188-196``): subspace i draws from a key derived only
+    from ``(seed, i)`` (``fold_in``), mirroring the reference's per-subspace
+    ``seed + i`` seeding (``ProductQuantizer.scala:140``) — the init of one
+    subspace does not depend on how many others are stacked with it.
+
+    ``backend="host"`` samples indices with numpy and never materializes
+    the stacked tensor on a single device (used by mesh builds).
     """
     m, n, _ = x.shape
+    idx = init_indices(m, n, k, seed)  # identical for both backends
+    if backend == "host":
+        xs = np.asarray(x)
+        idx_np = np.asarray(idx)
+        return jnp.asarray(np.stack([xs[i][idx_np[i]] for i in range(m)]))
+    return jax.vmap(lambda xs, ix: xs[ix])(jnp.asarray(x), idx)
+
+
+def init_indices(m: int, n: int, k: int, seed: int) -> jax.Array:
+    """[m, k] init row samples; subspace i depends only on (seed, i)."""
     key = jax.random.key(seed)
-    idx = jax.random.randint(key, (m, k), 0, n)
-    return jax.vmap(lambda xs, ix: xs[ix])(x, idx)
+    sub_keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(
+        jnp.arange(m)
+    )
+    return jax.vmap(lambda kk: jax.random.randint(kk, (k,), 0, n))(sub_keys)
 
 
 class _LoopState(NamedTuple):
@@ -138,7 +170,7 @@ class _LoopState(NamedTuple):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "max_iters", "block_rows", "report_fn", "precision"),
+    static_argnames=("k", "max_iters", "block_rows", "report", "precision"),
 )
 def _fit_stacked(
     x: jax.Array,
@@ -147,7 +179,7 @@ def _fit_stacked(
     k: int,
     max_iters: int,
     block_rows: int,
-    report_fn: Optional[Callable] = None,
+    report: bool = False,
     precision: str = "default",
 ) -> KMeansResult:
     assign_all = jax.vmap(
@@ -177,8 +209,8 @@ def _fit_stacked(
             jnp.sqrt(jnp.sum((new_c - st.centroids) ** 2, axis=-1))
         )
         it = st.iteration + 1
-        if report_fn is not None:
-            jax.debug.callback(report_fn, it, step, jnp.sum(done))
+        if report:
+            jax.debug.callback(_report_trampoline, it, step, jnp.sum(done))
         return _LoopState(new_c, new_a, it, done, step)
 
     final = jax.lax.while_loop(cond, body, state0)
@@ -206,15 +238,19 @@ def fit_kmeans(
     if squeeze:
         x = x[None]
     init = init_centroids(x, config.k, config.seed)
-    res = _fit_stacked(
-        x,
-        init,
-        k=config.k,
-        max_iters=config.max_iters,
-        block_rows=config.block_rows,
-        report_fn=report_fn,
-        precision=config.precision,
-    )
+    _REPORT_FN[0] = report_fn
+    try:
+        res = _fit_stacked(
+            x,
+            init,
+            k=config.k,
+            max_iters=config.max_iters,
+            block_rows=config.block_rows,
+            report=report_fn is not None,
+            precision=config.precision,
+        )
+    finally:
+        _REPORT_FN[0] = None
     if squeeze:
         res = KMeansResult(
             centroids=res.centroids[0],

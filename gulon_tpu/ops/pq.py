@@ -207,8 +207,10 @@ def train_product_quantizer(
 ) -> ProductQuantizer:
     """Train per-subspace codebooks (``ProductQuantizer.scala:121-153``).
 
-    Subspace i trains with seed ``config.seed + i`` (the reference seeds each
-    subspace's k-means with its index, ``ProductQuantizer.scala:140``).
+    Subspace i's initialization derives from ``fold_in(seed, i)`` — a key
+    depending only on (seed, subspace index), the counterpart of the
+    reference seeding each subspace's k-means with its index
+    (``ProductQuantizer.scala:140``).
 
     Device-resident input stays on device (no host round-trip — host<->device
     transfers can be the bottleneck for multi-GB corpora); host input is

@@ -50,10 +50,15 @@ class ShardedFlatIndex(Index):
 
     @staticmethod
     def shard(index: FlatIndex, mesh: Mesh) -> "ShardedFlatIndex":
+        # the sharded scan reads logical [N, m] codes; in-memory packing
+        # (pack_memory) is a single-chip layout, so unpack when sharding
+        codes = (
+            index._unpacked_codes() if index.packed_width else index.codes
+        )
         return ShardedFlatIndex(
             base=index,
             mesh=mesh,
-            codes_sharded=shard_rows(np.asarray(index.codes), mesh, 0),
+            codes_sharded=shard_rows(np.asarray(codes), mesh, 0),
             norms_sharded=shard_rows(
                 np.asarray(index.recon_norms), mesh, np.inf
             ),

@@ -299,7 +299,11 @@ def sharded_fit_kmeans(
             f"stacked subspace count {m} not divisible by sub axis {m_shards}"
         )
 
-    init = np.asarray(init_centroids(jnp.asarray(x), config.k, config.seed))
+    # sample initial centroids host-side: materializing the full stacked
+    # tensor on one device just for row sampling would defeat mesh builds
+    init = np.asarray(
+        init_centroids(x, config.k, config.seed, backend="host")
+    )
 
     n_pad = (-n) % r_shards
     valid = np.ones((m, n), bool)

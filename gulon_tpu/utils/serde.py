@@ -84,7 +84,12 @@ def _codes_from_proto(msg: pb.EncodedMatrix, num_clusters: int) -> np.ndarray:
 
 def index_to_proto(index: AnyIndex) -> pb.Index:
     msg = pb.Index()
-    codes_np = np.asarray(index.codes)
+    if isinstance(index, FlatIndex) and index.packed_width:
+        # in-memory packed codes (pack_memory) are a runtime layout only;
+        # the wire format is always logical [N, m] codes
+        codes_np = np.asarray(index._unpacked_codes())
+    else:
+        codes_np = np.asarray(index.codes)
     if isinstance(index, FlatIndex):
         si = msg.sorted
         si.sorted_words.extend(str(w) for w in index.key_index.keys)
@@ -143,11 +148,16 @@ def index_from_proto(msg: pb.Index) -> AnyIndex:
         group_ids = np.repeat(
             np.arange(len(bounds) - 1, dtype=np.int32), np.diff(bounds)
         )
-        pqj = pq
-        rnorm = np.asarray(pqj.reconstruction_norms(codes))
-        dec = np.asarray(pqj.decode(codes))
-        crdot = np.einsum("nd,nd->n", centroids[group_ids], dec)
-        row_const = jnp.asarray(rnorm + 2.0 * crdot.astype(np.float32))
+        rnorm = np.asarray(pq.reconstruction_norms(codes))
+        crdot = np.empty(n, np.float32)
+        chunk = 1 << 20
+        for start in range(0, n, chunk):
+            sl = slice(start, min(start + chunk, n))
+            dec = np.asarray(pq.decode(codes[sl]))
+            crdot[sl] = np.einsum(
+                "nd,nd->n", centroids[group_ids[sl]], dec
+            )
+        row_const = jnp.asarray(rnorm + 2.0 * crdot)
         if gi.strategy == pb.GroupedIndex.LIMIT_GROUPS:
             strategy = LimitGroups(gi.limit)
         else:

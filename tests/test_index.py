@@ -73,9 +73,15 @@ def test_lut_and_decode_strategies_agree(flat):
 
 
 def test_query_by_word_finds_itself(flat):
+    """Duplicate-aware, like the reference's IndexSpec:45-73: rows sharing
+    the word's exact PQ codes tie at distance 0, so k must cover them."""
     index, keys, x = flat
+    codes = np.asarray(index.codes)
+    key_list = list(index.key_index.keys)
     for word in keys[:10]:
-        res = index.query_by_word(3, word)
+        row = key_list.index(word)
+        dups = int((codes == codes[row]).all(axis=1).sum())
+        res = index.query_by_word(dups + 3, word)
         assert res is not None
         assert word in set(res.keys)
         if not index.metric.normalized:
