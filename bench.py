@@ -26,32 +26,14 @@ import time
 import numpy as np
 
 
-def _low_rank_corpus_device(seed, n, d, intrinsic=16, n_clusters=1000,
-                            noise=0.05):
-    """Cluster mixture on a low-dim manifold, generated ON DEVICE (the
-    remote-TPU tunnel here moves host->device data at ~11 MB/s)."""
-    import functools
+def _corpus(seed, n, d):
+    import os
+    import sys
 
-    import jax
-    import jax.numpy as jnp
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from benchmarks.common import low_rank_corpus_device
 
-    @functools.partial(
-        jax.jit, static_argnames=("n", "d", "intrinsic", "n_clusters")
-    )
-    def gen(key, n, d, intrinsic, n_clusters):
-        k1, k2, k3, k4 = jax.random.split(key, 4)
-        basis = jax.random.normal(k1, (intrinsic, d), jnp.float32)
-        centers = jax.random.normal(k2, (n_clusters, intrinsic), jnp.float32)
-        labels = jax.random.randint(k3, (n,), 0, n_clusters)
-        z = centers[labels] + 0.3 * jax.random.normal(
-            k4, (n, intrinsic), jnp.float32
-        )
-        x = z @ basis / jnp.sqrt(jnp.float32(intrinsic))
-        return x + noise * jax.random.normal(
-            jax.random.fold_in(key, 9), (n, d), jnp.float32
-        )
-
-    return gen(jax.random.key(seed), n, d, intrinsic, n_clusters)
+    return low_rank_corpus_device(seed, n, d)
 
 
 def main():
@@ -71,7 +53,7 @@ def main():
     pool_batches = 8  # distinct query batches cycled through device-side
 
     rng = np.random.default_rng(0)
-    x = _low_rank_corpus_device(0, n, d)
+    x = _corpus(0, n, d)
     q_idx = np.sort(rng.choice(n, n_queries * pool_batches, replace=False))
     q_pool = jnp.take(x, jnp.asarray(q_idx), axis=0)
 
@@ -136,16 +118,10 @@ def main():
     sample = 256
     d_adc, i_adc = query_step(q_pool_dev[:sample])
     d_ex, i_ex = exact_scan(q_pool_dev[:sample], x, k=topk)
-    from gulon_tpu.ops.scan import cached_scan, decode_tile
-    from gulon_tpu.ops.pq import split_subspaces
-    dsub = pq.pad_width
-    dec = decode_tile(
-        pq.codebooks, codes.astype(jnp.int32), "onehot", "highest"
-    )
-    qs = split_subspaces(q_pool_dev[:sample], pq.bounds, dsub)
-    q_pad = jnp.transpose(qs, (1, 0, 2)).reshape(sample, m * dsub)
-    _, i_ceil = cached_scan(
-        q_pad, dec, norms, k=topk, topk_impl="exact"
+    _, i_ceil = adc_scan_decode(
+        q_pool_dev[:sample], pq.codebooks, codes, norms,
+        bounds=pq.bounds, k=topk,
+        precision="highest", decode_impl="gather", topk_impl="exact",
     )
     i_adc = np.asarray(i_adc)
     i_ex = np.asarray(i_ex)

@@ -47,25 +47,6 @@ def low_rank_corpus_device(
     return gen(jax.random.key(seed), n, d, intrinsic, n_clusters)
 
 
-def low_rank_corpus(
-    rng: np.random.Generator,
-    n: int,
-    d: int,
-    intrinsic: int = 16,
-    n_clusters: int = 1000,
-    noise: float = 0.05,
-) -> np.ndarray:
-    """Cluster mixture on a low-dim manifold — the regime embeddings live in."""
-    basis = rng.normal(0, 1.0, (intrinsic, d)).astype(np.float32)
-    centers = rng.normal(0, 1.0, (n_clusters, intrinsic)).astype(np.float32)
-    z = centers[rng.integers(0, n_clusters, n)] + rng.normal(
-        0, 0.3, (n, intrinsic)
-    ).astype(np.float32)
-    x = (z @ basis / np.sqrt(intrinsic)).astype(np.float32)
-    x += rng.normal(0, noise, (n, d)).astype(np.float32)
-    return x
-
-
 def time_device_loop(step_fn: Callable, carry_probe: Callable, iters: int = 16):
     """Per-iteration seconds of ``step_fn`` via the two-point method.
 

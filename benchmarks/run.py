@@ -20,15 +20,15 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, ".")  # repo root
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from benchmarks.common import (
     idset_recall,
-    low_rank_corpus,
     low_rank_corpus_device,
     time_device_loop,
     time_direct,
@@ -370,7 +370,6 @@ def bench_ivf1m(n=300_000, d=96, n_queries=1024, partitions=300, probe=15):
     _, i_ex = exact_scan(q_dev, x_dev, k=10)
     i_ex = np.asarray(i_ex)
     keys_by_row = {k: i for i, k in enumerate(keys)}
-    sorted_keys = index.key_index.keys
     # map returned keys to original row ids via key lookup
     rec = []
     for qi, res in enumerate(results[:256]):

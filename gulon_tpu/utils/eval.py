@@ -118,9 +118,17 @@ def recall_of(
         results = index.batch_query(max_k, qb)
         for qi, res in enumerate(results):
             q = qb[qi]
-            rows = np.fromiter(
-                (key_to_row[w] for w in res.keys), np.int64, count=len(res)
-            )
+            try:
+                rows = np.fromiter(
+                    (key_to_row[w] for w in res.keys), np.int64,
+                    count=len(res),
+                )
+            except KeyError as e:
+                raise ValueError(
+                    f"index returned key {e.args[0]!r} that is not present "
+                    "in the evaluation vectors — the index was built from a "
+                    "different corpus than --vectors"
+                ) from None
             exact = (
                 ((true_vectors[rows] - q[None, :]) ** 2).sum(axis=1)
                 if len(rows)

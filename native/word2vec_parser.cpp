@@ -11,6 +11,10 @@
 //
 // Build: make -C native  (produces libgulonio.so)
 
+#ifndef _GNU_SOURCE
+#define _GNU_SOURCE 1  // memrchr
+#endif
+
 #include <atomic>
 #include <cctype>
 #include <cerrno>
@@ -30,6 +34,7 @@ namespace {
 struct ChunkStats {
   int64_t rows = 0;
   int64_t key_bytes = 0;
+  bool malformed = false;  // non-empty line without a space separator
 };
 
 struct Handle {
@@ -74,18 +79,29 @@ bool sniff_header(const char* line, const char* end, int64_t* count,
   return true;
 }
 
-// Count rows and key bytes in [begin, end); lines are '\n'-terminated
-// (final line may lack the terminator).
+// True iff [p, nl) is blank (spaces/CR only).
+inline bool is_blank_line(const char* p, const char* nl) {
+  for (; p < nl; ++p)
+    if (*p != ' ' && *p != '\r') return false;
+  return true;
+}
+
+// Count rows and key bytes in [begin, end); every line here is
+// '\n'-terminated (the caller splits off any unterminated tail line).
+// Non-empty lines without a space separator are malformed (the Python
+// reader raises for them too — silent row drops would be data loss).
 ChunkStats scan_chunk(const char* begin, const char* end) {
   ChunkStats st;
   const char* p = begin;
   while (p < end) {
     const char* nl = find_newline(p, end);
-    if (nl > p) {  // skip empty lines
+    if (nl > p && !is_blank_line(p, nl)) {
       const void* sp = memchr(p, ' ', static_cast<size_t>(nl - p));
       if (sp) {
         st.rows += 1;
         st.key_bytes += static_cast<const char*>(sp) - p;
+      } else {
+        st.malformed = true;
       }
     }
     p = nl + 1;
@@ -103,9 +119,13 @@ bool parse_chunk(const char* begin, const char* end, int32_t dim,
   int64_t kb = key_base;
   while (p < end) {
     const char* nl = find_newline(p, end);
-    if (nl > p) {
+    if (nl > p && !is_blank_line(p, nl)) {
       const void* spv = memchr(p, ' ', static_cast<size_t>(nl - p));
-      if (spv) {
+      if (!spv) {  // scan pass already errors; defensive here
+        *err_row = row;
+        return false;
+      }
+      {
         const char* sp = static_cast<const char*>(spv);
         int64_t klen = sp - p;
         memcpy(keys + kb, p, static_cast<size_t>(klen));
@@ -173,20 +193,61 @@ void* w2v_open(const char* path, int32_t num_threads) {
   madvise(m, h->size, MADV_SEQUENTIAL);
   h->data = static_cast<const char*>(m);
 
-  const char* end = h->data + h->size;
-  const char* body = h->data;
+  const char* file_end = h->data + h->size;
 
-  // Header sniff with pushback semantics.
-  const char* first_nl = find_newline(h->data, end);
+  // strtof/strtoll need their reads bounded by the mapping: only lines that
+  // end in '\n' (so the parser always hits a terminator inside the map) are
+  // parsed in place. An unterminated final line is copied into a
+  // NUL-terminated buffer and handled separately.
+  const char* last_nl = static_cast<const char*>(
+      memrchr(h->data, '\n', h->size));
+  std::string tail;
+  const char* end;  // one past the last in-map '\n'
+  if (last_nl == nullptr) {
+    tail.assign(h->data, h->size);
+    end = h->data;
+  } else {
+    end = last_nl + 1;
+    if (end < file_end) tail.assign(end, static_cast<size_t>(file_end - end));
+  }
+  if (!tail.empty()) tail.push_back('\n');  // terminated, past-end-safe
+
+  const char* body = h->data;
+  const char* tail_begin = tail.empty() ? nullptr : tail.data();
+  const char* tail_end = tail.empty() ? nullptr : tail.data() + tail.size();
+
+  // Header sniff with pushback semantics (header line must be terminated
+  // unless the file is a single unterminated line).
   int64_t declared = -1;
-  if (sniff_header(h->data, first_nl, &declared, &h->dim)) {
-    body = first_nl < end ? first_nl + 1 : end;
+  if (body < end) {
+    const char* first_nl = find_newline(body, end);
+    if (sniff_header(body, first_nl, &declared, &h->dim)) {
+      body = first_nl + 1;
+    }
+  } else if (tail_begin &&
+             sniff_header(tail_begin, find_newline(tail_begin, tail_end),
+                          &declared, &h->dim)) {
+    tail.clear();
+    tail_begin = tail_end = nullptr;
   }
 
-  // Dimension from the first data line when there was no header.
+  // Dimension from the first non-blank data line when there was no header.
   if (h->dim == 0) {
-    const char* nl = find_newline(body, end);
-    const void* spv = memchr(body, ' ', static_cast<size_t>(nl - body));
+    const char* p = body;
+    const char* nl = p;
+    while (p < end) {  // skip blank lines (python reader parity)
+      nl = find_newline(p, end);
+      if (nl > p && !is_blank_line(p, nl)) break;
+      p = nl + 1;
+    }
+    bool have_line = p < end;
+    if (!have_line && tail_begin) {
+      p = tail_begin;
+      nl = find_newline(tail_begin, tail_end);
+      have_line = !is_blank_line(p, nl);
+    }
+    const void* spv =
+        have_line ? memchr(p, ' ', static_cast<size_t>(nl - p)) : nullptr;
     if (!spv) {
       h->error = "malformed first line: no space separator";
       return h;
@@ -210,7 +271,7 @@ void* w2v_open(const char* path, int32_t num_threads) {
   int nt = num_threads > 0 ? num_threads
                            : static_cast<int>(std::thread::hardware_concurrency());
   if (nt < 1) nt = 1;
-  size_t body_size = static_cast<size_t>(end - body);
+  size_t body_size = body < end ? static_cast<size_t>(end - body) : 0;
   if (body_size < (1 << 20)) nt = 1;  // small file: threading not worth it
 
   // Split the body into nt byte ranges aligned to newline boundaries.
@@ -237,14 +298,28 @@ void* w2v_open(const char* path, int32_t num_threads) {
       threads.emplace_back([&, t] { stats[t] = scan_chunk(bounds[t], bounds[t + 1]); });
     for (auto& th : threads) th.join();
   }
+  // Tail line (if any) contributes one more row.
+  ChunkStats tail_stats;
+  if (tail_begin) tail_stats = scan_chunk(tail_begin, tail_end);
+
   int64_t total_rows = 0, total_kb = 0;
   std::vector<int64_t> row_base(static_cast<size_t>(nt)), key_base(static_cast<size_t>(nt));
+  bool malformed = tail_stats.malformed;
   for (int t = 0; t < nt; ++t) {
     row_base[t] = total_rows;
     key_base[t] = total_kb;
     total_rows += stats[t].rows;
     total_kb += stats[t].key_bytes;
+    malformed |= stats[t].malformed;
   }
+  if (malformed) {
+    h->error = "malformed line: missing space separator";
+    return h;
+  }
+  int64_t tail_row_base = total_rows;
+  int64_t tail_key_base = total_kb;
+  total_rows += tail_stats.rows;
+  total_kb += tail_stats.key_bytes;
   if (total_rows == 0) {
     h->error = "no data rows";
     return h;
@@ -274,6 +349,15 @@ void* w2v_open(const char* path, int32_t num_threads) {
   if (bad_row.load() >= 0) {
     h->error = "malformed line at data row " + std::to_string(bad_row.load());
     return h;
+  }
+  if (tail_begin && tail_stats.rows) {
+    int64_t err_row = -1;
+    if (!parse_chunk(tail_begin, tail_end, h->dim, h->vectors.data(),
+                     h->keys.data(), h->key_offsets.data(), tail_row_base,
+                     tail_key_base, &err_row)) {
+      h->error = "malformed line at data row " + std::to_string(err_row);
+      return h;
+    }
   }
   h->key_offsets[static_cast<size_t>(total_rows)] = total_kb;
   close_handle(h);  // parsed arrays live on; the mapping can go

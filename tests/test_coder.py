@@ -69,6 +69,10 @@ def test_byte_plus_msb_plane_layout():
     (ref Coder.scala:142-168)."""
     idx = np.array([0x3FF, 0x001])
     packed = coder.pack(idx, 10)
+    # MSB plane: one byte per index, index >> lsb_width
     assert packed[0] == 0x3FF >> 2 and packed[1] == 0x001 >> 2
-    lsb = coder.unpack(packed[2:] if False else packed, 2, 10)
-    np.testing.assert_array_equal(lsb, idx)
+    # LSB plane: the remaining bytes are exactly the 2-bit packing of
+    # the low bits
+    lsb_expected = coder.pack(idx & 0b11, 2)
+    assert packed[2:] == lsb_expected
+    np.testing.assert_array_equal(coder.unpack(packed, 2, 10), idx)
