@@ -40,13 +40,19 @@ from gulon_tpu.parallel.mesh import ROWS, replicate, shard_rows
 
 @dataclasses.dataclass
 class ShardedFlatIndex(Index):
-    """Row-sharded counterpart of :class:`FlatIndex` (same query results)."""
+    """Row-sharded counterpart of :class:`FlatIndex` (same query results).
+
+    When the base index has a decoded cache (``enable_cache``), it is
+    sharded too and ``scan_strategy="cached"`` on the base selects the
+    pure-matmul sharded scan.
+    """
 
     base: FlatIndex
     mesh: Mesh
     codes_sharded: jax.Array  # [N', m] padded + row-sharded
     norms_sharded: jax.Array  # [N'] padded with +inf, row-sharded
     codebooks_rep: jax.Array  # [m, K, dsub] replicated
+    cache_sharded: Optional[jax.Array] = None  # [N', m*dsub] row-sharded
 
     @staticmethod
     def shard(index: FlatIndex, mesh: Mesh) -> "ShardedFlatIndex":
@@ -63,6 +69,11 @@ class ShardedFlatIndex(Index):
                 np.asarray(index.recon_norms), mesh, np.inf
             ),
             codebooks_rep=replicate(np.asarray(index.pq.codebooks), mesh),
+            cache_sharded=(
+                shard_rows(np.asarray(index.decoded_cache), mesh, 0)
+                if index.decoded_cache is not None
+                else None
+            ),
         )
 
     @property
@@ -83,6 +94,24 @@ class ShardedFlatIndex(Index):
     def query_arrays(self, k: int, vectors):
         q = self.base._prepare_queries(vectors)
         k_eff = min(k, self.size)
+        if self.base.scan_strategy == "cached":
+            if self.cache_sharded is None:
+                raise ValueError(
+                    "sharded cached strategy needs enable_cache() before "
+                    "shard_index()"
+                )
+            q_pad = self.base._q_pad(q).astype(self.cache_sharded.dtype)
+            return pops.sharded_exact_scan(
+                q_pad,
+                self.cache_sharded,
+                self.norms_sharded,
+                mesh=self.mesh,
+                k=k_eff,
+                tile_rows=self.base.tile_rows,
+                precision="default",
+                topk_impl=self.base.topk_impl,
+                recall_target=self.base.recall_target,
+            )
         dists, ids = pops.sharded_adc_scan(
             q,
             self.codebooks_rep,

@@ -221,3 +221,36 @@ def test_sharded_ivf_index_matches(data, strategy):
         cutoff = ra.distances[-1] - (1e-4 + 1e-4 * abs(ra.distances[-1]))
         cmp = ~tied & (ra.distances < cutoff)
         assert list(ra.keys[cmp]) == list(rb.keys[cmp])
+
+
+def test_sharded_cached_strategy_matches(data):
+    """Sharded cached-decode scan returns the same results as the
+    single-chip decode scan (pure placement + storage transform)."""
+    keys, x, queries = data
+    index = build_flat_index(
+        keys, x,
+        pq_config=PQConfig(num_clusters=32, num_quantizers=4, max_iters=10),
+    )
+    index.scan_strategy = "decode"
+    a = index.batch_query(8, queries)
+    index.enable_cache()
+    index.scan_strategy = "cached"
+    sharded = shard_index(index, make_mesh())
+    b = sharded.batch_query(8, queries)
+    for ra, rb in zip(a, b):
+        np.testing.assert_allclose(
+            ra.distances, rb.distances, rtol=2e-2, atol=1e-2
+        )
+        assert len(set(ra.keys) & set(rb.keys)) >= 7  # float-tie slack
+
+
+def test_sharded_cached_requires_cache(data):
+    keys, x, queries = data
+    index = build_flat_index(
+        keys, x,
+        pq_config=PQConfig(num_clusters=32, num_quantizers=4, max_iters=5),
+    )
+    index.scan_strategy = "cached"
+    sharded = shard_index(index, make_mesh())
+    with pytest.raises(ValueError):
+        sharded.batch_query(3, queries[:2])
