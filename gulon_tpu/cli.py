@@ -89,12 +89,32 @@ def build_parser() -> argparse.ArgumentParser:
         default=None,
         help="partitions probed per query (default: max(5%% of partitions, 5))",
     )
+    b.add_argument(
+        "--limit-vectors",
+        type=_positive_int(1),
+        default=None,
+        help="probe nearest partitions until this many candidate vectors "
+        "are covered (LimitVectors strategy; mutually exclusive with "
+        "--limit)",
+    )
     b.add_argument("-o", "--output", required=True, help="output index file")
     b.add_argument("input", help="word2vec-format text file")
 
     q = sub.add_parser("query", help="batch query an index")
     q.add_argument("-k", type=_positive_int(1), default=1)
     q.add_argument("--index", required=True, help="index file")
+    q.add_argument(
+        "--scan-strategy",
+        default=None,
+        help="device scan strategy (flat: auto|decode|lut|cached|pallas; "
+        "partitioned: masked|gathered)",
+    )
+    q.add_argument(
+        "--precision",
+        default=None,
+        choices=["default", "highest"],
+        help="scan matmul precision (default: fast bf16-pass MXU)",
+    )
     q.add_argument("input", help="word2vec-format query file")
 
     w = sub.add_parser(
@@ -126,7 +146,7 @@ def build_parser() -> argparse.ArgumentParser:
 
 def cmd_build_index(args, reporter) -> int:
     from gulon_tpu.models.build import build_flat_index, build_ivf_index
-    from gulon_tpu.models.ivf import LimitGroups
+    from gulon_tpu.models.ivf import LimitGroups, LimitVectors
     from gulon_tpu.models.build import default_limit, default_num_partitions
     from gulon_tpu.models.metric import Metric
     from gulon_tpu.ops.pq import PQConfig
@@ -134,9 +154,17 @@ def cmd_build_index(args, reporter) -> int:
     from gulon_tpu.utils.word2vec import read_word2vec_path
     from gulon_tpu.utils.progress import format_bytes
 
-    if not args.partitioned and (args.partitions or args.limit):
+    if not args.partitioned and (
+        args.partitions or args.limit or args.limit_vectors
+    ):
         reporter.out.write(
-            "error: --partitions/--limit require --partitioned\n"
+            "error: --partitions/--limit/--limit-vectors require "
+            "--partitioned\n"
+        )
+        return 1
+    if args.limit and args.limit_vectors:
+        reporter.out.write(
+            "error: --limit and --limit-vectors are mutually exclusive\n"
         )
         return 1
 
@@ -169,10 +197,15 @@ def cmd_build_index(args, reporter) -> int:
         )
     if args.partitioned:
         num_partitions = args.partitions or default_num_partitions(len(wv))
-        limit = args.limit or default_limit(num_partitions)
+        if args.limit_vectors:
+            strategy = LimitVectors(args.limit_vectors)
+            desc = f"cover {args.limit_vectors} vectors"
+        else:
+            strategy = LimitGroups(args.limit or default_limit(num_partitions))
+            desc = f"probe {strategy.count}"
         with reporter.task(
             f"building partitioned index ({num_partitions} partitions, "
-            f"probe {limit})"
+            f"{desc})"
         ):
             index = build_ivf_index(
                 wv.keys,
@@ -180,7 +213,7 @@ def cmd_build_index(args, reporter) -> int:
                 metric=metric,
                 pq_config=pq_config,
                 num_partitions=num_partitions,
-                strategy=LimitGroups(limit),
+                strategy=strategy,
                 report_fn=kmeans_progress,
             )
     else:
@@ -200,6 +233,10 @@ def cmd_query(args, reporter) -> int:
 
     with reporter.task(f"loading {args.index}"):
         index = load_index(args.index)
+    if getattr(args, "scan_strategy", None):
+        index.scan_strategy = args.scan_strategy
+    if getattr(args, "precision", None):
+        index.precision = args.precision
     with reporter.task(f"reading {args.input}"):
         wv = read_word2vec_path(args.input)
     with reporter.task(f"querying {len(wv)} vectors"):
