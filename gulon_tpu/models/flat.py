@@ -54,6 +54,8 @@ class FlatIndex(Index):
     decoded_cache: Optional[jax.Array] = None  # [N, m*dsub], see enable_cache
     # 0 = codes are [N, m] uint; 2/4 = row-packed uint8 (see pack_memory)
     packed_width: int = 0
+    # query-invariant [m, N] i32 relayout for the pallas kernel, built lazily
+    _pallas_codes_t: Optional[jax.Array] = None
 
     @property
     def key_index(self) -> SortedKeyIndex:
@@ -86,7 +88,11 @@ class FlatIndex(Index):
         k_eff = min(k, self.size)
         strategy = self.scan_strategy
         if strategy == "auto":
-            strategy = "lut" if q.shape[0] <= _AUTO_LUT_MAX_QUERIES else "decode"
+            small = q.shape[0] <= _AUTO_LUT_MAX_QUERIES
+            # lut needs unpacked codes; packed indices stay on decode
+            strategy = (
+                "lut" if small and not self.packed_width else "decode"
+            )
         if strategy == "decode":
             dists, ids = scan_ops.adc_scan_decode(
                 q,
@@ -154,14 +160,19 @@ class FlatIndex(Index):
                 return dataclasses.replace(
                     self, scan_strategy="decode"
                 ).query_arrays(k, vectors)
+            if self._pallas_codes_t is None:
+                self._pallas_codes_t = jnp.asarray(
+                    np.asarray(self.codes, np.int32).T
+                )
             dists, ids = adc_scan_pallas(
                 q,
                 self.pq.codebooks,
-                self.codes,
+                self._pallas_codes_t,
                 self.recon_norms,
                 bounds=self.pq.bounds,
                 k=k_eff,
-                interpret=jax.default_backend() == "cpu",
+                num_rows=self.size,
+                interpret=jax.default_backend() != "tpu",
             )
         else:
             raise ValueError(f"unknown scan strategy {strategy!r}")
@@ -188,7 +199,7 @@ class FlatIndex(Index):
             )
         m, dsub = self.pq.num_quantizers, self.pq.pad_width
         parts = []
-        codes = np.asarray(self.codes)
+        codes = np.asarray(self._unpacked_codes())
         for start in range(0, self.size, chunk):
             ci = jnp.asarray(codes[start : start + chunk], jnp.int32)
             # "auto": one-hot only while the [chunk, m, K] operand is sane

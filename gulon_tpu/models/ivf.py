@@ -303,8 +303,15 @@ class IVFIndex(Index):
             if isinstance(self.strategy, LimitGroups):
                 num_probe = min(self.strategy.count, self.num_partitions)
             else:
-                # LimitVectors: probe the mask's max set size (static bound)
-                num_probe = int(np.asarray(probe_mask.sum(axis=1)).max())
+                # LimitVectors: probe the mask's max set size. num_probe is
+                # a static jit argument, so round up to the next power of
+                # two — probe counts vary per batch and unbucketed values
+                # would recompile the scan on every new maximum.
+                raw = int(np.asarray(probe_mask.sum(axis=1)).max())
+                num_probe = 1
+                while num_probe < raw:
+                    num_probe *= 2
+                num_probe = min(num_probe, self.num_partitions)
             # the num_probe nearest centroids, best first; queries with
             # smaller probe sets (LimitVectors) mark unused slots -1
             masked_cdist = jnp.where(probe_mask, cdist, jnp.inf)

@@ -56,15 +56,21 @@ _K_LANES = 128  # winner buffers are padded to the TPU lane width
 def _pick_tile_rows(num_q: int, k_codes: int, m: int, dsub: int) -> int:
     """Largest row tile whose VMEM working set stays comfortable.
 
-    Budget accounts for the scores scratch plus the extraction temps
-    (lane iota + masks), which Mosaic also places on the kernel stack.
+    Budget accounts for the scores scratch, the extraction temps (lane
+    iota + masks) and the decode scratch (lanes pad to 128) — all live on
+    the kernel stack.
     """
     budget = 5 * 1024 * 1024
+    mdsub_lanes = -(-(m * dsub) // 128) * 128
     for t in (4096, 2048, 1024, 512, 256):
         scores = 4 * num_q * t
         iota = 4 * num_q * t
         onehot = 4 * t * k_codes
-        if scores + iota + onehot < 2 * budget and scores + onehot < budget:
+        dec = 4 * t * mdsub_lanes
+        if (
+            scores + iota + onehot + dec < 2 * budget
+            and scores + onehot + dec < budget
+        ):
             return t
     return 256
 
@@ -175,23 +181,27 @@ def _adc_tile_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("bounds", "k", "tile_rows", "interpret"),
+    static_argnames=("bounds", "k", "tile_rows", "interpret", "num_rows"),
 )
 def adc_scan_pallas(
     queries: jax.Array,  # [Q, D] f32
     codebooks: jax.Array,  # [m, K, dsub] f32 (zero-padded subspaces)
-    codes: jax.Array,  # [N, m] uint
+    codes: jax.Array,  # [N, m] uint — or pretransposed [m, N] i32 when
+    #                    num_rows is given (the relayout is query-invariant;
+    #                    callers can cache it, see FlatIndex)
     recon_norms: jax.Array,  # [N] f32
     *,
     bounds,
     k: int,
     tile_rows: int = 0,  # 0 = auto
     interpret: bool = False,
+    num_rows: int = 0,  # >0: codes is pretransposed [m, num_rows] i32
 ) -> Tuple[jax.Array, jax.Array]:
     """Fused-kernel ADC scan. Returns ([Q, k] dists asc, [Q, k] ids)."""
     num_q, _ = queries.shape
     m, k_codes, dsub = codebooks.shape
-    n = codes.shape[0]
+    pretransposed = num_rows > 0
+    n = num_rows if pretransposed else codes.shape[0]
     if k_codes > 1024:
         raise ValueError(
             f"pallas ADC kernel supports K <= 1024, got {k_codes}"
@@ -216,13 +226,24 @@ def adc_scan_pallas(
     qn = sq_norms(queries)
 
     n_pad = (-n) % t
-    codes_i = codes.astype(jnp.int32)
+    if pretransposed:
+        codes_t = codes
+        if codes_t.shape[1] % t:
+            codes_t = jnp.pad(
+                codes_t, ((0, 0), (0, (-codes_t.shape[1]) % t))
+            )
+    else:
+        codes_i = codes.astype(jnp.int32)
+        if n_pad:
+            codes_i = jnp.pad(codes_i, ((0, n_pad), (0, 0)))
+        codes_t = codes_i.T  # [m, N'] — lane axis rows: no lane padding
     norms = recon_norms.astype(jnp.float32)
-    if n_pad:
-        codes_i = jnp.pad(codes_i, ((0, n_pad), (0, 0)))
-        norms = jnp.pad(norms, (0, n_pad), constant_values=_BIG)
-    n_tiles = codes_i.shape[0] // t
-    codes_t = codes_i.T  # [m, N'] — lane axis is rows: no lane padding
+    if norms.shape[0] < codes_t.shape[1]:
+        norms = jnp.pad(
+            norms, (0, codes_t.shape[1] - norms.shape[0]),
+            constant_values=_BIG,
+        )
+    n_tiles = codes_t.shape[1] // t
     cb_t = jnp.transpose(codebooks, (0, 2, 1))  # [m, dsub, K]: K on lanes
 
     kernel = functools.partial(

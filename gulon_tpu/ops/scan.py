@@ -45,7 +45,7 @@ DEFAULT_TILE_ROWS = 16384
 # MXU passes for exact-parity comparisons (tests, recall audits).
 _PRECISIONS = {
     "default": None,
-    "highest": __import__("jax").lax.Precision.HIGHEST,
+    "highest": jax.lax.Precision.HIGHEST,
 }
 
 
@@ -89,31 +89,70 @@ def _streaming_topk(
     """
 
     if topk_impl == "approx":
-        kk = min(k, tile_rows)  # per-tile winners; final reduce restores k
+        kk = min(k, tile_rows)  # per-tile winners from the PartialReduce
+        stack_bytes = n_tiles * num_queries * kk * 8
 
-        def body(_, inp):
+        if stack_bytes <= 64 * 1024 * 1024:
+            # fast path: stack every tile's winners, one exact reduce at
+            # the end (a per-tile merge costs ~2x in scan throughput)
+            def body(_, inp):
+                tile_idx, tile_xs = inp
+                d = dist_tile_fn(tile_xs)  # [Q, T]
+                vals, pos = jax.lax.approx_min_k(
+                    d, kk, recall_target=recall_target
+                )
+                ids = tile_idx * tile_rows + pos.astype(jnp.int32)
+                return None, (vals, ids)
+
+            tile_indices = jnp.arange(n_tiles, dtype=jnp.int32)
+            _, (all_vals, all_ids) = jax.lax.scan(
+                body, None, (tile_indices, xs)
+            )
+            width = n_tiles * kk
+            cand_d = jnp.transpose(all_vals, (1, 0, 2)).reshape(
+                num_queries, width
+            )
+            cand_i = jnp.transpose(all_ids, (1, 0, 2)).reshape(
+                num_queries, width
+            )
+            kf = min(k, width)  # k can exceed a small shard's candidates
+            best_d, pos = smallest_k(cand_d, kf)
+            best_i = jnp.take_along_axis(cand_i, pos, axis=1)
+            if kf < k:
+                pad = k - kf
+                best_d = jnp.pad(
+                    best_d, ((0, 0), (0, pad)), constant_values=jnp.inf
+                )
+                best_i = jnp.pad(
+                    best_i, ((0, 0), (0, pad)), constant_values=-1
+                )
+            best_i = jnp.where(jnp.isinf(best_d), -1, best_i)
+            return best_d, best_i
+
+        # huge corpora: O(Q*k) carry, merging each tile's winners (memory
+        # stays corpus-size independent at ~2x scan-cost)
+        def body(carry, inp):
+            best_d, best_i = carry
             tile_idx, tile_xs = inp
             d = dist_tile_fn(tile_xs)  # [Q, T]
             vals, pos = jax.lax.approx_min_k(
                 d, kk, recall_target=recall_target
             )
             ids = tile_idx * tile_rows + pos.astype(jnp.int32)
-            return None, (vals, ids)
+            cand_d = jnp.concatenate([best_d, vals], axis=1)
+            cand_i = jnp.concatenate([best_i, ids], axis=1)
+            mv, mp = smallest_k(cand_d, k)
+            mi = jnp.take_along_axis(cand_i, mp, axis=1)
+            return (mv, mi), None
 
+        init = (
+            jnp.full((num_queries, k), jnp.inf, jnp.float32),
+            jnp.full((num_queries, k), -1, jnp.int32),
+        )
         tile_indices = jnp.arange(n_tiles, dtype=jnp.int32)
-        _, (all_vals, all_ids) = jax.lax.scan(
-            body, None, (tile_indices, xs)
+        (best_d, best_i), _ = jax.lax.scan(
+            body, init, (tile_indices, xs)
         )
-        # [n_tiles, Q, kk] -> [Q, n_tiles*kk] -> exact final reduce
-        cand_d = jnp.transpose(all_vals, (1, 0, 2)).reshape(
-            num_queries, n_tiles * kk
-        )
-        cand_i = jnp.transpose(all_ids, (1, 0, 2)).reshape(
-            num_queries, n_tiles * kk
-        )
-        best_d, pos = smallest_k(cand_d, k)
-        best_i = jnp.take_along_axis(cand_i, pos, axis=1)
-        # padding rows carry +inf distances; keep the -1 sentinel for them
         best_i = jnp.where(jnp.isinf(best_d), -1, best_i)
         return best_d, best_i
 

@@ -155,37 +155,18 @@ def _sharded_ivf_scan(
     topk_impl: str = "approx",
     recall_target: float = 0.95,
 ):
+    from gulon_tpu.models.ivf import _ivf_scan
+
     local_n = codes.shape[0] // mesh.shape[ROWS]
 
     def shard_fn(q, cb, codes_loc, rc_loc, gid_loc, gt, pm):
-        num_q = q.shape[0]
-        m, _, dsub = cb.shape
-        tr = min(tile_rows, max(codes_loc.shape[0], 1))
-        qs = split_subspaces(q, bounds, dsub)
-        q_pad = jnp.transpose(qs, (1, 0, 2)).reshape(num_q, m * dsub)
-        qn = sq_norms(q)
-        code_tiles = scan_ops._tile(codes_loc, tr)
-        const_tiles = scan_ops._tile(rc_loc, tr, pad_value=jnp.inf)
-        gid_tiles = scan_ops._tile(gid_loc, tr)
-
-        def dist_tile(inp):
-            ct, rc, gid = inp
-            ci = ct.astype(jnp.int32)
-            dec = scan_ops.decode_tile(cb, ci, "auto", precision)
-            ip = jnp.matmul(
-                q_pad, dec.T,
-                preferred_element_type=jnp.float32,
-                precision=scan_ops.resolve_precision(precision),
-            )
-            gt_rows = jnp.take(gt, gid, axis=1)
-            pm_rows = jnp.take(pm, gid, axis=1)
-            d = qn[:, None] + rc[None, :] + gt_rows - 2.0 * ip
-            return jnp.where(pm_rows, d, jnp.inf)
-
-        d, ids = scan_ops._streaming_topk(
-            dist_tile, code_tiles.shape[0], tr, num_q, k,
-            (code_tiles, const_tiles, gid_tiles),
-            topk_impl=topk_impl, recall_target=recall_target,
+        # the single-chip masked scan runs per shard (jit-in-shard_map
+        # inlines); only the id globalization + ICI merge are added here
+        d, ids = _ivf_scan(
+            q, cb, codes_loc, rc_loc, gid_loc, gt, pm,
+            bounds=bounds, k=k, tile_rows=tile_rows,
+            precision=precision, topk_impl=topk_impl,
+            recall_target=recall_target,
         )
         return pops._merge_over_rows(
             d, pops._globalize_ids(ids, local_n), k

@@ -91,3 +91,31 @@ def test_cached_strategy_matches_decode():
         )
         # same candidate sets modulo float ties
         assert len(set(ra.keys) & set(rb.keys)) >= 8
+
+
+def test_pallas_high_dim_vmem_budget():
+    """1024-dim corpora must pick a tile that fits VMEM (regression: the
+    budget ignored the decode scratch and Mosaic ran out of VMEM)."""
+    from gulon_tpu.ops.pallas.adc import _pick_tile_rows
+
+    t = _pick_tile_rows(num_q=1, k_codes=256, m=16, dsub=64)
+    # dec scratch 4*t*1024 + scores/iota/onehot must fit the 5 MB budget
+    assert 4 * t * (16 * 64) <= 5 * 1024 * 1024
+
+
+def test_pallas_pretransposed_matches(setup):
+    x, q, pq, codes, norms = setup
+    import numpy as _np
+
+    d_a, i_a = adc_scan_pallas(
+        jnp.asarray(q), pq.codebooks, codes, norms,
+        bounds=pq.bounds, k=10, tile_rows=5120, interpret=True,
+    )
+    codes_t = jnp.asarray(_np.asarray(codes, _np.int32).T)
+    d_b, i_b = adc_scan_pallas(
+        jnp.asarray(q), pq.codebooks, codes_t, norms,
+        bounds=pq.bounds, k=10, tile_rows=5120, interpret=True,
+        num_rows=int(codes.shape[0]),
+    )
+    np.testing.assert_allclose(np.asarray(d_a), np.asarray(d_b), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(i_a), np.asarray(i_b))

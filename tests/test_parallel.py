@@ -254,3 +254,20 @@ def test_sharded_cached_requires_cache(data):
     sharded = shard_index(index, make_mesh())
     with pytest.raises(ValueError):
         sharded.batch_query(3, queries[:2])
+
+
+def test_sharded_k_exceeds_shard_rows():
+    """k larger than rows-per-shard must not crash the approx top-k
+    (regression: the final reduce used to run top_k(k) on a narrower
+    candidate set)."""
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(64, 8)).astype(np.float32)
+    keys = np.array([f"s{i:03d}" for i in range(64)], dtype=np.object_)
+    index = build_flat_index(
+        keys, x,
+        pq_config=PQConfig(num_clusters=8, num_quantizers=2, max_iters=5),
+    )
+    sharded = shard_index(index, make_mesh())  # 8 rows per shard
+    res = sharded.batch_query(40, x[:2])  # 40 > 8 rows/shard
+    assert len(res[0]) == 40
+    assert np.all(np.diff(res[0].distances) >= -1e-6)
