@@ -98,10 +98,19 @@ class Index(abc.ABC):
         dists = np.asarray(dists)
         ids = np.asarray(ids)
         keys = np.asarray(self.key_index.keys, dtype=object)
+        # One vectorized gather for the whole batch (per-query fancy
+        # indexing costs ~0.3 ms/query on a 1-core host at batch 1024)
+        valid = (ids >= 0) & np.isfinite(dists)  # [Q, k]
+        keys_all = keys[np.where(valid, ids, 0)]  # [Q, k] object
         out = []
         for q in range(dists.shape[0]):
             # Drop padding / unprobed slots (id -1 or +inf distance); the
             # reference heap likewise only ever holds scanned candidates.
-            valid = (ids[q] >= 0) & np.isfinite(dists[q])
-            out.append(Result(keys=keys[ids[q][valid]], distances=dists[q][valid]))
+            v = valid[q]
+            if v.all():
+                out.append(Result(keys=keys_all[q], distances=dists[q]))
+            else:
+                out.append(
+                    Result(keys=keys_all[q][v], distances=dists[q][v])
+                )
         return out

@@ -79,3 +79,31 @@ def test_blocked_assignment_matches_unblocked():
     a1 = np.asarray(_assign_blocked(x, c, 50))
     a2 = np.asarray(_assign_blocked(x, c, 1000))
     np.testing.assert_array_equal(a1, a2)
+
+
+def test_degenerate_identical_init_still_improves():
+    """All centroids initialized to the same point: the trajectory must
+    still be monotone non-increasing (ref KMeansSpec:59-72)."""
+    import jax.numpy as jnp
+    from gulon_tpu.ops.kmeans import (
+        _fit_stacked,
+        kmeans_objective,
+    )
+
+    rng = np.random.default_rng(9)
+    x = rng.normal(size=(300, 6)).astype(np.float32)
+    init = np.tile(x[0], (8, 1))[None]  # [1, 8, 6], all identical
+    res = _fit_stacked(
+        jnp.asarray(x)[None],
+        jnp.asarray(init),
+        k=8,
+        max_iters=12,
+        block_rows=128,
+    )
+    c = np.asarray(res.centroids)[0]
+    a = np.asarray(res.assignments)[0]
+    o_end = float(kmeans_objective(x, c, a))
+    o_init = float(
+        kmeans_objective(x, init[0], np.zeros(len(x), np.int32))
+    )
+    assert o_end <= o_init + 1e-5

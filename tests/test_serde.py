@@ -107,3 +107,16 @@ def test_corrupt_file_raises(tmp_path):
     p.write_bytes(b"\x00\x01nonsense\xff" * 10)
     with pytest.raises(Exception):
         load_index(p)
+
+
+def test_build_is_seed_deterministic(data, tmp_path):
+    """Same inputs + same seed -> byte-identical serialized index
+    (reproducible builds, the reference's seeded init/training)."""
+    keys, x = data
+    cfg = PQConfig(num_clusters=16, num_quantizers=4, max_iters=8, seed=7)
+    a = build_flat_index(keys, x, pq_config=cfg)
+    b = build_flat_index(keys, x, pq_config=cfg)
+    pa, pb = tmp_path / "a.idx", tmp_path / "b.idx"
+    save_index(a, pa)
+    save_index(b, pb)
+    assert pa.read_bytes() == pb.read_bytes()
