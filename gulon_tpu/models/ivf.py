@@ -217,6 +217,156 @@ def _ivf_scan_gathered(
     return dists, ids
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "num_probe", "pmax", "qcap", "k", "part_chunk",
+        "topk_impl", "recall_target",
+    ),
+)
+def _ivf_scan_bucketed(
+    queries: jax.Array,      # [Q, D] f32 (already normalized)
+    recon: jax.Array,        # [N + pmax, D] bf16/f32, padded reconstruction
+    recon_norms: jax.Array,  # [N + pmax] f32, +inf on padding
+    starts: jax.Array,       # [P] i32 partition start rows
+    sizes: jax.Array,        # [P] i32 partition sizes
+    probe_ids: jax.Array,    # [Q, L] i32 partitions to probe; -1 = unused
+    *,
+    num_probe: int,
+    pmax: int,
+    qcap: int,
+    k: int,
+    part_chunk: int = 64,
+    topk_impl: str = "exact",
+    recall_target: float = 0.95,
+):
+    """Partition-centric probed scan: queries grouped BY partition.
+
+    The gathered scan (`_ivf_scan_gathered`) duplicates partition reads per
+    probing query; here the (query, probe) pairs are inverted into
+    per-partition query buckets, so every probed partition is read once per
+    batch and scanned against all its queries in one MXU matmul — the
+    FAISS-GPU-style schedule, expressed with static shapes:
+
+      pairs sorted by partition -> rank within partition -> scatter into a
+      [P, qcap] bucket matrix -> chunked scan over partitions ->
+      candidates regrouped per query -> final exact top-k.
+
+    ``qcap`` caps queries per partition per batch; overflow pairs (beyond
+    qcap, counted in the returned overflow scalar) are dropped — size qcap
+    at ~4x the mean pairs/partition to make overflow negligible.
+
+    Returns ([Q, k] dists asc, [Q, k] global ids, overflow count).
+    """
+    num_q, d = queries.shape
+    num_parts = starts.shape[0]
+    qn = sq_norms(queries)
+
+    # --- schedule: invert (query, probe-slot) pairs to partition buckets ---
+    ql = num_q * num_probe
+    q_of_pair = jnp.repeat(jnp.arange(num_q, dtype=jnp.int32), num_probe)
+    p_of_pair = probe_ids.reshape(-1)
+    order = jnp.argsort(p_of_pair, stable=True)
+    p_s = p_of_pair[order]
+    q_s = q_of_pair[order]
+    first_occ = jnp.searchsorted(p_s, p_s, side="left")
+    rank = jnp.arange(ql, dtype=jnp.int32) - first_occ.astype(jnp.int32)
+    valid_pair = (p_s >= 0) & (rank < qcap)
+    overflow = jnp.sum((p_s >= 0) & (rank >= qcap))
+
+    # bucket matrix [P, qcap]: query id probing partition p at slot r
+    buckets = jnp.full((num_parts, qcap), -1, jnp.int32)
+    scat_p = jnp.where(valid_pair, p_s, num_parts)  # OOB -> dropped
+    scat_r = jnp.where(valid_pair, rank, qcap)
+    buckets = buckets.at[scat_p, scat_r].set(q_s, mode="drop")
+
+    # --- chunked partition-centric scan ---
+    n_pad_parts = (-num_parts) % part_chunk
+    starts_p = jnp.pad(starts, (0, n_pad_parts))
+    sizes_p = jnp.pad(sizes, (0, n_pad_parts))
+    buckets_p = jnp.pad(
+        buckets, ((0, n_pad_parts), (0, 0)), constant_values=-1
+    )
+    n_chunks = buckets_p.shape[0] // part_chunk
+    row_iota = jnp.arange(pmax, dtype=jnp.int32)
+    q_safe = jnp.concatenate(
+        [queries, jnp.zeros((1, d), queries.dtype)], axis=0
+    )
+    qn_safe = jnp.concatenate([qn, jnp.zeros((1,), qn.dtype)])
+
+    def scan_chunk(carry, inp):
+        st_c, sz_c, bk_c = inp  # [C], [C], [C, qcap]
+
+        def one_partition(st, sz, bucket):
+            block = jax.lax.dynamic_slice(recon, (st, 0), (pmax, d))
+            bn = jax.lax.dynamic_slice(recon_norms, (st,), (pmax,))
+            qidx = jnp.where(bucket >= 0, bucket, num_q)  # safe gather
+            qb = q_safe[qidx]  # [qcap, D]
+            ip = jnp.matmul(
+                qb.astype(block.dtype),
+                block.T,
+                preferred_element_type=jnp.float32,
+            )  # [qcap, pmax]
+            dist = qn_safe[qidx][:, None] + bn[None, :] - 2.0 * ip
+            col_ok = row_iota[None, :] < sz
+            row_ok = (bucket >= 0)[:, None]
+            dist = jnp.where(col_ok & row_ok, dist, jnp.inf)
+            kk_p = min(k, pmax)
+            if topk_impl == "approx" and pmax >= 256:
+                kv, kp = jax.lax.approx_min_k(
+                    dist, kk_p, recall_target=recall_target
+                )
+                kp = kp.astype(jnp.int32)
+            else:
+                kv, kp = smallest_k(dist, kk_p)
+            return kv, st + kp  # global ids
+
+        kv, ki = jax.vmap(one_partition)(st_c, sz_c, bk_c)
+        return carry, (kv, ki)
+
+    st_c = starts_p.reshape(n_chunks, part_chunk)
+    sz_c = sizes_p.reshape(n_chunks, part_chunk)
+    bk_c = buckets_p.reshape(n_chunks, part_chunk, qcap)
+    _, (all_v, all_i) = jax.lax.scan(scan_chunk, None, (st_c, sz_c, bk_c))
+    kk = min(k, pmax)
+    # [n_chunks, C, qcap, kk] -> flat bucket-slot candidates
+    cand_v = all_v.reshape(num_parts + n_pad_parts, qcap, kk)
+    cand_i = all_i.reshape(num_parts + n_pad_parts, qcap, kk)
+
+    # --- regroup candidates per query ---
+    inv_order = jnp.argsort(order)  # original pair -> sorted position
+    slot_flat = jnp.where(
+        valid_pair, p_s * qcap + rank, num_parts * qcap
+    )  # invalid -> OOB sentinel
+    pair_slots = slot_flat[inv_order].reshape(num_q, num_probe)
+    cv_flat = jnp.concatenate(
+        [
+            cand_v.reshape(-1, kk),
+            jnp.full((1, kk), jnp.inf, jnp.float32),
+        ]
+    )
+    ci_flat = jnp.concatenate(
+        [cand_i.reshape(-1, kk), jnp.full((1, kk), -1, jnp.int32)]
+    )
+    safe_slots = jnp.where(
+        pair_slots >= (num_parts + n_pad_parts) * qcap,
+        cv_flat.shape[0] - 1,
+        pair_slots,
+    )
+    per_q_v = cv_flat[safe_slots].reshape(num_q, num_probe * kk)
+    per_q_i = ci_flat[safe_slots].reshape(num_q, num_probe * kk)
+    kf = min(k, num_probe * kk)
+    best_d, pos = smallest_k(per_q_v, kf)
+    best_i = jnp.take_along_axis(per_q_i, pos, axis=1)
+    if kf < k:
+        best_d = jnp.pad(
+            best_d, ((0, 0), (0, k - kf)), constant_values=jnp.inf
+        )
+        best_i = jnp.pad(best_i, ((0, 0), (0, k - kf)), constant_values=-1)
+    best_i = jnp.where(jnp.isinf(best_d), -1, best_i)
+    return best_d, best_i, overflow
+
+
 @dataclasses.dataclass
 class IVFIndex(Index):
     _key_index: GroupedKeyIndex
@@ -233,8 +383,13 @@ class IVFIndex(Index):
     recall_target: float = 0.95
     # "masked" = single masked full scan (default; best for large batches);
     # "gathered" = per-query partition slices over a cached reconstruction
-    # (sublinear in corpus size; best for latency / small batches)
+    # (sublinear in corpus size; best for latency / small batches);
+    # "bucketed" = partition-centric schedule: every probed partition read
+    # once per batch and matmul'd against all its probing queries — the
+    # large-batch sublinear path (overflowed pairs counted in
+    # self.last_overflow; near-exact at the default qcap)
     scan_strategy: str = "masked"
+    last_overflow: int = 0
     recon_cache: Optional[jax.Array] = None  # [N + pmax, D], see enable_cache
     recon_norms_cache: Optional[jax.Array] = None  # [N + pmax] f32
 
@@ -295,7 +450,7 @@ class IVFIndex(Index):
             raise ValueError(f"unknown strategy {self.strategy!r}")
 
         k_eff = min(k, self.size)
-        if self.scan_strategy == "gathered":
+        if self.scan_strategy in ("gathered", "bucketed"):
             if self.recon_cache is None:
                 self.enable_cache()
             sizes_np = self.partition_sizes()
@@ -324,19 +479,42 @@ class IVFIndex(Index):
             ).astype(np.int32)
             # the gathered candidate pool holds num_probe*pmax rows
             k_g = min(k_eff, num_probe * pmax)
-            dists, ids = _ivf_scan_gathered(
-                q,
-                self.recon_cache,
-                self.recon_norms_cache,
-                jnp.asarray(starts),
-                jnp.asarray(sizes_np),
-                probe_ids,
-                num_probe=num_probe,
-                pmax=pmax,
-                k=k_g,
-                topk_impl=self.topk_impl,
-                recall_target=self.recall_target,
-            )
+            if self.scan_strategy == "bucketed":
+                num_q = int(q.shape[0])
+                mean_pairs = max(
+                    1, (num_q * num_probe) // max(self.num_partitions, 1)
+                )
+                qcap = min(max(8, 4 * mean_pairs), num_q)
+                qcap = -(-qcap // 8) * 8  # sublane multiple
+                dists, ids, overflow = _ivf_scan_bucketed(
+                    q,
+                    self.recon_cache,
+                    self.recon_norms_cache,
+                    jnp.asarray(starts),
+                    jnp.asarray(sizes_np),
+                    probe_ids,
+                    num_probe=num_probe,
+                    pmax=pmax,
+                    qcap=qcap,
+                    k=k_g,
+                    topk_impl=self.topk_impl,
+                    recall_target=self.recall_target,
+                )
+                self.last_overflow = int(overflow)
+            else:
+                dists, ids = _ivf_scan_gathered(
+                    q,
+                    self.recon_cache,
+                    self.recon_norms_cache,
+                    jnp.asarray(starts),
+                    jnp.asarray(sizes_np),
+                    probe_ids,
+                    num_probe=num_probe,
+                    pmax=pmax,
+                    k=k_g,
+                    topk_impl=self.topk_impl,
+                    recall_target=self.recall_target,
+                )
             if k_g < k_eff:  # pad to the requested width (inf/-1 slots)
                 pad = k_eff - k_g
                 dists = jnp.pad(dists, ((0, 0), (0, pad)),
@@ -345,7 +523,8 @@ class IVFIndex(Index):
             return dists, ids
         if self.scan_strategy != "masked":
             raise ValueError(
-                f"unknown ivf scan strategy {self.scan_strategy!r}"
+                f"unknown ivf scan strategy {self.scan_strategy!r} "
+                "(expected masked|gathered|bucketed)"
             )
         dists, ids = _ivf_scan(
             q,

@@ -177,3 +177,36 @@ def test_gathered_rejects_bogus_strategy():
     index.scan_strategy = "compacted"
     with pytest.raises(ValueError):
         index.query(3, x[0])
+
+
+def test_bucketed_strategy_matches_masked():
+    """Partition-centric bucketed scan returns the masked scan's results
+    (same probed-partition semantics; zero overflow at default qcap)."""
+    from generators import planted_clusters, random_keys
+    from gulon_tpu.models.build import build_ivf_index
+    from gulon_tpu.models.ivf import LimitGroups, LimitVectors
+    from gulon_tpu.ops.pq import PQConfig
+
+    rng = np.random.default_rng(23)
+    x, _, _ = planted_clusters(rng, 6000, 24, 12, scale=0.3)
+    keys = random_keys(rng, 6000)
+    for strategy in (LimitGroups(4), LimitVectors(900)):
+        index = build_ivf_index(
+            keys, x,
+            pq_config=PQConfig(
+                num_clusters=32, num_quantizers=6, max_iters=8
+            ),
+            num_partitions=20,
+            strategy=strategy,
+        )
+        q = (x[:32] + rng.normal(0, 0.02, (32, 24))).astype(np.float32)
+        a = index.batch_query(8, q)
+        index.scan_strategy = "bucketed"
+        index.topk_impl = "exact"
+        b = index.batch_query(8, q)
+        assert index.last_overflow == 0
+        for ra, rb in zip(a, b):
+            np.testing.assert_allclose(
+                ra.distances, rb.distances, rtol=2e-2, atol=1e-2
+            )
+            assert set(ra.keys) == set(rb.keys)
