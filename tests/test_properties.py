@@ -141,3 +141,65 @@ def test_grouped_keyindex_lookup_total(groups, probe):
         assert keys[got] == probe
     else:
         assert got is None
+
+
+@_SET
+@given(
+    width=st.sampled_from([2, 4]),
+    n=st.integers(1, 80),
+    m=st.integers(1, 12),
+    data=st.data(),
+)
+def test_pack_rows_roundtrip_property(width, n, m, data):
+    """In-HBM row packing inverts for any (n, m, width)."""
+    import jax.numpy as jnp
+
+    from gulon_tpu.ops.scan import pack_rows, unpack_tile
+
+    codes = np.asarray(
+        data.draw(
+            st.lists(
+                st.lists(
+                    st.integers(0, (1 << width) - 1),
+                    min_size=m,
+                    max_size=m,
+                ),
+                min_size=n,
+                max_size=n,
+            )
+        ),
+        dtype=np.uint8,
+    )
+    packed = pack_rows(jnp.asarray(codes), width)
+    assert packed.shape == (n, -(-m * width // 8))
+    got = np.asarray(unpack_tile(packed, m, width))
+    np.testing.assert_array_equal(got, codes)
+
+
+@_SET
+@given(
+    rows=st.lists(
+        st.lists(
+            st.floats(-100, 100, allow_nan=False, width=32),
+            min_size=4,
+            max_size=4,
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_normalize_rows_property(rows):
+    """Unit norms for nonzero rows; zero rows unchanged (no NaNs) —
+    the Cosine ingest transform (ref MathUtils.normalize)."""
+    import jax.numpy as jnp
+
+    from gulon_tpu.ops.distance import normalize_rows
+
+    x = np.asarray(rows, np.float32)
+    out = np.asarray(normalize_rows(jnp.asarray(x)))
+    assert not np.isnan(out).any()
+    norms_in = np.linalg.norm(x, axis=1)
+    norms_out = np.linalg.norm(out, axis=1)
+    nz = norms_in > 1e-6
+    np.testing.assert_allclose(norms_out[nz], 1.0, rtol=1e-4)
+    np.testing.assert_array_equal(out[~nz], x[~nz])
