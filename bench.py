@@ -45,7 +45,8 @@ def main():
     import jax.numpy as jnp
 
     from gulon_tpu.ops.pq import PQConfig, train_product_quantizer
-    from gulon_tpu.ops.scan import adc_scan_decode, exact_scan
+    from gulon_tpu.ops.scan import adc_scan_decode, exact_scan, rescore_exact
+    from gulon_tpu.ops.pallas.adc import adc_scan_pallas
 
     n, d = 400_000, 100
     m, k_codes = 8, 256
@@ -73,46 +74,69 @@ def main():
     build_s = time.monotonic() - t_build0
 
     q_pool_dev = q_pool
+    # the serving path: the fused Pallas kernel (FlatIndex auto strategy on
+    # TPU); codes pretransposed once, like FlatIndex caches them
+    codes_t = jnp.asarray(np.asarray(codes, np.int32).T)
+    n_rows = int(codes.shape[0])
+
+    k_scan = 4 * topk  # over-fetch width for the optional rerank extra
 
     def query_step(q):
-        return adc_scan_decode(
-            q, pq.codebooks, codes, norms, bounds=pq.bounds, k=topk
+        return adc_scan_pallas(
+            q, pq.codebooks, codes_t, norms,
+            bounds=pq.bounds, k=topk, num_rows=n_rows,
         )
 
     import functools
 
-    @functools.partial(jax.jit, static_argnames=("iters",))
-    def bench_loop(q_pool_dev, codes, norms, iters):
+    @functools.partial(jax.jit, static_argnames=("iters", "path"))
+    def bench_loop(q_pool_dev, codes_op, norms, iters, path):
         def body(i, acc):
             start = (i % pool_batches) * n_queries
             q = jax.lax.dynamic_slice_in_dim(q_pool_dev, start, n_queries, 0)
             # fold acc in so iterations form a dependency chain
-            d_, i_ = adc_scan_decode(
-                q + acc * 1e-30,
-                pq.codebooks,
-                codes,
-                norms,
-                bounds=pq.bounds,
-                k=topk,
-            )
+            if path == "pallas":
+                _, cand = adc_scan_pallas(
+                    q + acc * 1e-30, pq.codebooks, codes_op, norms,
+                    bounds=pq.bounds, k=k_scan, num_rows=n_rows,
+                )
+                d_, i_ = rescore_exact(
+                    q, pq.codebooks, codes, norms, cand,
+                    bounds=pq.bounds, k=topk,
+                )
+            elif path == "pallas_raw":
+                d_, i_ = adc_scan_pallas(
+                    q + acc * 1e-30, pq.codebooks, codes_op, norms,
+                    bounds=pq.bounds, k=topk, num_rows=n_rows,
+                )
+            else:
+                d_, i_ = adc_scan_decode(
+                    q + acc * 1e-30, pq.codebooks, codes_op, norms,
+                    bounds=pq.bounds, k=topk,
+                )
             return acc + d_[0, 0] + jnp.float32(jnp.sum(i_[:1, :1]))
         return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
 
-    iters = 16
-    _ = float(bench_loop(q_pool_dev, codes, norms, iters))  # compile
-    _ = float(bench_loop(q_pool_dev, codes, norms, 1))
-    # best-of-3 two-point measurements: the tunnel adds multi-ms jitter
-    # per readback, and min-of-medians is the standard robust estimator
-    estimates = []
-    for _rep in range(3):
-        t0 = time.perf_counter()
-        _ = float(bench_loop(q_pool_dev, codes, norms, iters))
-        t_many = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        _ = float(bench_loop(q_pool_dev, codes, norms, 1))
-        t_one = time.perf_counter() - t0
-        estimates.append((t_many - t_one) / (iters - 1))
-    per_batch = max(min(estimates), 1e-9)
+    def measure(codes_op, path):
+        iters = 16
+        _ = float(bench_loop(q_pool_dev, codes_op, norms, iters, path))
+        _ = float(bench_loop(q_pool_dev, codes_op, norms, 1, path))
+        # best-of-3 two-point measurements: the tunnel adds multi-ms jitter
+        # per readback, and min-of-medians is the standard robust estimator
+        estimates = []
+        for _rep in range(3):
+            t0 = time.perf_counter()
+            _ = float(bench_loop(q_pool_dev, codes_op, norms, iters, path))
+            t_many = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            _ = float(bench_loop(q_pool_dev, codes_op, norms, 1, path))
+            t_one = time.perf_counter() - t0
+            estimates.append((t_many - t_one) / (iters - 1))
+        return max(min(estimates), 1e-9)
+
+    per_batch = measure(codes_t, "pallas_raw")
+    per_batch_rerank = measure(codes_t, "pallas")
+    per_batch_decode = measure(codes, "decode")
     us_per_query = per_batch / n_queries * 1e6
     qps = n_queries / per_batch
 
@@ -145,11 +169,17 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "batched ADC per-query latency, 400k x 100d, PQ 8x256, batch 1024, top-10",
+                "metric": "batched ADC per-query latency (fused Pallas scan), 400k x 100d, PQ 8x256, batch 1024, top-10",
                 "value": round(us_per_query, 3),
                 "unit": "us_per_query",
                 "vs_baseline": round(5000.0 / us_per_query, 1),
                 "qps_per_chip": round(qps, 1),
+                "xla_decode_us_per_query": round(
+                    per_batch_decode / n_queries * 1e6, 3
+                ),
+                "rerank4_us_per_query": round(
+                    per_batch_rerank / n_queries * 1e6, 3
+                ),
                 "recall_at_10_vs_exact": round(recall, 4),
                 "recall_at_10_pq_ceiling": round(recall_ceiling, 4),
                 "scan_efficiency": round(recall / max(recall_ceiling, 1e-9), 4),

@@ -1,0 +1,263 @@
+"""Bisection probe for the fused ADC kernel: times stripped-down variants
+to find the dominating stage. Dev tool, not part of the benchmark suite."""
+
+import functools
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import os
+
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    from gulon_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from benchmarks.common import time_device_loop
+
+    n, m, K, dsub, mdp = 400_000, 8, 256, 13, 128
+    num_q, qt, t = 1024, 512, 2048
+    npad = -(-n // t) * t
+    n_rt, n_qt, nblk = npad // t, num_q // qt, t // 128
+    _INT_BIG = 2**30
+
+    key = jax.random.key(0)
+    codes_t = jax.random.randint(key, (m, npad), 0, K, jnp.int32)
+    norms = jax.random.uniform(key, (1, npad), jnp.float32)
+    q_pad = jax.random.normal(key, (num_q, mdp), jnp.float32).astype(
+        jnp.bfloat16
+    )
+    cb = jax.random.normal(key, (m, K, dsub), jnp.float32).astype(jnp.bfloat16)
+
+    def make_tdec(variant):
+        """Variant A: transposed decode (decT [mdp, T]) + sublane block-min
+        with a packed (score, row) key — no lane relayout anywhere."""
+
+        def kern(codes_ref, normsT_ref, q_ref, cbT_ref, vals_ref, ids_ref,
+                 decT_ref):
+            rt_idx = pl.program_id(0)
+            qt_idx = pl.program_id(1)
+
+            @pl.when(qt_idx == 0)
+            def _():
+                decT_ref[:] = jnp.zeros((mdp, t), jnp.bfloat16)
+                row_iota = jax.lax.broadcasted_iota(jnp.int32, (K, t), 0)
+                for s in range(m):
+                    onehotT = (
+                        codes_ref[s, :].reshape(1, t) == row_iota
+                    ).astype(jnp.bfloat16)  # [K, T]
+                    # [dsub, K] x [K, T] -> [dsub, T]: M=dsub rows only
+                    decT_ref[s * dsub : (s + 1) * dsub, :] = (
+                        jax.lax.dot_general(
+                            cbT_ref[s], onehotT,
+                            dimension_numbers=(((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        ).astype(jnp.bfloat16)
+                    )
+
+            ipt = jax.lax.dot_general(
+                decT_ref[:], q_ref[:],
+                dimension_numbers=(((0,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [T, QT]
+            scores = normsT_ref[:, 0].reshape(t, 1) - 2.0 * ipt
+
+            # pack (monotone score bits | row-in-block) into one int32 key
+            bits = pltpu.bitcast(scores, jnp.int32)
+            ukey = jnp.where(
+                bits < 0, ~bits, bits | jnp.int32(-(2**31))
+            )
+            skey = ukey ^ jnp.int32(-(2**31))
+            row_in_blk = (
+                jax.lax.broadcasted_iota(jnp.int32, (t, qt), 0) & 127
+            )
+            packed = (skey & jnp.int32(~127)) | row_in_blk
+            pmin = jnp.min(packed.reshape(nblk, 128, qt), axis=1)
+
+            lane = pmin & 127
+            s2 = pmin
+            bits2 = jnp.where(s2 >= 0, s2, ~(s2 ^ jnp.int32(-(2**31))))
+            blk_base = jax.lax.broadcasted_iota(jnp.int32, (nblk, qt), 0)
+            vals_ref[:] = pltpu.bitcast(bits2, jnp.float32)
+            ids_ref[:] = rt_idx * t + blk_base * 128 + lane
+
+        @jax.jit
+        def run(codes_t, norms, q_pad, cb):
+            return pl.pallas_call(
+                kern,
+                grid=(n_rt, n_qt),
+                in_specs=[
+                    pl.BlockSpec((m, t), lambda r, q: (0, r),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((t, 1), lambda r, q: (r, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((qt, mdp), lambda r, q: (q, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec(memory_space=pltpu.VMEM),
+                ],
+                out_specs=(
+                    pl.BlockSpec((nblk, qt), lambda r, q: (r, q),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((nblk, qt), lambda r, q: (r, q),
+                                 memory_space=pltpu.VMEM),
+                ),
+                out_shape=(
+                    jax.ShapeDtypeStruct((n_rt * nblk, num_q), jnp.float32),
+                    jax.ShapeDtypeStruct((n_rt * nblk, num_q), jnp.int32),
+                ),
+                scratch_shapes=[pltpu.VMEM((mdp, t), jnp.bfloat16)],
+            )(
+                codes_t,
+                norms.reshape(-1, 1),
+                q_pad,
+                jnp.transpose(cb, (0, 2, 1)),  # [m, dsub, K]
+            )
+
+        return run
+
+    def make(variant):
+        if variant == "tdec_packed":
+            return make_tdec(variant)
+
+        def kern(codes_ref, norms_ref, q_ref, cb_ref, vals_ref, ids_ref,
+                 dec_ref):
+            rt_idx = pl.program_id(0)
+            qt_idx = pl.program_id(1)
+
+            if variant != "grid_only":
+                @pl.when(qt_idx == 0)
+                def _():
+                    dec_ref[:] = jnp.zeros((t, mdp), jnp.bfloat16)
+                    col_iota = jax.lax.broadcasted_iota(
+                        jnp.int32, (t, K), 1
+                    )
+                    for s in range(m):
+                        onehot = (
+                            codes_ref[s, :].reshape(t, 1) == col_iota
+                        ).astype(jnp.bfloat16)
+                        dec_ref[:, s * dsub : (s + 1) * dsub] = (
+                            jax.lax.dot_general(
+                                onehot, cb_ref[s],
+                                dimension_numbers=(((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                            ).astype(jnp.bfloat16)
+                        )
+
+            if variant in ("decode_only", "grid_only"):
+                vals_ref[:] = jnp.zeros((nblk, qt), jnp.float32)
+                ids_ref[:] = jnp.zeros((nblk, qt), jnp.int32)
+                return
+
+            ip = jax.lax.dot_general(
+                q_ref[:], dec_ref[:],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            scores = norms_ref[0, :].reshape(1, t) - 2.0 * ip
+
+            if variant == "no_select":
+                # cheap fake write depending on scores, no block-min
+                vals_ref[:] = jax.lax.dot_general(
+                    jnp.ones((nblk, qt), jnp.float32),
+                    jnp.zeros((qt, qt), jnp.float32),
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) + scores[0, 0]
+                ids_ref[:] = jnp.zeros((nblk, qt), jnp.int32)
+                return
+
+            if variant == "packed_lane":
+                bits = pltpu.bitcast(scores, jnp.int32)
+                ukey = jnp.where(
+                    bits < 0, ~bits, bits | jnp.int32(-(2**31))
+                )
+                skey = ukey ^ jnp.int32(-(2**31))
+                lane_iota = (
+                    jax.lax.broadcasted_iota(jnp.int32, (qt, t), 1) & 127
+                )
+                packed = (skey & jnp.int32(~127)) | lane_iota
+                pmin = jnp.min(packed.reshape(qt, nblk, 128), axis=2)
+                lane = pmin & 127
+                bits2 = jnp.where(
+                    pmin >= 0, pmin, ~(pmin ^ jnp.int32(-(2**31)))
+                )
+                blk_base = jax.lax.broadcasted_iota(
+                    jnp.int32, (qt, nblk), 1
+                )
+                vals_ref[:] = pltpu.bitcast(bits2, jnp.float32).T
+                ids_ref[:] = (rt_idx * t + blk_base * 128 + lane).T
+                return
+
+            sview = scores.reshape(qt, nblk, 128)
+            bmin = jnp.min(sview, axis=2)
+            if variant == "min_only":
+                vals_ref[:] = bmin.T
+                ids_ref[:] = jnp.zeros((nblk, qt), jnp.int32)
+                return
+            in_lane = jax.lax.broadcasted_iota(
+                jnp.int32, (qt, nblk, 128), 2
+            )
+            pos = jnp.min(
+                jnp.where(
+                    sview <= bmin[:, :, None], in_lane, jnp.int32(_INT_BIG)
+                ),
+                axis=2,
+            )
+            blk_base = jax.lax.broadcasted_iota(jnp.int32, (qt, nblk), 1)
+            ids = rt_idx * t + blk_base * 128 + pos
+            vals_ref[:] = bmin.T
+            ids_ref[:] = ids.T
+
+        @jax.jit
+        def run(codes_t, norms, q_pad, cb):
+            return pl.pallas_call(
+                kern,
+                grid=(n_rt, n_qt),
+                in_specs=[
+                    pl.BlockSpec((m, t), lambda r, q: (0, r),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, t), lambda r, q: (0, r),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((qt, mdp), lambda r, q: (q, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec(memory_space=pltpu.VMEM),
+                ],
+                out_specs=(
+                    pl.BlockSpec((nblk, qt), lambda r, q: (r, q),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((nblk, qt), lambda r, q: (r, q),
+                                 memory_space=pltpu.VMEM),
+                ),
+                out_shape=(
+                    jax.ShapeDtypeStruct((n_rt * nblk, num_q), jnp.float32),
+                    jax.ShapeDtypeStruct((n_rt * nblk, num_q), jnp.int32),
+                ),
+                scratch_shapes=[pltpu.VMEM((t, mdp), jnp.bfloat16)],
+            )(codes_t, norms, q_pad, cb)
+
+        return run
+
+    for variant in sys.argv[1:] or (
+        "packed_lane", "tdec_packed", "full"
+    ):
+        run = make(variant)
+
+        def step(acc):
+            v, i = run(codes_t, norms + acc * 1e-30, q_pad, cb)
+            return acc + v[0, 0] * 1e-30 + jnp.float32(i[0, 0]) * 1e-30 + 1.0
+
+        per = time_device_loop(step, lambda r: float(r), iters=16)
+        print(f"{variant:12s} {per*1e3:9.3f} ms/batch")
+
+
+if __name__ == "__main__":
+    main()

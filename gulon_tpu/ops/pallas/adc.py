@@ -1,37 +1,52 @@
-"""Fused Pallas ADC-scan kernel.
+"""Fused Pallas ADC-scan kernel (v3: transposed decode + packed block-min).
 
 The XLA formulation of the ADC scan (``gulon_tpu.ops.scan.adc_scan_decode``)
-materializes a one-hot decode operand in HBM (~64 MB per 16k-row tile),
-making the scan bandwidth-bound. This kernel fuses the whole pipeline in
-VMEM and keeps a *running top-k across row tiles* in persistent scratch:
+materializes a one-hot decode operand in HBM per row tile, making the scan
+bandwidth-bound (~15% MFU measured on v5e). This kernel keeps the whole
+pipeline in VMEM, and its layout is chosen around two measured Mosaic facts
+(see ``benchmarks/kernel_probe.py``):
 
-    per grid step (one row tile):
-      codes tile [T, m] -> one-hot [T, K] -> decode matmul (MXU)
-        -> query x tile matmul (MXU) -> scores [Q, T]
-        -> k-round min-extraction -> tile winners [Q, k]
-        -> merge with running winners (VMEM scratch, persists across steps)
-    final step: write [Q, 128] winner lanes once.
+1. **Lane relayouts are poison.** Reducing 128-lane blocks of a ``[Q, T]``
+   score matrix costs >10 ms/batch in relayout+select passes. So the score
+   matrix is produced *transposed* (``[T, Q]``): per-128-row block minima
+   become **sublane** reductions of a contiguous view — no relayout at all.
+2. **The one-hot decode matmul pays MXU padding on the row axis.** Computing
+   ``dec`` directly streams T rows against a dsub-wide (lane-padded) tile.
+   Computing ``dec^T = cb_s^T [dsub, K] x onehot^T [K, T]`` instead streams
+   only ``dsub`` rows per subspace — ~10x fewer padded MXU passes — and
+   lands ``dec^T [m*dsub, T]`` in exactly the layout the transposed distance
+   matmul wants.
 
-HBM traffic is just the code bytes in plus one [Q, 128] pair out. Winner
-selection takes per-128-block minima (the same approximation as the
-hardware PartialReduce behind ``lax.approx_min_k``; measured recall vs the
-exact scan ~0.99 at k=10 over 400k rows) and merges them into the running
-winners with a k-round extraction loop. The per-query ``||q||^2`` term is
-added *after* the kernel — it cannot change any argmin.
+Selection is one fused min: the f32 score bits are mapped to a monotone
+int32 key, the low 7 mantissa bits are replaced by the row-in-block index,
+and a single sublane ``min`` yields value and argmin together (the returned
+distance is coarsened by <= 2^-17 relative — far below the bf16 matmul
+noise). The XLA epilogue runs one exact top-k over the ``[Q, N/128]`` block
+winners. This is the hardware-PartialReduce schedule (what
+``lax.approx_min_k`` compiles to) with decode + distances fused in front.
+
+Per grid step (row tile r, query tile q; query axis innermost):
+      q == 0:  codes [m, T] -> per-subspace one-hot^T (VMEM, bf16)
+               -> dec^T [m*dsub, T] bf16 (MXU, persists across query tiles)
+      all q:   scores^T [T, QT] = norms - 2 * dec^T'Q (MXU, f32 accum)
+               -> packed key -> per-128-row-block min (VPU, sublane reduce)
+               -> write [T/128, QT] (value, row-id) winners.
+
+HBM traffic per batch is the code bytes in plus ``Q * N/128`` winner pairs
+out — no decoded operand ever round-trips. Measured on v5e at the headline
+shape (400k x 100d, PQ 8x256, batch 1024, k=10): 1.9 ms/batch vs 3.6 ms for
+the XLA decode path and 1.3 ms for the 26x-more-memory cached scan.
+
+Selection approximation: one winner per 128-row block, exactly like
+``approx_min_k`` — losing a true top-k member requires two of them to land
+in the same 128-row block (negligible for k << N/128; callers enforce
+``N >= 256*k``). The per-query ``||q||^2`` term is added *after* the kernel —
+it cannot change any argmin.
 
 Role counterpart of the reference's hot loop ``PQIndex.distances``
 (``Index.scala:393-409``) + ``TopKHeap`` (``TopKHeap.scala:69-79``), fused.
 
-Performance status (v5e, 400k x 100d PQ8x256): correct but currently
-slower than the XLA decode + ``approx_min_k`` path for large batches
-(~130 ms vs ~3.5 ms per 1024-query batch) — the in-kernel selection and
-its [Q, T] -> [Q, T/128, 128] relayout dominate; XLA's fused hardware
-PartialReduce is not expressible in Pallas today. At small Q the two paths
-are equal (~2.5 ms full-scan latency). The XLA path is therefore the
-default; this kernel is the foundation for future fused work (e.g.
-streaming IVF scans) and a working example of the VMEM-resident pipeline.
-
-Limits: K <= 1024 (one-hot tile must fit VMEM), k <= 64, corpus >= 256*k
+Limits: K <= 1024 (one-hot tile must fit VMEM), k <= 128, corpus >= 256*k
 rows. Callers fall back to the XLA path outside those bounds.
 """
 
@@ -47,136 +62,106 @@ from jax.experimental.pallas import tpu as pltpu
 
 from gulon_tpu.ops.pq import split_subspaces
 from gulon_tpu.ops.distance import sq_norms
+from gulon_tpu.ops.topk import smallest_k
 
 _BIG = 3.0e38  # python float: kernels must not capture traced constants
-_INT_BIG = 2**30
-_K_LANES = 128  # winner buffers are padded to the TPU lane width
+_INVALID_MIN = 1.0e38  # values at/above this are padding, not real rows
+_LANES = 128
+_SIGN = -(2**31)
 
 
-def _pick_tile_rows(num_q: int, k_codes: int, m: int, dsub: int) -> int:
-    """Largest row tile whose VMEM working set stays comfortable.
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
 
-    Budget accounts for the scores scratch, the extraction temps (lane
-    iota + masks) and the decode scratch (lanes pad to 128) — all live on
-    the kernel stack.
+
+def _pick_tiles(num_q: int, k_codes: int, mdp: int) -> Tuple[int, int]:
+    """(query tile, row tile) with the VMEM working set comfortable.
+
+    Live buffers per step: scores + packed key [T, QT] f32/i32, dec^T
+    scratch [mdp, T] bf16, a one-hot temp [K, T] bf16, double-buffered
+    code/query blocks. Row tiles are 1024-multiples: the winner block
+    [t/128, QT] needs a sublane-multiple-of-8 leading dim.
     """
-    budget = 5 * 1024 * 1024
-    mdsub_lanes = -(-(m * dsub) // 128) * 128
-    for t in (4096, 2048, 1024, 512, 256):
-        scores = 4 * num_q * t
-        iota = 4 * num_q * t
-        onehot = 4 * t * k_codes
-        dec = 4 * t * mdsub_lanes
-        if (
-            scores + iota + onehot + dec < 2 * budget
-            and scores + onehot + dec < budget
-        ):
-            return t
-    return 256
+    budget = 12 * 1024 * 1024
+    qt = min(_round_up(num_q, 16), 512)
+    for t in (4096, 2048, 1024):
+        work = 8 * qt * t + 2 * t * mdp + 2 * 2 * t * k_codes
+        if work < budget:
+            return qt, t
+    return qt, 1024
 
 
-def _adc_tile_kernel(
-    q_ref,       # [Q, mdsub] f32 (whole)
-    cb_ref,      # [m, dsub, K] f32 (whole; K on lanes, no padding)
-    codes_ref,   # [m, T] i32 (block; transposed for lane-friendly layout)
-    norms_ref,   # [1, T] f32 (block)
-    vals_ref,    # out [Q, 128] f32 (constant block)
-    ids_ref,     # out [Q, 128] i32 (constant block)
-    dec_ref,     # scratch [T, mdsub] f32
-    scores_ref,  # scratch [Q, T] f32
-    best_v_ref,  # scratch [Q, 128] f32 (persists across grid steps)
-    best_i_ref,  # scratch [Q, 128] i32
+def _adc_fused_kernel(
+    codes_ref,   # [m, T] i32 block (transposed: rows on lanes)
+    norms_ref,   # [T, 1] f32 block
+    q_ref,       # [QT, MDP] bf16 block (zero-padded lanes)
+    cbT_ref,     # [m, dsub, K] bf16 (whole)
+    vals_ref,    # out [NB, QT] f32 block (row-tile winners, transposed)
+    ids_ref,     # out [NB, QT] i32 block
+    decT_ref,    # scratch [MDP, T] bf16 (persists across query tiles)
     *,
     m: int,
     k_codes: int,
     dsub: int,
-    k: int,
     tile_rows: int,
 ):
     t = tile_rows
-    num_q = scores_ref.shape[0]
-    step = pl.program_id(0)
+    qt = q_ref.shape[0]
+    nblk = t // _LANES
+    rt_idx = pl.program_id(0)
+    qt_idx = pl.program_id(1)
 
-    @pl.when(step == 0)
+    # --- decode (transposed), once per row tile ---
+    @pl.when(qt_idx == 0)
     def _():
-        best_v_ref[:] = jnp.full((num_q, _K_LANES), _BIG, jnp.float32)
-        best_i_ref[:] = jnp.full((num_q, _K_LANES), -1, jnp.int32)
+        mdp = decT_ref.shape[0]
+        if mdp > m * dsub:  # zero the sublane padding once
+            decT_ref[:] = jnp.zeros((mdp, t), jnp.bfloat16)
+        row_iota = jax.lax.broadcasted_iota(jnp.int32, (k_codes, t), 0)
+        for s in range(m):
+            onehotT = (codes_ref[s, :].reshape(1, t) == row_iota).astype(
+                jnp.bfloat16
+            )  # [K, T]
+            # [dsub, K] x [K, T]: streams only dsub rows through the MXU
+            decT_ref[s * dsub : (s + 1) * dsub, :] = jax.lax.dot_general(
+                cbT_ref[s],
+                onehotT,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.bfloat16)
 
-    # --- decode: per-subspace one-hot (VMEM) x codebook (MXU) ---
-    col_iota = jax.lax.broadcasted_iota(jnp.int32, (t, k_codes), 1)
-    for s in range(m):
-        code_col = codes_ref[s, :].reshape(t, 1)
-        onehot = (code_col == col_iota).astype(jnp.float32)
-        # contract over K (both lane dims): [t, K] x [dsub, K] -> [t, dsub]
-        dec_ref[:, s * dsub : (s + 1) * dsub] = jax.lax.dot_general(
-            onehot,
-            cb_ref[s],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-
-    # --- scores (without the per-query ||q||^2 term) ---
-    ip = jax.lax.dot_general(
+    # --- distances, transposed (without the per-query ||q||^2 term) ---
+    ipt = jax.lax.dot_general(
+        decT_ref[:],
         q_ref[:],
-        dec_ref[:],
-        dimension_numbers=(((1,), (1,)), ((), ())),
+        dimension_numbers=(((0,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # [Q, T]
-    scores_ref[:] = norms_ref[0, :].reshape(1, t) - 2.0 * ip
+    )  # [T, QT]
+    scores = norms_ref[:, 0].reshape(t, 1) - 2.0 * ipt
 
-    # --- selection: per-128-block minima, then merge with the running top-k.
-    # One winner per 128-lane block (the same approximation hardware
-    # PartialReduce / approx_min_k makes): losing a true top-k member
-    # requires two of them to land in the same 128-row block, which for
-    # k << N/128 has negligible probability. Cost is ~2 VPU passes over the
-    # scores instead of k full extraction rounds.
-    tile_base = step * t
-    n_blocks = t // 128
-    sview = scores_ref[:].reshape(num_q, n_blocks, 128)
-    bmin = jnp.min(sview, axis=2)  # [Q, n_blocks]
-    in_lane = jax.lax.broadcasted_iota(jnp.int32, (num_q, n_blocks, 128), 2)
-    pos_in_block = jnp.min(
-        jnp.where(sview <= bmin[:, :, None], in_lane, jnp.int32(_INT_BIG)),
-        axis=2,
-    )  # [Q, n_blocks]
-    block_base = jax.lax.broadcasted_iota(jnp.int32, (num_q, n_blocks), 1)
-    bids = tile_base + block_base * 128 + pos_in_block
+    # --- (min, argmin) per 128-row block: both are *sublane* reductions of
+    # a contiguous view (no lane relayout). The argmin rides a packed key
+    # (monotone int32 score image, low 7 bits replaced by the row-in-block
+    # index) so one extra min yields it; the reported *value* is a separate
+    # full-precision f32 min — the packed key's 7-bit coarsening
+    # (~2^-16 relative) is enough to reorder genuinely close ADC neighbors
+    # on clustered corpora, so it must never decide the final ranking.
+    sview = scores.reshape(nblk, _LANES, qt)
+    bmin = jnp.min(sview, axis=1)  # [NB, QT], exact f32 block minima
 
-    # merge candidates [Q, n_blocks + 128] with k extraction rounds
-    cand_v0 = jnp.concatenate([bmin, best_v_ref[:]], axis=1)
-    cand_i0 = jnp.concatenate([bids, best_i_ref[:]], axis=1)
-    width = n_blocks + _K_LANES
-    lane_l = jax.lax.broadcasted_iota(jnp.int32, (num_q, width), 1)
-    lane_k = jax.lax.broadcasted_iota(jnp.int32, (num_q, _K_LANES), 1)
-    init_bv = jnp.full((num_q, _K_LANES), _BIG, jnp.float32)
-    init_bi = jnp.full((num_q, _K_LANES), -1, jnp.int32)
-
-    def extract_round(j, carry):
-        cv, bv, bi = carry
-        mn = jnp.min(cv, axis=1, keepdims=True)
-        at_min = cv <= mn
-        pos = jnp.min(
-            jnp.where(at_min, lane_l, jnp.int32(_INT_BIG)),
-            axis=1, keepdims=True,
-        )
-        sel = lane_l == pos
-        wid = jnp.min(
-            jnp.where(sel, cand_i0, jnp.int32(_INT_BIG)),
-            axis=1, keepdims=True,
-        )
-        bv = jnp.where(lane_k == j, mn, bv)
-        bi = jnp.where(lane_k == j, wid, bi)
-        return jnp.where(sel, _BIG, cv), bv, bi
-
-    _, bv, bi = jax.lax.fori_loop(
-        0, k, extract_round, (cand_v0, init_bv, init_bi)
+    bits = jax.lax.bitcast_convert_type(scores, jnp.int32)
+    ukey = jnp.where(bits < 0, ~bits, bits | jnp.int32(_SIGN))
+    skey = ukey ^ jnp.int32(_SIGN)  # monotone int32 image of the f32 order
+    row_in_blk = jax.lax.broadcasted_iota(jnp.int32, (t, qt), 0) & (
+        _LANES - 1
     )
-    best_v_ref[:] = bv
-    best_i_ref[:] = bi
+    packed = (skey & jnp.int32(~(_LANES - 1))) | row_in_blk
+    pmin = jnp.min(packed.reshape(nblk, _LANES, qt), axis=1)  # [NB, QT]
 
-    # constant output block: written back to HBM once, after the last step
-    vals_ref[:] = best_v_ref[:]
-    ids_ref[:] = best_i_ref[:]
+    lane = pmin & (_LANES - 1)
+    blk_base = jax.lax.broadcasted_iota(jnp.int32, (nblk, qt), 0)
+    vals_ref[:] = bmin
+    ids_ref[:] = rt_idx * t + blk_base * _LANES + lane
 
 
 @functools.partial(
@@ -206,8 +191,8 @@ def adc_scan_pallas(
         raise ValueError(
             f"pallas ADC kernel supports K <= 1024, got {k_codes}"
         )
-    if k > 64:
-        raise ValueError(f"pallas ADC kernel supports k <= 64, got {k}")
+    if k > _LANES:
+        raise ValueError(f"pallas ADC kernel supports k <= 128, got {k}")
     kk = min(k, n)
     # block-min selection yields one winner per 128-row block; the corpus
     # must span comfortably more blocks than k or winners are lost
@@ -217,15 +202,27 @@ def adc_scan_pallas(
             "use the XLA scan for small corpora"
         )
 
-    t = tile_rows or _pick_tile_rows(num_q, k_codes, m, dsub)
-    if n < t:  # small corpus: one tile, rounded up to the sublane multiple
-        t = max(256, ((n + 255) // 256) * 256)
+    mdp = _round_up(m * dsub, 8)  # sublane-aligned dec^T leading dim
+    qt, t = _pick_tiles(num_q, k_codes, mdp)
+    if tile_rows:
+        if tile_rows % 1024:
+            raise ValueError(
+                f"tile_rows must be a 1024-multiple, got {tile_rows}"
+            )
+        t = tile_rows
+    if n < t:  # small corpus: one tile, rounded up to the block multiple
+        t = _round_up(n, 1024)
 
+    # queries in the padded subspace layout, zero-padded to match dec^T
     qs = split_subspaces(queries, bounds, dsub)
     q_pad = jnp.transpose(qs, (1, 0, 2)).reshape(num_q, m * dsub)
+    if mdp > m * dsub:
+        q_pad = jnp.pad(q_pad, ((0, 0), (0, mdp - m * dsub)))
+    q_npad = (-num_q) % qt
+    if q_npad:
+        q_pad = jnp.pad(q_pad, ((0, q_npad), (0, 0)))
     qn = sq_norms(queries)
 
-    n_pad = (-n) % t
     if pretransposed:
         codes_t = codes
         if codes_t.shape[1] % t:
@@ -234,59 +231,75 @@ def adc_scan_pallas(
             )
     else:
         codes_i = codes.astype(jnp.int32)
-        if n_pad:
-            codes_i = jnp.pad(codes_i, ((0, n_pad), (0, 0)))
-        codes_t = codes_i.T  # [m, N'] — lane axis rows: no lane padding
+        if n % t:
+            codes_i = jnp.pad(codes_i, ((0, (-n) % t), (0, 0)))
+        codes_t = codes_i.T  # [m, N']
     norms = recon_norms.astype(jnp.float32)
     if norms.shape[0] < codes_t.shape[1]:
         norms = jnp.pad(
             norms, (0, codes_t.shape[1] - norms.shape[0]),
             constant_values=_BIG,
         )
-    n_tiles = codes_t.shape[1] // t
-    cb_t = jnp.transpose(codebooks, (0, 2, 1))  # [m, dsub, K]: K on lanes
+    n_rt = codes_t.shape[1] // t
+    n_qt = q_pad.shape[0] // qt
+    nblk = t // _LANES
 
     kernel = functools.partial(
-        _adc_tile_kernel,
-        m=m,
-        k_codes=k_codes,
-        dsub=dsub,
-        k=kk,
-        tile_rows=t,
+        _adc_fused_kernel, m=m, k_codes=k_codes, dsub=dsub, tile_rows=t
     )
-    best_v, best_i = pl.pallas_call(
+    block_v, block_i = pl.pallas_call(
         kernel,
-        grid=(n_tiles,),
+        grid=(n_rt, n_qt),  # query axis innermost: decode reused across it
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # q_pad (whole)
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # codebooks (whole)
-            pl.BlockSpec((m, t), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, t), lambda r, q: (0, r), memory_space=pltpu.VMEM),
+            pl.BlockSpec((t, 1), lambda r, q: (r, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (qt, mdp), lambda r, q: (q, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # codebooks^T (whole)
         ],
         out_specs=(
             pl.BlockSpec(
-                (num_q, _K_LANES), lambda i: (0, 0), memory_space=pltpu.VMEM
+                (nblk, qt), lambda r, q: (r, q), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (num_q, _K_LANES), lambda i: (0, 0), memory_space=pltpu.VMEM
+                (nblk, qt), lambda r, q: (r, q), memory_space=pltpu.VMEM
             ),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((num_q, _K_LANES), jnp.float32),
-            jax.ShapeDtypeStruct((num_q, _K_LANES), jnp.int32),
+            jax.ShapeDtypeStruct((n_rt * nblk, q_pad.shape[0]), jnp.float32),
+            jax.ShapeDtypeStruct((n_rt * nblk, q_pad.shape[0]), jnp.int32),
         ),
-        scratch_shapes=[
-            pltpu.VMEM((t, m * dsub), jnp.float32),
-            pltpu.VMEM((num_q, t), jnp.float32),
-            pltpu.VMEM((num_q, _K_LANES), jnp.float32),
-            pltpu.VMEM((num_q, _K_LANES), jnp.int32),
-        ],
+        scratch_shapes=[pltpu.VMEM((mdp, t), jnp.bfloat16)],
         interpret=interpret,
-    )(q_pad, cb_t, codes_t, norms.reshape(1, -1))
+    )(
+        codes_t,
+        norms.reshape(-1, 1),
+        q_pad.astype(jnp.bfloat16),
+        jnp.transpose(codebooks, (0, 2, 1)).astype(jnp.bfloat16),
+    )
 
-    best_d = best_v[:, :kk] + qn[:, None]  # restore the per-query term
-    best_ids = best_i[:, :kk]
-    invalid = best_v[:, :kk] >= _BIG
+    # XLA epilogue over the N/128 block winners: exact top-k for small k;
+    # for over-fetch calls (k >= 32, caller rescores exactly afterwards)
+    # the hardware PartialReduce is ~10x cheaper and only coverage matters
+    winners_v, winners_i = block_v.T[:num_q], block_i.T[:num_q]
+    if kk >= 32 and winners_v.shape[1] >= 4 * kk:
+        best_v, pos = jax.lax.approx_min_k(
+            winners_v, kk, recall_target=0.95
+        )
+        pos = pos.astype(jnp.int32)
+    else:
+        best_v, pos = smallest_k(winners_v, kk)
+    best_ids = jnp.take_along_axis(winners_i, pos, axis=1)
+    best_d = best_v + qn[:, None]  # restore the per-query term
+    invalid = best_v >= _INVALID_MIN
     best_d = jnp.where(invalid, jnp.inf, best_d)
     best_ids = jnp.where(invalid, -1, best_ids)
+    if kk < k:
+        best_d = jnp.pad(
+            best_d, ((0, 0), (0, k - kk)), constant_values=jnp.inf
+        )
+        best_ids = jnp.pad(
+            best_ids, ((0, 0), (0, k - kk)), constant_values=-1
+        )
     return best_d, best_ids

@@ -38,15 +38,15 @@ def test_pallas_matches_exact_scan(setup):
     )
     d_ref, i_ref, d_pl, i_pl = map(np.asarray, (d_ref, i_ref, d_pl, i_pl))
     # block-min selection: recall >= ~0.95 class; distances of agreeing
-    # slots exact
+    # slots match up to bf16 matmul rounding
     recall = np.mean(
         [len(set(i_pl[qq]) & set(i_ref[qq])) / 10 for qq in range(len(q))]
     )
     # block-min keeps one winner per 128 rows; with duplicate-code ties the
     # chosen tie representative can differ from the exact scan's
     assert recall >= 0.85
-    np.testing.assert_allclose(d_pl[:, 0], d_ref[:, 0], rtol=1e-4)
-    assert np.all(np.diff(d_pl, axis=1) >= -1e-6)
+    np.testing.assert_allclose(d_pl[:, 0], d_ref[:, 0], rtol=5e-2, atol=5e-2)
+    assert np.all(np.diff(d_pl, axis=1) >= -1e-2)
 
 
 def test_pallas_rejects_tiny_corpus(setup):
@@ -94,13 +94,14 @@ def test_cached_strategy_matches_decode():
 
 
 def test_pallas_high_dim_vmem_budget():
-    """1024-dim corpora must pick a tile that fits VMEM (regression: the
+    """1024-dim corpora must pick tiles that fit VMEM (regression: the
     budget ignored the decode scratch and Mosaic ran out of VMEM)."""
-    from gulon_tpu.ops.pallas.adc import _pick_tile_rows
+    from gulon_tpu.ops.pallas.adc import _pick_tiles
 
-    t = _pick_tile_rows(num_q=1, k_codes=256, m=16, dsub=64)
-    # dec scratch 4*t*1024 + scores/iota/onehot must fit the 5 MB budget
-    assert 4 * t * (16 * 64) <= 5 * 1024 * 1024
+    qt, t = _pick_tiles(num_q=1024, k_codes=256, mdp=1024)
+    # scores [qt, t] f32 + dec scratch [t, mdp] bf16 + one-hot temps must
+    # stay inside the 10 MB budget
+    assert 4 * qt * t + 2 * t * 1024 + 2 * 2 * t * 256 <= 10 * 1024 * 1024
 
 
 def test_pallas_pretransposed_matches(setup):
