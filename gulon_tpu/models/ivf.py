@@ -156,6 +156,328 @@ def _ivf_scan(
     )
 
 
+def _next_pow2(x: int) -> int:
+    p = 1
+    while p < x:
+        p *= 2
+    return p
+
+
+def _plan_entry_schedule(
+    probe_np: np.ndarray,  # [Q, L] i32, -1 = unused slot
+    sizes: np.ndarray,  # [P] partition sizes
+    starts: np.ndarray,  # [P] partition start rows
+    rcap: int,  # rows per entry
+    qcap: int,  # queries per entry
+    kk: int,
+):
+    """Host-side planner for the exact partition-centric ("bucketed") scan.
+
+    The (query, probe) pairs are inverted into a 2D-tiled *entry* schedule:
+    every probed partition is split into ``ceil(size/rcap)`` row chunks x
+    ``ceil(occupancy/qcap)`` query sub-buckets, and each (row chunk, query
+    sub-bucket) cell becomes one fixed-shape entry. Unlike a global
+    [P, qcap] bucket matrix this is lossless by construction — hot
+    partitions get *more entries* instead of dropped overflow pairs
+    (``Index.scala:273-281`` probes are never lossy), an oversized
+    partition never inflates other probes' slice widths, and unprobed
+    partitions cost nothing.
+
+    Returns device-ready schedule arrays plus the per-pair candidate slot
+    map used to regroup entry winners per query:
+      e_start/e_size/e_part [E], e_bucket [E, qcap] (query ids, -1 pad),
+      pair_slots [Q, L*max_nr] flat indices into the [E*qcap] candidate
+      table (sentinel = E*qcap for unused).
+    """
+    num_q, L = probe_np.shape
+    qs = np.repeat(np.arange(num_q, dtype=np.int32), L)
+    ps = probe_np.reshape(-1)
+    valid = ps >= 0
+    orig_pos = np.nonzero(valid)[0]
+    qs, ps = qs[valid], ps[valid]
+    order = np.argsort(ps, kind="stable")
+    ps_s, qs_s = ps[order], qs[order]
+    orig_pos = orig_pos[order]
+
+    used, used_start = np.unique(ps_s, return_index=True)
+    occ = np.diff(np.append(used_start, len(ps_s)))
+    nq = -(-occ // qcap)
+    nr = np.maximum(-(-sizes[used] // rcap), 1)
+    max_nr = int(nr.max()) if len(nr) else 1
+
+    # rank of each pair within its partition -> (query chunk, slot)
+    first = np.searchsorted(ps_s, ps_s, side="left")
+    rank = (np.arange(len(ps_s)) - first).astype(np.int64)
+    uidx = np.searchsorted(used, ps_s)
+    j_q = rank // qcap
+    slot = (rank % qcap).astype(np.int64)
+
+    # entries: per used partition, an nr x nq grid (row-chunk major)
+    reps = nr * nq
+    num_e = int(reps.sum())
+    cum = np.concatenate([[0], np.cumsum(reps)[:-1]])
+    e_upart = np.repeat(np.arange(len(used)), reps)
+    within = np.arange(num_e) - np.repeat(cum, reps)
+    i_row = within // nq[e_upart]
+    j_ent = within % nq[e_upart]
+    e_start = (starts[used][e_upart] + i_row * rcap).astype(np.int32)
+    e_size = np.minimum(
+        rcap, sizes[used][e_upart] - i_row * rcap
+    ).astype(np.int32)
+    e_part = used[e_upart].astype(np.int32)
+
+    # bucket contents per (used partition, query chunk)
+    bucket_base = np.cumsum(np.append(0, nq))[:-1]
+    bucket_of_entry = (bucket_base[e_upart] + j_ent).astype(np.int64)
+    num_b = int(nq.sum())
+    buckets = np.full((num_b, qcap), -1, np.int32)
+    brow = bucket_base[uidx] + j_q
+    buckets[brow, slot] = qs_s
+
+    # pad E to a power of two (bounded jit variants); padded entries are
+    # size-0 and point at an all-empty bucket row
+    e_pad = max(_next_pow2(num_e), 8)
+    if e_pad > num_e:
+        pad = e_pad - num_e
+        e_start = np.concatenate([e_start, np.zeros(pad, np.int32)])
+        e_size = np.concatenate([e_size, np.zeros(pad, np.int32)])
+        e_part = np.concatenate([e_part, np.zeros(pad, np.int32)])
+        bucket_of_entry = np.concatenate(
+            [bucket_of_entry, np.full(pad, num_b, np.int64)]
+        )
+    buckets = np.concatenate(
+        [buckets, np.full((1, qcap), -1, np.int32)], axis=0
+    )
+    e_bucket = buckets[bucket_of_entry]  # [E_pad, qcap]
+
+    # per-pair candidate slots: pair (q, p) owns slot `slot` of every
+    # row-chunk entry (i, j_q) of p
+    max_nr_pad = _next_pow2(max_nr)
+    eids = (
+        cum[uidx][:, None]
+        + np.arange(max_nr_pad)[None, :] * nq[uidx][:, None]
+        + j_q[:, None]
+    )
+    pair_ok = np.arange(max_nr_pad)[None, :] < nr[uidx][:, None]
+    flat = np.where(pair_ok, eids * qcap + slot[:, None], e_pad * qcap)
+    pair_slots = np.full(
+        (num_q, L, max_nr_pad), e_pad * qcap, np.int64
+    )
+    pair_slots[qs_s, orig_pos % L] = flat
+    return (
+        e_start,
+        e_size,
+        e_part,
+        e_bucket,
+        pair_slots.reshape(num_q, L * max_nr_pad).astype(np.int32),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "rcap", "qcap", "kk", "chunk", "precision",
+        "topk_impl", "recall_target",
+    ),
+)
+def _scan_entries_codes(
+    q_pad: jax.Array,  # [Q, m*dsub] f32 (subspace layout)
+    qn: jax.Array,  # [Q] f32
+    group_term: jax.Array,  # [Q, P] f32
+    codebooks: jax.Array,  # [m, K, dsub]
+    codes_pad: jax.Array,  # [N + rcap, m] uint
+    row_const_pad: jax.Array,  # [N + rcap] f32 (+inf padding)
+    e_start: jax.Array,  # [E] i32
+    e_size: jax.Array,  # [E] i32
+    e_part: jax.Array,  # [E] i32
+    e_bucket: jax.Array,  # [E, qcap] i32 query ids (-1 pad)
+    *,
+    rcap: int,
+    qcap: int,
+    kk: int,
+    chunk: int = 16,
+    precision: str = "default",
+    topk_impl: str = "exact",
+    recall_target: float = 0.95,
+):
+    """Code-resident entry scan: decode each probed row chunk in-flight.
+
+    Memory stays at ``m`` bytes/vector (the reference's ranged code scan,
+    ``Index.scala:411-412``); the reconstruction cache is optional (see
+    :func:`_scan_entries_cached`). Returns per-entry-slot candidates
+    ([E, qcap, kk] dists, [E, qcap, kk] global row ids).
+    """
+    num_q = q_pad.shape[0]
+    m = codes_pad.shape[1]
+    q_safe = jnp.concatenate(
+        [q_pad, jnp.zeros((1, q_pad.shape[1]), q_pad.dtype)]
+    )
+    qn_safe = jnp.concatenate([qn, jnp.zeros((1,), qn.dtype)])
+    gt_safe = jnp.concatenate(
+        [group_term, jnp.zeros((1, group_term.shape[1]), group_term.dtype)]
+    )
+    col_iota = jnp.arange(rcap, dtype=jnp.int32)
+
+    def one_entry(st, sz, part, bucket):
+        cs = jax.lax.dynamic_slice(
+            codes_pad, (st, 0), (rcap, m)
+        ).astype(jnp.int32)
+        dec = scan_ops.decode_tile(codebooks, cs, "auto", precision)
+        rc = jax.lax.dynamic_slice(row_const_pad, (st,), (rcap,))
+        qidx = jnp.where(bucket >= 0, bucket, num_q)
+        qb = q_safe[qidx]  # [qcap, m*dsub]
+        ip = jnp.matmul(
+            qb,
+            dec.T,
+            preferred_element_type=jnp.float32,
+            precision=scan_ops.resolve_precision(precision),
+        )
+        gt = gt_safe[qidx, part]
+        dist = (
+            qn_safe[qidx][:, None] + gt[:, None] + rc[None, :] - 2.0 * ip
+        )
+        ok = (bucket >= 0)[:, None] & (col_iota[None, :] < sz)
+        dist = jnp.where(ok, dist, jnp.inf)
+        if topk_impl == "approx" and rcap >= 256:
+            kv, kp = jax.lax.approx_min_k(
+                dist, kk, recall_target=recall_target
+            )
+            kp = kp.astype(jnp.int32)
+        else:
+            kv, kp = smallest_k(dist, kk)
+        return kv, st + kp
+
+    def scan_chunk(carry, inp):
+        st_c, sz_c, pt_c, bk_c = inp
+        kv, ki = jax.vmap(one_entry)(st_c, sz_c, pt_c, bk_c)
+        return carry, (kv, ki)
+
+    n_chunks = e_start.shape[0] // chunk
+    _, (all_v, all_i) = jax.lax.scan(
+        scan_chunk,
+        None,
+        (
+            e_start.reshape(n_chunks, chunk),
+            e_size.reshape(n_chunks, chunk),
+            e_part.reshape(n_chunks, chunk),
+            e_bucket.reshape(n_chunks, chunk, qcap),
+        ),
+    )
+    e_total = e_start.shape[0]
+    return (
+        all_v.reshape(e_total, qcap, kk),
+        all_i.reshape(e_total, qcap, kk),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("rcap", "qcap", "kk", "chunk", "topk_impl", "recall_target"),
+)
+def _scan_entries_cached(
+    queries: jax.Array,  # [Q, D] f32 (already normalized)
+    recon_pad: jax.Array,  # [N + rcap, D] bf16/f32 reconstruction
+    recon_norms_pad: jax.Array,  # [N + rcap] f32 (+inf padding)
+    e_start: jax.Array,
+    e_size: jax.Array,
+    e_bucket: jax.Array,
+    *,
+    rcap: int,
+    qcap: int,
+    kk: int,
+    chunk: int = 16,
+    topk_impl: str = "exact",
+    recall_target: float = 0.95,
+):
+    """Entry scan over a materialized reconstruction cache (pure matmuls)."""
+    num_q, d = queries.shape
+    qn = sq_norms(queries)
+    q_safe = jnp.concatenate([queries, jnp.zeros((1, d), queries.dtype)])
+    qn_safe = jnp.concatenate([qn, jnp.zeros((1,), qn.dtype)])
+    col_iota = jnp.arange(rcap, dtype=jnp.int32)
+
+    def one_entry(st, sz, bucket):
+        block = jax.lax.dynamic_slice(recon_pad, (st, 0), (rcap, d))
+        bn = jax.lax.dynamic_slice(recon_norms_pad, (st,), (rcap,))
+        qidx = jnp.where(bucket >= 0, bucket, num_q)
+        qb = q_safe[qidx]
+        ip = jnp.matmul(
+            qb.astype(block.dtype),
+            block.T,
+            preferred_element_type=jnp.float32,
+        )
+        dist = qn_safe[qidx][:, None] + bn[None, :] - 2.0 * ip
+        ok = (bucket >= 0)[:, None] & (col_iota[None, :] < sz)
+        dist = jnp.where(ok, dist, jnp.inf)
+        if topk_impl == "approx" and rcap >= 256:
+            kv, kp = jax.lax.approx_min_k(
+                dist, kk, recall_target=recall_target
+            )
+            kp = kp.astype(jnp.int32)
+        else:
+            kv, kp = smallest_k(dist, kk)
+        return kv, st + kp
+
+    def scan_chunk(carry, inp):
+        st_c, sz_c, bk_c = inp
+        kv, ki = jax.vmap(one_entry)(st_c, sz_c, bk_c)
+        return carry, (kv, ki)
+
+    n_chunks = e_start.shape[0] // chunk
+    _, (all_v, all_i) = jax.lax.scan(
+        scan_chunk,
+        None,
+        (
+            e_start.reshape(n_chunks, chunk),
+            e_size.reshape(n_chunks, chunk),
+            e_bucket.reshape(n_chunks, chunk, qcap),
+        ),
+    )
+    e_total = e_start.shape[0]
+    return (
+        all_v.reshape(e_total, qcap, kk),
+        all_i.reshape(e_total, qcap, kk),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _regroup_pairs(
+    cand_v: jax.Array,  # [E, qcap, kk]
+    cand_i: jax.Array,  # [E, qcap, kk]
+    pair_slots: jax.Array,  # [Q, W] flat (entry*qcap + slot); E*qcap = pad
+    *,
+    k: int,
+):
+    """Gather every pair's entry winners and take the per-query top-k."""
+    e_total, qcap, kk = cand_v.shape
+    num_q, w = pair_slots.shape
+    cv = jnp.concatenate(
+        [
+            cand_v.reshape(e_total * qcap, kk),
+            jnp.full((1, kk), jnp.inf, jnp.float32),
+        ]
+    )
+    ci = jnp.concatenate(
+        [
+            cand_i.reshape(e_total * qcap, kk),
+            jnp.full((1, kk), -1, jnp.int32),
+        ]
+    )
+    safe = jnp.minimum(pair_slots, e_total * qcap)
+    per_q_v = cv[safe].reshape(num_q, w * kk)
+    per_q_i = ci[safe].reshape(num_q, w * kk)
+    kf = min(k, w * kk)
+    best_d, pos = smallest_k(per_q_v, kf)
+    best_i = jnp.take_along_axis(per_q_i, pos, axis=1)
+    if kf < k:
+        best_d = jnp.pad(
+            best_d, ((0, 0), (0, k - kf)), constant_values=jnp.inf
+        )
+        best_i = jnp.pad(best_i, ((0, 0), (0, k - kf)), constant_values=-1)
+    best_i = jnp.where(jnp.isinf(best_d), -1, best_i)
+    return best_d, best_i
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("num_probe", "pmax", "k", "topk_impl", "recall_target"),
@@ -219,152 +541,70 @@ def _ivf_scan_gathered(
 
 @functools.partial(
     jax.jit,
-    static_argnames=(
-        "num_probe", "pmax", "qcap", "k", "part_chunk",
-        "topk_impl", "recall_target",
-    ),
+    static_argnames=("num_probe", "pmax", "k", "precision",
+                     "topk_impl", "recall_target"),
 )
-def _ivf_scan_bucketed(
-    queries: jax.Array,      # [Q, D] f32 (already normalized)
-    recon: jax.Array,        # [N + pmax, D] bf16/f32, padded reconstruction
-    recon_norms: jax.Array,  # [N + pmax] f32, +inf on padding
+def _ivf_scan_gathered_codes(
+    q_pad: jax.Array,        # [Q, m*dsub] f32 (subspace layout)
+    qn: jax.Array,           # [Q] f32
+    group_term: jax.Array,   # [Q, P] f32
+    codebooks: jax.Array,    # [m, K, dsub]
+    codes_pad: jax.Array,    # [N + pmax, m] uint
+    row_const_pad: jax.Array,  # [N + pmax] f32 (+inf padding)
     starts: jax.Array,       # [P] i32 partition start rows
     sizes: jax.Array,        # [P] i32 partition sizes
     probe_ids: jax.Array,    # [Q, L] i32 partitions to probe; -1 = unused
     *,
     num_probe: int,
     pmax: int,
-    qcap: int,
     k: int,
-    part_chunk: int = 64,
+    precision: str = "default",
     topk_impl: str = "exact",
     recall_target: float = 0.95,
 ):
-    """Partition-centric probed scan: queries grouped BY partition.
-
-    The gathered scan (`_ivf_scan_gathered`) duplicates partition reads per
-    probing query; here the (query, probe) pairs are inverted into
-    per-partition query buckets, so every probed partition is read once per
-    batch and scanned against all its queries in one MXU matmul — the
-    FAISS-GPU-style schedule, expressed with static shapes:
-
-      pairs sorted by partition -> rank within partition -> scatter into a
-      [P, qcap] bucket matrix -> chunked scan over partitions ->
-      candidates regrouped per query -> final exact top-k.
-
-    ``qcap`` caps queries per partition per batch; overflow pairs (beyond
-    qcap, counted in the returned overflow scalar) are dropped — size qcap
-    at ~4x the mean pairs/partition to make overflow negligible.
-
-    Returns ([Q, k] dists asc, [Q, k] global ids, overflow count).
+    """Code-resident gathered scan: per-query partition slices over the
+    [N, m] code matrix, decoded in-flight (``Index.scala:411-412`` — the
+    reference scans probed partitions directly over codes). Memory stays
+    at ``m`` bytes/vector; no reconstruction cache needed.
     """
-    num_q, d = queries.shape
-    num_parts = starts.shape[0]
-    qn = sq_norms(queries)
-
-    # --- schedule: invert (query, probe-slot) pairs to partition buckets ---
-    ql = num_q * num_probe
-    q_of_pair = jnp.repeat(jnp.arange(num_q, dtype=jnp.int32), num_probe)
-    p_of_pair = probe_ids.reshape(-1)
-    order = jnp.argsort(p_of_pair, stable=True)
-    p_s = p_of_pair[order]
-    q_s = q_of_pair[order]
-    first_occ = jnp.searchsorted(p_s, p_s, side="left")
-    rank = jnp.arange(ql, dtype=jnp.int32) - first_occ.astype(jnp.int32)
-    valid_pair = (p_s >= 0) & (rank < qcap)
-    overflow = jnp.sum((p_s >= 0) & (rank >= qcap))
-
-    # bucket matrix [P, qcap]: query id probing partition p at slot r
-    buckets = jnp.full((num_parts, qcap), -1, jnp.int32)
-    scat_p = jnp.where(valid_pair, p_s, num_parts)  # OOB -> dropped
-    scat_r = jnp.where(valid_pair, rank, qcap)
-    buckets = buckets.at[scat_p, scat_r].set(q_s, mode="drop")
-
-    # --- chunked partition-centric scan ---
-    n_pad_parts = (-num_parts) % part_chunk
-    starts_p = jnp.pad(starts, (0, n_pad_parts))
-    sizes_p = jnp.pad(sizes, (0, n_pad_parts))
-    buckets_p = jnp.pad(
-        buckets, ((0, n_pad_parts), (0, 0)), constant_values=-1
-    )
-    n_chunks = buckets_p.shape[0] // part_chunk
+    num_q = q_pad.shape[0]
+    m = codes_pad.shape[1]
     row_iota = jnp.arange(pmax, dtype=jnp.int32)
-    q_safe = jnp.concatenate(
-        [queries, jnp.zeros((1, d), queries.dtype)], axis=0
-    )
-    qn_safe = jnp.concatenate([qn, jnp.zeros((1,), qn.dtype)])
 
-    def scan_chunk(carry, inp):
-        st_c, sz_c, bk_c = inp  # [C], [C], [C, qcap]
+    def per_query(qv, qn_v, gt_row, pids):
+        def per_slot(p):
+            active = p >= 0  # LimitVectors probe sets vary per query
+            p_safe = jnp.maximum(p, 0)
+            s = starts[p_safe]
+            cs = jax.lax.dynamic_slice(
+                codes_pad, (s, 0), (pmax, m)
+            ).astype(jnp.int32)
+            dec = scan_ops.decode_tile(codebooks, cs, "auto", precision)
+            rc = jax.lax.dynamic_slice(row_const_pad, (s,), (pmax,))
+            valid = active & (row_iota < sizes[p_safe])
+            rc = jnp.where(valid, rc + gt_row[p_safe], jnp.inf)
+            return dec, rc, s + row_iota
 
-        def one_partition(st, sz, bucket):
-            block = jax.lax.dynamic_slice(recon, (st, 0), (pmax, d))
-            bn = jax.lax.dynamic_slice(recon_norms, (st,), (pmax,))
-            qidx = jnp.where(bucket >= 0, bucket, num_q)  # safe gather
-            qb = q_safe[qidx]  # [qcap, D]
-            ip = jnp.matmul(
-                qb.astype(block.dtype),
-                block.T,
-                preferred_element_type=jnp.float32,
-            )  # [qcap, pmax]
-            dist = qn_safe[qidx][:, None] + bn[None, :] - 2.0 * ip
-            col_ok = row_iota[None, :] < sz
-            row_ok = (bucket >= 0)[:, None]
-            dist = jnp.where(col_ok & row_ok, dist, jnp.inf)
-            kk_p = min(k, pmax)
-            if topk_impl == "approx" and pmax >= 256:
-                kv, kp = jax.lax.approx_min_k(
-                    dist, kk_p, recall_target=recall_target
-                )
-                kp = kp.astype(jnp.int32)
-            else:
-                kv, kp = smallest_k(dist, kk_p)
-            return kv, st + kp  # global ids
+        blocks, rcs, ids = jax.vmap(per_slot)(pids)  # [L, pmax, ...]
+        flat = blocks.reshape(num_probe * pmax, -1)
+        ip = jnp.matmul(
+            flat,
+            qv[:, None],
+            preferred_element_type=jnp.float32,
+            precision=scan_ops.resolve_precision(precision),
+        )[:, 0]
+        dist = qn_v + rcs.reshape(-1) - 2.0 * ip
+        if topk_impl == "approx" and num_probe * pmax >= 256 * k:
+            vals, pos = jax.lax.approx_min_k(
+                dist[None], k, recall_target=recall_target
+            )
+        else:
+            vals, pos = smallest_k(dist[None], k)
+        return vals[0], ids.reshape(-1)[pos[0]]
 
-        kv, ki = jax.vmap(one_partition)(st_c, sz_c, bk_c)
-        return carry, (kv, ki)
-
-    st_c = starts_p.reshape(n_chunks, part_chunk)
-    sz_c = sizes_p.reshape(n_chunks, part_chunk)
-    bk_c = buckets_p.reshape(n_chunks, part_chunk, qcap)
-    _, (all_v, all_i) = jax.lax.scan(scan_chunk, None, (st_c, sz_c, bk_c))
-    kk = min(k, pmax)
-    # [n_chunks, C, qcap, kk] -> flat bucket-slot candidates
-    cand_v = all_v.reshape(num_parts + n_pad_parts, qcap, kk)
-    cand_i = all_i.reshape(num_parts + n_pad_parts, qcap, kk)
-
-    # --- regroup candidates per query ---
-    inv_order = jnp.argsort(order)  # original pair -> sorted position
-    slot_flat = jnp.where(
-        valid_pair, p_s * qcap + rank, num_parts * qcap
-    )  # invalid -> OOB sentinel
-    pair_slots = slot_flat[inv_order].reshape(num_q, num_probe)
-    cv_flat = jnp.concatenate(
-        [
-            cand_v.reshape(-1, kk),
-            jnp.full((1, kk), jnp.inf, jnp.float32),
-        ]
-    )
-    ci_flat = jnp.concatenate(
-        [cand_i.reshape(-1, kk), jnp.full((1, kk), -1, jnp.int32)]
-    )
-    safe_slots = jnp.where(
-        pair_slots >= (num_parts + n_pad_parts) * qcap,
-        cv_flat.shape[0] - 1,
-        pair_slots,
-    )
-    per_q_v = cv_flat[safe_slots].reshape(num_q, num_probe * kk)
-    per_q_i = ci_flat[safe_slots].reshape(num_q, num_probe * kk)
-    kf = min(k, num_probe * kk)
-    best_d, pos = smallest_k(per_q_v, kf)
-    best_i = jnp.take_along_axis(per_q_i, pos, axis=1)
-    if kf < k:
-        best_d = jnp.pad(
-            best_d, ((0, 0), (0, k - kf)), constant_values=jnp.inf
-        )
-        best_i = jnp.pad(best_i, ((0, 0), (0, k - kf)), constant_values=-1)
-    best_i = jnp.where(jnp.isinf(best_d), -1, best_i)
-    return best_d, best_i, overflow
+    dists, ids = jax.vmap(per_query)(q_pad, qn, group_term, probe_ids)
+    ids = jnp.where(jnp.isinf(dists), -1, ids)
+    return dists, ids
 
 
 @dataclasses.dataclass
@@ -381,17 +621,25 @@ class IVFIndex(Index):
     precision: str = "default"
     topk_impl: str = "approx"
     recall_target: float = 0.95
-    # "masked" = single masked full scan (default; best for large batches);
-    # "gathered" = per-query partition slices over a cached reconstruction
-    # (sublinear in corpus size; best for latency / small batches);
-    # "bucketed" = partition-centric schedule: every probed partition read
-    # once per batch and matmul'd against all its probing queries — the
-    # large-batch sublinear path (overflowed pairs counted in
-    # self.last_overflow; near-exact at the default qcap)
+    # "masked" = single masked full scan (default; best when batched probes
+    # jointly cover the corpus);
+    # "gathered" = per-query partition slices — sublinear in corpus size,
+    # the latency/small-batch path;
+    # "bucketed" = exact partition-centric schedule: probed partitions are
+    # host-planned into fixed row-chunk x query-sub-bucket entries (hot
+    # partitions get MORE entries instead of dropped overflow pairs, and an
+    # oversized partition never inflates other probes) — the large-batch
+    # sublinear path.
+    # Both sublinear paths are code-resident (m bytes/vector, probed rows
+    # decoded in-flight, matching the reference's ranged code scan at
+    # Index.scala:411-412); if enable_cache() materialized the bf16
+    # reconstruction they use it automatically instead.
     scan_strategy: str = "masked"
-    last_overflow: int = 0
-    recon_cache: Optional[jax.Array] = None  # [N + pmax, D], see enable_cache
-    recon_norms_cache: Optional[jax.Array] = None  # [N + pmax] f32
+    last_overflow: int = 0  # always 0: the entry schedule is lossless
+    recon_cache: Optional[jax.Array] = None  # [N + pad, D], see enable_cache
+    recon_norms_cache: Optional[jax.Array] = None  # [N + pad] f32
+    _codes_pad: Optional[jax.Array] = None  # [N + pad, m], built lazily
+    _row_const_pad: Optional[jax.Array] = None  # [N + pad] f32
 
     @property
     def key_index(self) -> GroupedKeyIndex:
@@ -416,6 +664,26 @@ class IVFIndex(Index):
 
     def batch_query(self, k: int, vectors) -> List[Result]:
         return self._make_results(*self.query_arrays(k, vectors))
+
+    def _pad_rows(self) -> int:
+        """Row padding so any rcap/pmax dynamic slice stays in bounds."""
+        sizes = self.partition_sizes()
+        pmax = int(sizes.max()) if len(sizes) else 1
+        return max(pmax, 512)
+
+    def _code_operands(self):
+        """Padded code matrix + row constants for code-resident probing."""
+        if self._codes_pad is None:
+            pad = self._pad_rows()
+            self._codes_pad = jnp.pad(self.codes, ((0, pad), (0, 0)))
+            self._row_const_pad = jnp.pad(
+                self.row_const, (0, pad), constant_values=jnp.inf
+            )
+        return self._codes_pad, self._row_const_pad
+
+    def _q_subspace(self, q: jax.Array) -> jax.Array:
+        qs = split_subspaces(q, self.pq.bounds, self.pq.pad_width)
+        return jnp.transpose(qs, (1, 0, 2)).reshape(q.shape[0], -1)
 
     def query_arrays(self, k: int, vectors):
         q = jnp.asarray(vectors, jnp.float32)
@@ -451,10 +719,9 @@ class IVFIndex(Index):
 
         k_eff = min(k, self.size)
         if self.scan_strategy in ("gathered", "bucketed"):
-            if self.recon_cache is None:
-                self.enable_cache()
+            use_cache = self.recon_cache is not None
             sizes_np = self.partition_sizes()
-            pmax = int(sizes_np.max())
+            pmax = int(sizes_np.max()) if len(sizes_np) else 1
             if isinstance(self.strategy, LimitGroups):
                 num_probe = min(self.strategy.count, self.num_partitions)
             else:
@@ -477,31 +744,58 @@ class IVFIndex(Index):
             starts = np.concatenate(
                 [[0], np.cumsum(sizes_np)[:-1]]
             ).astype(np.int32)
-            # the gathered candidate pool holds num_probe*pmax rows
-            k_g = min(k_eff, num_probe * pmax)
             if self.scan_strategy == "bucketed":
-                num_q = int(q.shape[0])
-                mean_pairs = max(
-                    1, (num_q * num_probe) // max(self.num_partitions, 1)
+                probe_np = np.asarray(probe_ids)
+                flat_p = probe_np[probe_np >= 0]
+                max_occ = (
+                    int(np.bincount(flat_p).max()) if flat_p.size else 1
                 )
-                qcap = min(max(8, 4 * mean_pairs), num_q)
-                qcap = -(-qcap // 8) * 8  # sublane multiple
-                dists, ids, overflow = _ivf_scan_bucketed(
-                    q,
-                    self.recon_cache,
-                    self.recon_norms_cache,
-                    jnp.asarray(starts),
-                    jnp.asarray(sizes_np),
-                    probe_ids,
-                    num_probe=num_probe,
-                    pmax=pmax,
-                    qcap=qcap,
-                    k=k_g,
-                    topk_impl=self.topk_impl,
-                    recall_target=self.recall_target,
+                rcap = min(512, _next_pow2(pmax))
+                qcap = min(64, max(8, _next_pow2(max_occ)))
+                kk = min(k_eff, rcap)
+                (
+                    e_start, e_size, e_part, e_bucket, pair_slots
+                ) = _plan_entry_schedule(
+                    probe_np, sizes_np, starts, rcap, qcap, kk
                 )
-                self.last_overflow = int(overflow)
-            else:
+                chunk = min(16, e_start.shape[0])
+                if use_cache:
+                    cand_v, cand_i = _scan_entries_cached(
+                        q,
+                        self.recon_cache,
+                        self.recon_norms_cache,
+                        jnp.asarray(e_start),
+                        jnp.asarray(e_size),
+                        jnp.asarray(e_bucket),
+                        rcap=rcap, qcap=qcap, kk=kk, chunk=chunk,
+                        topk_impl=self.topk_impl,
+                        recall_target=self.recall_target,
+                    )
+                else:
+                    codes_pad, rc_pad = self._code_operands()
+                    cand_v, cand_i = _scan_entries_codes(
+                        self._q_subspace(q),
+                        qn,
+                        group_term,
+                        self.pq.codebooks,
+                        codes_pad,
+                        rc_pad,
+                        jnp.asarray(e_start),
+                        jnp.asarray(e_size),
+                        jnp.asarray(e_part),
+                        jnp.asarray(e_bucket),
+                        rcap=rcap, qcap=qcap, kk=kk, chunk=chunk,
+                        precision=self.precision,
+                        topk_impl=self.topk_impl,
+                        recall_target=self.recall_target,
+                    )
+                self.last_overflow = 0
+                return _regroup_pairs(
+                    cand_v, cand_i, jnp.asarray(pair_slots), k=k_eff
+                )
+            # gathered: candidate pool holds num_probe*pmax rows per query
+            k_g = min(k_eff, num_probe * pmax)
+            if use_cache:
                 dists, ids = _ivf_scan_gathered(
                     q,
                     self.recon_cache,
@@ -512,6 +806,25 @@ class IVFIndex(Index):
                     num_probe=num_probe,
                     pmax=pmax,
                     k=k_g,
+                    topk_impl=self.topk_impl,
+                    recall_target=self.recall_target,
+                )
+            else:
+                codes_pad, rc_pad = self._code_operands()
+                dists, ids = _ivf_scan_gathered_codes(
+                    self._q_subspace(q),
+                    qn,
+                    group_term,
+                    self.pq.codebooks,
+                    codes_pad,
+                    rc_pad,
+                    jnp.asarray(starts),
+                    jnp.asarray(sizes_np),
+                    probe_ids,
+                    num_probe=num_probe,
+                    pmax=pmax,
+                    k=k_g,
+                    precision=self.precision,
                     topk_impl=self.topk_impl,
                     recall_target=self.recall_target,
                 )
@@ -545,8 +858,10 @@ class IVFIndex(Index):
 
     def enable_cache(self, dtype=None, chunk: int = 1 << 20) -> None:
         """Materialize the full reconstruction (residual decode + centroid)
-        for the ``"gathered"`` strategy. bf16 on TPU, f32 elsewhere. The
-        buffer is padded by one max-partition so probe slices never clamp.
+        as an optional accelerator for the sublinear strategies: probed
+        entries become pure matmuls instead of decode+matmul, at
+        ``2*D`` bytes/vector of HBM. bf16 on TPU, f32 elsewhere. The buffer
+        is padded so probe slices never clamp.
         """
         if dtype is None:
             dtype = (
@@ -554,8 +869,7 @@ class IVFIndex(Index):
                 if jax.default_backend() == "tpu"
                 else jnp.float32
             )
-        sizes = self.partition_sizes()
-        pmax = int(sizes.max()) if len(sizes) else 1
+        pmax = self._pad_rows()
         gids = np.asarray(self.group_ids)
         cents = np.asarray(self.centroids)
         codes = np.asarray(self.codes)

@@ -154,12 +154,16 @@ def test_gathered_strategy_matches_masked():
         index.scan_strategy = "gathered"
         index.topk_impl = "exact"
         b = index.batch_query(7, q)
-        assert index.recon_cache is not None  # lazily built
-        for ra, rb in zip(a, b):
-            np.testing.assert_allclose(
-                ra.distances, rb.distances, rtol=2e-2, atol=1e-2
-            )
-            assert set(ra.keys) == set(rb.keys)
+        # code-resident by default: no reconstruction cache materialized
+        assert index.recon_cache is None
+        index.enable_cache()
+        c = index.batch_query(7, q)
+        for ra, rb, rc in zip(a, b, c):
+            for other in (rb, rc):
+                np.testing.assert_allclose(
+                    ra.distances, other.distances, rtol=2e-2, atol=1e-2
+                )
+                assert set(ra.keys) == set(other.keys)
 
 
 def test_gathered_rejects_bogus_strategy():
@@ -205,8 +209,87 @@ def test_bucketed_strategy_matches_masked():
         index.topk_impl = "exact"
         b = index.batch_query(8, q)
         assert index.last_overflow == 0
-        for ra, rb in zip(a, b):
-            np.testing.assert_allclose(
-                ra.distances, rb.distances, rtol=2e-2, atol=1e-2
-            )
-            assert set(ra.keys) == set(rb.keys)
+        assert index.recon_cache is None  # code-resident by default
+        index.enable_cache()
+        c = index.batch_query(8, q)
+        for ra, rb, rc in zip(a, b, c):
+            for other in (rb, rc):
+                np.testing.assert_allclose(
+                    ra.distances, other.distances, rtol=2e-2, atol=1e-2
+                )
+                assert set(ra.keys) == set(other.keys)
+
+
+def test_bucketed_skewed_batch_exact():
+    """Every query probing the SAME partition (worst-case skew) returns
+    exact parity with the masked scan — the entry schedule replicates hot
+    partitions across query sub-buckets instead of dropping overflow pairs
+    (reference probes are never lossy, Index.scala:273-281)."""
+    from generators import random_keys
+    from gulon_tpu.models.build import build_ivf_index
+    from gulon_tpu.models.ivf import LimitGroups
+    from gulon_tpu.ops.pq import PQConfig
+
+    rng = np.random.default_rng(5)
+    # one dominant cluster so every query ranks the same partition first
+    hot = rng.normal(0, 0.05, (3000, 16)).astype(np.float32)
+    cold = (rng.normal(0, 0.05, (1000, 16)) + 8.0).astype(np.float32)
+    x = np.concatenate([hot, cold]).astype(np.float32)
+    keys = random_keys(rng, 4000)
+    index = build_ivf_index(
+        keys, x,
+        pq_config=PQConfig(num_clusters=16, num_quantizers=4, max_iters=8),
+        num_partitions=8,
+        strategy=LimitGroups(1),  # exactly one probed partition per query
+    )
+    q = (hot[:96] + rng.normal(0, 0.01, (96, 16))).astype(np.float32)
+    index.topk_impl = "exact"
+    a = index.batch_query(5, q)
+    index.scan_strategy = "bucketed"
+    b = index.batch_query(5, q)
+    assert index.last_overflow == 0
+    for ra, rb in zip(a, b):
+        np.testing.assert_allclose(ra.distances, rb.distances, rtol=1e-5)
+        assert set(ra.keys) == set(rb.keys)
+
+
+def test_entry_schedule_covers_all_pairs():
+    """Planner property: for every valid (query, partition) pair, the
+    entries referenced by its pair_slots cover EXACTLY the partition's rows
+    (split across rcap row chunks), with the query occupying its slot in
+    every one of them — lossless scheduling regardless of skew or
+    partition-size outliers."""
+    from gulon_tpu.models.ivf import _plan_entry_schedule
+
+    rng = np.random.default_rng(7)
+    sizes = np.array([1300, 7, 430, 256, 3], np.int64)  # outlier + tiny
+    starts = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+    num_q, L, rcap, qcap, kk = 50, 3, 512, 8, 4
+    probe = rng.integers(-1, len(sizes), (num_q, L)).astype(np.int32)
+    probe[:30, 0] = 0  # hot partition: 30 queries -> multiple sub-buckets
+    e_start, e_size, e_part, e_bucket, pair_slots = _plan_entry_schedule(
+        probe, sizes, starts, rcap, qcap, kk
+    )
+    n_e = e_start.shape[0]
+    w = pair_slots.shape[1] // L
+    for qi in range(num_q):
+        for li in range(L):
+            p = probe[qi, li]
+            slots = pair_slots[qi, li * w : (li + 1) * w]
+            real = slots[slots < n_e * qcap]
+            if p < 0:
+                assert len(real) == 0
+                continue
+            rows_covered = []
+            for s in real:
+                e, slot = divmod(int(s), qcap)
+                assert e_part[e] == p
+                assert e_bucket[e, slot] == qi  # query owns its slot
+                rows_covered.append((int(e_start[e]), int(e_size[e])))
+            rows_covered.sort()
+            # row chunks tile [starts[p], starts[p]+sizes[p]) exactly
+            pos = starts[p]
+            for st, sz in rows_covered:
+                assert st == pos and sz > 0
+                pos += sz
+            assert pos == starts[p] + sizes[p]
