@@ -390,12 +390,183 @@ def bench_ivf1m(n=300_000, d=96, n_queries=1024, partitions=300, probe=15):
     )
 
 
+def bench_ivf_sublinear(
+    n=1_000_000, d=64, m=8, partitions=1000, probe=20, n_queries=1024
+):
+    """Sublinear IVF strategies vs the masked full scan.
+
+    The index is synthesized directly on device (random codes, balanced
+    partitions) — scan latency depends only on shapes, and a real 1M-row
+    build would move ~256 MB through the ~11 MB/s tunnel. Measures the
+    exact entry-scheduled "bucketed" scan both code-resident (m bytes/row)
+    and over the bf16 reconstruction cache, plus the per-query "gathered"
+    path at a small batch.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from gulon_tpu.models.ivf import IVFIndex, LimitGroups
+    from gulon_tpu.models.keyindex import GroupedKeyIndex
+    from gulon_tpu.models.metric import Metric
+    from gulon_tpu.ops.pq import ProductQuantizer, subspace_bounds
+
+    bounds = subspace_bounds(d, m)
+    dsub = max(w for _, w in bounds)
+    key = jax.random.key(0)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    codebooks = jax.random.normal(k1, (m, 256, dsub), jnp.float32) * 0.3
+    codes = jax.random.randint(k2, (n, m), 0, 256, jnp.int32).astype(
+        jnp.uint8
+    )
+    centroids = jax.random.normal(k3, (partitions, d), jnp.float32)
+    pq = ProductQuantizer(
+        codebooks=codebooks, bounds=bounds, num_clusters=256
+    )
+    per = n // partitions
+    group_ids = jnp.repeat(
+        jnp.arange(partitions, dtype=jnp.int32), per
+    )
+    # row_const = ||r^||^2 + 2<c_g, r^>
+    dec_norms = pq.reconstruction_norms(codes)
+    row_const = dec_norms + 0.1 * jax.random.normal(k4, (n,), jnp.float32)
+    offsets = (np.arange(1, partitions) * per).astype(np.int32)
+    keys = np.empty(n, dtype=object)
+    keys[:] = ""
+    index = IVFIndex(
+        _key_index=GroupedKeyIndex(keys=keys, group_offsets=offsets),
+        pq=pq,
+        codes=codes,
+        row_const=row_const,
+        group_ids=group_ids,
+        centroids=centroids,
+        metric=Metric.L2,
+        strategy=LimitGroups(probe),
+    )
+    q = jax.random.normal(jax.random.fold_in(key, 7), (n_queries, d))
+
+    def timed(label, fn, reps=8):
+        """Per-call seconds: `reps` async dispatches, one readback.
+
+        Host planning/upload inside fn() is synchronous and counted; the
+        single trailing readback amortizes the tunnel RTT (~25 ms here,
+        irrelevant on a directly-attached TPU) across reps.
+        """
+        d_, i_ = fn()  # compile + warm
+        _ = np.asarray(d_[:1, :1])
+        t0 = time.perf_counter()
+        for _ in range(reps - 1):
+            fn()
+        d_, i_ = fn()
+        _ = np.asarray(d_[:1, :1])
+        best = (time.perf_counter() - t0) / reps
+        print(f"  {label:28s} {best*1e3:9.2f} ms/batch")
+        return best
+
+    out = {"benchmark": "ivf_sublinear", "corpus": f"{n}x{d}",
+           "partitions": partitions, "probe": probe, "batch": n_queries}
+    index.scan_strategy = "masked"
+    out["masked_ms"] = round(
+        timed("masked full scan", lambda: index.query_arrays(10, q)) * 1e3, 2
+    )
+
+    # Bucketed path, staged: plan once on host, measure the device scan
+    # with the schedule resident (through the dev tunnel a ~1 MB schedule
+    # upload costs ~50-90 ms; on a directly-attached TPU it is ~0.1 ms, so
+    # end-to-end == plan_ms + device_ms there).
+    from gulon_tpu.models.ivf import (
+        _next_pow2, _plan_entry_schedule, _regroup_pairs,
+        _scan_entries_cached, _scan_entries_codes,
+    )
+    from gulon_tpu.ops.distance import sq_norms
+    from gulon_tpu.ops.pq import split_subspaces
+
+    sizes_np = index.partition_sizes()
+    starts = np.concatenate([[0], np.cumsum(sizes_np)[:-1]]).astype(np.int32)
+    cdist = (
+        np.asarray(jnp.matmul(q, centroids.T)) * -2.0
+        + np.asarray(jnp.sum(centroids**2, axis=1))[None, :]
+    )
+    probe_np = np.argsort(cdist, axis=1)[:, :probe].astype(np.int32)
+    pmax = int(sizes_np.max())
+    rcap = min(512, _next_pow2(pmax))
+    max_occ = int(np.bincount(probe_np.ravel()).max())
+    qcap = min(64, max(8, _next_pow2(max_occ)))
+    kk = min(10, rcap)
+    t0 = time.perf_counter()
+    e_start, e_size, e_part, e_bucket, pair_slots = _plan_entry_schedule(
+        probe_np, sizes_np, starts, rcap, qcap, kk
+    )
+    out["plan_ms"] = round((time.perf_counter() - t0) * 1e3, 2)
+    out["schedule_bytes"] = int(
+        sum(a.size * 4 for a in (e_start, e_size, e_part, e_bucket,
+                                 pair_slots))
+    )
+    dev = [jax.device_put(jnp.asarray(a))
+           for a in (e_start, e_size, e_part, e_bucket, pair_slots)]
+    _ = [np.asarray(a[:1]) for a in dev]  # settle uploads
+    es, esz, ep, eb, psl = dev
+    chunk = min(64, es.shape[0])
+    q_pad = jnp.transpose(
+        split_subspaces(q, pq.bounds, dsub), (1, 0, 2)
+    ).reshape(n_queries, -1)
+    qn = sq_norms(q)
+    cn = jnp.sum(centroids**2, axis=1)
+    gt = cn[None, :] - 2.0 * jnp.matmul(q, centroids.T)
+    codes_pad, rc_pad = index._code_operands()
+
+    def run_codes():
+        cv, ci = _scan_entries_codes(
+            q_pad, qn, gt, codebooks, codes_pad, rc_pad, es, esz, ep, eb,
+            rcap=rcap, qcap=qcap, kk=kk, chunk=chunk, topk_impl="approx",
+        )
+        return _regroup_pairs(cv, ci, psl, k=10)
+
+    out["bucketed_code_device_ms"] = round(
+        timed("bucketed code-res (device)", run_codes) * 1e3, 2
+    )
+    index.enable_cache()
+
+    def run_cached():
+        cv, ci = _scan_entries_cached(
+            q, index.recon_cache, index.recon_norms_cache, es, esz, eb,
+            rcap=rcap, qcap=qcap, kk=kk, chunk=chunk, topk_impl="approx",
+        )
+        return _regroup_pairs(cv, ci, psl, k=10)
+
+    out["bucketed_cached_device_ms"] = round(
+        timed("bucketed bf16-cache (device)", run_cached) * 1e3, 2
+    )
+    qs = q[:8]
+    index.recon_cache = None
+    index.recon_norms_cache = None
+    index.scan_strategy = "gathered"
+    out["gathered_code_q8_ms"] = round(
+        timed("gathered code-resident Q=8",
+              lambda: index.query_arrays(10, qs)) * 1e3, 2,
+    )
+    # parity spot check: bucketed == masked id sets
+    index.scan_strategy = "masked"
+    index.topk_impl = "exact"
+    _, im = index.query_arrays(10, q[:64])
+    index.scan_strategy = "bucketed"
+    _, ib = index.query_arrays(10, q[:64])
+    im, ib = np.asarray(im), np.asarray(ib)
+    out["bucketed_vs_masked_overlap"] = round(
+        float(np.mean([len(set(im[i]) & set(ib[i])) / 10 for i in range(64)])
+              ), 4,
+    )
+    import jax as _j
+    out["device"] = str(_j.devices()[0])
+    _emit(out)
+
+
 CONFIGS = {
     "glove100": lambda a: bench_adc(400_000, 100, 8, 256, 1024, "glove100"),
     "glove300": lambda a: bench_adc(2_200_000, 300, 16, 256, 1024, "glove300"),
     "fasttext": lambda a: bench_exact(2_000_000, 300, 1024, "fasttext"),
     "deep10m": lambda a: bench_deep10m(a.devices),
     "ivf1m": lambda a: bench_ivf1m(),
+    "ivf_sublinear": lambda a: bench_ivf_sublinear(),
     "sent1024": lambda a: bench_sent1024(),
     "kmeans": lambda a: bench_kmeans(),
     "build10m": lambda a: bench_build10m(),

@@ -273,6 +273,72 @@ def _plan_entry_schedule(
     )
 
 
+# Flat-top-k memory budget: below this, per-entry distances are stacked
+# into one [E*qcap, rcap] tensor and selected with a single wide
+# PartialReduce — ~10x cheaper than a top-k inside the entry loop
+# (profiled: in-loop approx_top_k over tiny [qcap, rcap] tiles dominated
+# the whole scan). Above it, top-k runs per chunk inside the loop.
+_FLAT_TOPK_BYTES = 1 << 30
+
+
+def _entry_topk(
+    dist_chunk_fn,  # vmapped: chunk of schedule rows -> [chunk, qcap, rcap]
+    schedule,  # tuple of [E, ...] arrays to feed dist_chunk_fn
+    e_start: jax.Array,  # [E] i32 (for global row ids)
+    *,
+    rcap: int,
+    qcap: int,
+    kk: int,
+    chunk: int,
+    topk_impl: str,
+    recall_target: float,
+):
+    """Scan entry distances in chunks, then select kk per entry slot."""
+    e_total = e_start.shape[0]
+    n_chunks = e_total // chunk
+    chunked = tuple(
+        a.reshape((n_chunks, chunk) + a.shape[1:]) for a in schedule
+    )
+    flat_ok = e_total * qcap * rcap * 4 <= _FLAT_TOPK_BYTES
+
+    if flat_ok:
+        def scan_chunk(carry, inp):
+            return carry, dist_chunk_fn(*inp)
+
+        _, dist_all = jax.lax.scan(scan_chunk, None, chunked)
+        flat = dist_all.reshape(e_total * qcap, rcap)
+        if topk_impl == "approx" and rcap >= 128:
+            kv, kp = jax.lax.approx_min_k(
+                flat, kk, recall_target=recall_target
+            )
+            kp = kp.astype(jnp.int32)
+        else:
+            kv, kp = smallest_k(flat, kk)
+        ki = e_start[:, None, None] + kp.reshape(e_total, qcap, kk)
+        return kv.reshape(e_total, qcap, kk), ki
+
+    def scan_chunk(carry, inp):
+        dist = dist_chunk_fn(*inp)  # [chunk, qcap, rcap]
+        d2 = dist.reshape(chunk * qcap, rcap)
+        if topk_impl == "approx" and rcap >= 128:
+            kv, kp = jax.lax.approx_min_k(
+                d2, kk, recall_target=recall_target
+            )
+            kp = kp.astype(jnp.int32)
+        else:
+            kv, kp = smallest_k(d2, rcap if kk > rcap else kk)
+        return carry, (
+            kv.reshape(chunk, qcap, kk), kp.reshape(chunk, qcap, kk)
+        )
+
+    _, (all_v, all_p) = jax.lax.scan(scan_chunk, None, chunked)
+    all_i = e_start.reshape(n_chunks, chunk)[:, :, None, None] + all_p
+    return (
+        all_v.reshape(e_total, qcap, kk),
+        all_i.reshape(e_total, qcap, kk),
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -337,36 +403,14 @@ def _scan_entries_codes(
             qn_safe[qidx][:, None] + gt[:, None] + rc[None, :] - 2.0 * ip
         )
         ok = (bucket >= 0)[:, None] & (col_iota[None, :] < sz)
-        dist = jnp.where(ok, dist, jnp.inf)
-        if topk_impl == "approx" and rcap >= 256:
-            kv, kp = jax.lax.approx_min_k(
-                dist, kk, recall_target=recall_target
-            )
-            kp = kp.astype(jnp.int32)
-        else:
-            kv, kp = smallest_k(dist, kk)
-        return kv, st + kp
+        return jnp.where(ok, dist, jnp.inf)
 
-    def scan_chunk(carry, inp):
-        st_c, sz_c, pt_c, bk_c = inp
-        kv, ki = jax.vmap(one_entry)(st_c, sz_c, pt_c, bk_c)
-        return carry, (kv, ki)
-
-    n_chunks = e_start.shape[0] // chunk
-    _, (all_v, all_i) = jax.lax.scan(
-        scan_chunk,
-        None,
-        (
-            e_start.reshape(n_chunks, chunk),
-            e_size.reshape(n_chunks, chunk),
-            e_part.reshape(n_chunks, chunk),
-            e_bucket.reshape(n_chunks, chunk, qcap),
-        ),
-    )
-    e_total = e_start.shape[0]
-    return (
-        all_v.reshape(e_total, qcap, kk),
-        all_i.reshape(e_total, qcap, kk),
+    return _entry_topk(
+        jax.vmap(one_entry),
+        (e_start, e_size, e_part, e_bucket),
+        e_start,
+        rcap=rcap, qcap=qcap, kk=kk, chunk=chunk,
+        topk_impl=topk_impl, recall_target=recall_target,
     )
 
 
@@ -408,35 +452,14 @@ def _scan_entries_cached(
         )
         dist = qn_safe[qidx][:, None] + bn[None, :] - 2.0 * ip
         ok = (bucket >= 0)[:, None] & (col_iota[None, :] < sz)
-        dist = jnp.where(ok, dist, jnp.inf)
-        if topk_impl == "approx" and rcap >= 256:
-            kv, kp = jax.lax.approx_min_k(
-                dist, kk, recall_target=recall_target
-            )
-            kp = kp.astype(jnp.int32)
-        else:
-            kv, kp = smallest_k(dist, kk)
-        return kv, st + kp
+        return jnp.where(ok, dist, jnp.inf)
 
-    def scan_chunk(carry, inp):
-        st_c, sz_c, bk_c = inp
-        kv, ki = jax.vmap(one_entry)(st_c, sz_c, bk_c)
-        return carry, (kv, ki)
-
-    n_chunks = e_start.shape[0] // chunk
-    _, (all_v, all_i) = jax.lax.scan(
-        scan_chunk,
-        None,
-        (
-            e_start.reshape(n_chunks, chunk),
-            e_size.reshape(n_chunks, chunk),
-            e_bucket.reshape(n_chunks, chunk, qcap),
-        ),
-    )
-    e_total = e_start.shape[0]
-    return (
-        all_v.reshape(e_total, qcap, kk),
-        all_i.reshape(e_total, qcap, kk),
+    return _entry_topk(
+        jax.vmap(one_entry),
+        (e_start, e_size, e_bucket),
+        e_start,
+        rcap=rcap, qcap=qcap, kk=kk, chunk=chunk,
+        topk_impl=topk_impl, recall_target=recall_target,
     )
 
 
