@@ -36,8 +36,14 @@ def _normalize_np(x: np.ndarray) -> np.ndarray:
 
 
 def _encode_chunked(
-    pq: ProductQuantizer, x: np.ndarray, chunk: int
+    pq: ProductQuantizer, x: np.ndarray, chunk: int, mesh=None
 ) -> np.ndarray:
+    """Bulk encode; with ``mesh`` the rows shard over every device (P3,
+    ``ProductQuantizer.scala:25-35`` at mesh scale)."""
+    if mesh is not None and len(x):
+        from gulon_tpu.parallel.ops import sharded_encode
+
+        return sharded_encode(pq, x, mesh, chunk=chunk)
     parts = []
     for start in range(0, len(x), chunk):
         parts.append(np.asarray(pq.encode(x[start : start + chunk])))
@@ -72,7 +78,7 @@ def build_flat_index(
     x = x[order]
 
     pq = train_product_quantizer(x, pq_config, report_fn=report_fn, mesh=mesh)
-    codes = jnp.asarray(_encode_chunked(pq, x, encode_chunk))
+    codes = jnp.asarray(_encode_chunked(pq, x, encode_chunk, mesh=mesh))
     recon_norms = pq.reconstruction_norms(codes)
     return FlatIndex(
         _key_index=SortedKeyIndex(keys),
@@ -149,7 +155,7 @@ def build_ivf_index(
     pq = train_product_quantizer(
         residuals, pq_config, report_fn=report_fn, mesh=mesh
     )
-    codes_np = _encode_chunked(pq, residuals, encode_chunk)
+    codes_np = _encode_chunked(pq, residuals, encode_chunk, mesh=mesh)
     codes = jnp.asarray(codes_np)
 
     # Per-row constant of the expanded residual distance:

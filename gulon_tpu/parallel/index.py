@@ -141,9 +141,10 @@ class ShardedFlatIndex(Index):
 def _sharded_ivf_scan(
     queries: jax.Array,  # [Q, D] replicated
     codebooks: jax.Array,  # [m, K, dsub] replicated
-    codes: jax.Array,  # [N', m] row-sharded
-    row_const: jax.Array,  # [N'] row-sharded (+inf padding)
-    group_ids: jax.Array,  # [N'] row-sharded
+    codes: jax.Array,  # [S, n_loc, m] partition-aware row layout
+    row_const: jax.Array,  # [S, n_loc] (+inf padding)
+    group_ids: jax.Array,  # [S, n_loc]
+    loc2glob: jax.Array,  # [S, n_loc] i32 local row -> original row id
     group_term: jax.Array,  # [Q, P] replicated
     probe_mask: jax.Array,  # [Q, P] replicated
     *,
@@ -157,56 +158,176 @@ def _sharded_ivf_scan(
 ):
     from gulon_tpu.models.ivf import _ivf_scan
 
-    local_n = codes.shape[0] // mesh.shape[ROWS]
-
-    def shard_fn(q, cb, codes_loc, rc_loc, gid_loc, gt, pm):
+    def shard_fn(q, cb, codes_loc, rc_loc, gid_loc, l2g, gt, pm):
         # the single-chip masked scan runs per shard (jit-in-shard_map
         # inlines); only the id globalization + ICI merge are added here
         d, ids = _ivf_scan(
-            q, cb, codes_loc, rc_loc, gid_loc, gt, pm,
+            q, cb, codes_loc[0], rc_loc[0], gid_loc[0], gt, pm,
             bounds=bounds, k=k, tile_rows=tile_rows,
             precision=precision, topk_impl=topk_impl,
             recall_target=recall_target,
         )
-        return pops._merge_over_rows(
-            d, pops._globalize_ids(ids, local_n), k
-        )
+        gids = jnp.where(ids >= 0, l2g[0][jnp.maximum(ids, 0)], -1)
+        return pops._merge_over_rows(d, gids, k)
 
     return pops.shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(P(), P(), P(ROWS, None), P(ROWS), P(ROWS), P(), P()),
+        in_specs=(
+            P(), P(), P(ROWS, None, None), P(ROWS, None), P(ROWS, None),
+            P(ROWS, None), P(), P(),
+        ),
         out_specs=(P(), P()),
         check_vma=False,
-    )(queries, codebooks, codes, row_const, group_ids, group_term, probe_mask)
+    )(
+        queries, codebooks, codes, row_const, group_ids, loc2glob,
+        group_term, probe_mask,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "mesh", "bounds", "k", "rcap", "qcap", "kk", "chunk",
+        "precision", "topk_impl", "recall_target",
+    ),
+)
+def _sharded_ivf_bucketed(
+    q_sub: jax.Array,  # [Q, m*dsub] replicated (subspace layout)
+    qn: jax.Array,  # [Q] replicated
+    group_term: jax.Array,  # [Q, P] replicated
+    codebooks: jax.Array,  # [m, K, dsub] replicated
+    codes: jax.Array,  # [S, n_loc, m] partition-aware layout (slice-padded)
+    row_const: jax.Array,  # [S, n_loc] (+inf padding)
+    loc2glob: jax.Array,  # [S, n_loc] i32
+    e_start: jax.Array,  # [S, E] per-shard schedules (common static shapes)
+    e_size: jax.Array,  # [S, E]
+    e_part: jax.Array,  # [S, E] GLOBAL partition ids
+    e_bucket: jax.Array,  # [S, E, qcap]
+    pair_slots: jax.Array,  # [S, Q, W]
+    *,
+    mesh: Mesh,
+    bounds,
+    k: int,
+    rcap: int,
+    qcap: int,
+    kk: int,
+    chunk: int,
+    precision: str = "default",
+    topk_impl: str = "approx",
+    recall_target: float = 0.95,
+):
+    """Per-shard exact bucketed entry scan + ICI top-k merge.
+
+    Each (query, partition) probe pair lives on exactly one shard (whole
+    partitions per shard), so per-shard regrouped results are disjoint;
+    the all-gather merge is the functional ``TopKHeap.merge`` across
+    shards. Code-resident: probed row chunks decode in-flight.
+    """
+    from gulon_tpu.models.ivf import _regroup_pairs, _scan_entries_codes
+
+    def shard_fn(qs, qn_, gt, cb, codes_loc, rc_loc, l2g,
+                 es, esz, ep, eb, psl):
+        cand_v, cand_i = _scan_entries_codes(
+            qs, qn_, gt, cb, codes_loc[0], rc_loc[0],
+            es[0], esz[0], ep[0], eb[0],
+            rcap=rcap, qcap=qcap, kk=kk, chunk=chunk,
+            precision=precision, topk_impl=topk_impl,
+            recall_target=recall_target,
+        )
+        d, ids = _regroup_pairs(cand_v, cand_i, psl[0], k=k)
+        gids = jnp.where(ids >= 0, l2g[0][jnp.maximum(ids, 0)], -1)
+        return pops._merge_over_rows(d, gids, k)
+
+    return pops.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(
+            P(), P(), P(), P(),
+            P(ROWS, None, None), P(ROWS, None), P(ROWS, None),
+            P(ROWS, None), P(ROWS, None), P(ROWS, None),
+            P(ROWS, None, None), P(ROWS, None, None),
+        ),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )(
+        q_sub, qn, group_term, codebooks, codes, row_const, loc2glob,
+        e_start, e_size, e_part, e_bucket, pair_slots,
+    )
 
 
 @dataclasses.dataclass
 class ShardedIVFIndex(Index):
-    """Row-sharded counterpart of :class:`IVFIndex` (same query results)."""
+    """Partition-aware sharded counterpart of :class:`IVFIndex`.
+
+    Whole partitions are placed per shard (greedy size balancing), so both
+    the masked full scan and the sublinear ``"bucketed"`` entry scan run
+    shard-locally with one all-gather top-k merge over ICI. Query results
+    match the single-chip class.
+    """
 
     base: IVFIndex
     mesh: Mesh
-    codes_sharded: jax.Array
-    row_const_sharded: jax.Array
-    group_ids_sharded: jax.Array
+    codes_sharded: jax.Array  # [S, n_loc, m]
+    row_const_sharded: jax.Array  # [S, n_loc]
+    group_ids_sharded: jax.Array  # [S, n_loc]
+    loc2glob_sharded: jax.Array  # [S, n_loc]
     codebooks_rep: jax.Array
     centroids_rep: jax.Array
+    part_shard: np.ndarray  # [P] shard owning each partition
+    local_starts: np.ndarray  # [P] start row of partition p on its shard
 
     @staticmethod
     def shard(index: IVFIndex, mesh: Mesh) -> "ShardedIVFIndex":
+        from jax.sharding import NamedSharding
+
+        sizes = index.partition_sizes().astype(np.int64)
+        num_p = len(sizes)
+        n_shards = mesh.shape[ROWS]
+        # greedy balance: biggest partitions first onto the lightest shard
+        order = np.argsort(-sizes, kind="stable")
+        part_shard = np.zeros(num_p, np.int32)
+        local_starts = np.zeros(num_p, np.int64)
+        load = np.zeros(n_shards, np.int64)
+        for p in order:
+            s = int(np.argmin(load))
+            part_shard[p] = s
+            local_starts[p] = load[s]
+            load[s] += sizes[p]
+        pad_rows = max(int(sizes.max()) if num_p else 1, 512)
+        n_loc = int(load.max()) + pad_rows
+
+        g_starts = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+        codes_np = np.asarray(index.codes)
+        rc_np = np.asarray(index.row_const)
+        m = codes_np.shape[1]
+        codes_s = np.zeros((n_shards, n_loc, m), codes_np.dtype)
+        rc_s = np.full((n_shards, n_loc), np.inf, np.float32)
+        gid_s = np.zeros((n_shards, n_loc), np.int32)
+        l2g_s = np.full((n_shards, n_loc), -1, np.int32)
+        for p in range(num_p):
+            s, ls, gs, sz = (
+                int(part_shard[p]), int(local_starts[p]),
+                int(g_starts[p]), int(sizes[p]),
+            )
+            codes_s[s, ls : ls + sz] = codes_np[gs : gs + sz]
+            rc_s[s, ls : ls + sz] = rc_np[gs : gs + sz]
+            gid_s[s, ls : ls + sz] = p
+            l2g_s[s, ls : ls + sz] = np.arange(gs, gs + sz, dtype=np.int32)
+
+        row_sh = NamedSharding(mesh, P(ROWS, None, None))
+        row_sh2 = NamedSharding(mesh, P(ROWS, None))
         return ShardedIVFIndex(
             base=index,
             mesh=mesh,
-            codes_sharded=shard_rows(np.asarray(index.codes), mesh, 0),
-            row_const_sharded=shard_rows(
-                np.asarray(index.row_const), mesh, np.inf
-            ),
-            group_ids_sharded=shard_rows(
-                np.asarray(index.group_ids), mesh, 0
-            ),
+            codes_sharded=jax.device_put(codes_s, row_sh),
+            row_const_sharded=jax.device_put(rc_s, row_sh2),
+            group_ids_sharded=jax.device_put(gid_s, row_sh2),
+            loc2glob_sharded=jax.device_put(l2g_s, row_sh2),
             codebooks_rep=replicate(np.asarray(index.pq.codebooks), mesh),
             centroids_rep=replicate(np.asarray(index.centroids), mesh),
+            part_shard=part_shard,
+            local_starts=local_starts,
         )
 
     @property
@@ -240,7 +361,8 @@ class ShardedIVFIndex(Index):
             precision=jax.lax.Precision.HIGHEST,
         )
         group_term = cn[None, :] - 2.0 * qc_ip
-        cdist = group_term + sq_norms(q)[:, None]
+        qn = sq_norms(q)
+        cdist = group_term + qn[:, None]
         strategy = self.base.strategy
         if isinstance(strategy, LimitGroups):
             probe_mask = _probe_mask_limit_groups(cdist, strategy.count)
@@ -251,18 +373,108 @@ class ShardedIVFIndex(Index):
             raise ValueError(f"unknown strategy {strategy!r}")
 
         k_eff = min(k, self.size)
+        if self.base.scan_strategy in ("bucketed", "gathered"):
+            # sublinear probing scales out like the masked path: gathered
+            # requests also run the (strictly more general) bucketed scan
+            return self._bucketed_arrays(
+                q, qn, cdist, group_term, probe_mask, k_eff
+            )
         dists, ids = _sharded_ivf_scan(
             q,
             self.codebooks_rep,
             self.codes_sharded,
             self.row_const_sharded,
             self.group_ids_sharded,
+            self.loc2glob_sharded,
             group_term,
             probe_mask,
             mesh=self.mesh,
             bounds=self.base.pq.bounds,
             k=k_eff,
             tile_rows=self.base.tile_rows,
+            precision=self.base.precision,
+            topk_impl=self.base.topk_impl,
+            recall_target=self.base.recall_target,
+        )
+        return dists, ids
+
+    def _bucketed_arrays(self, q, qn, cdist, group_term, probe_mask, k_eff):
+        from gulon_tpu.models.ivf import _next_pow2, _plan_entry_schedule
+        from gulon_tpu.ops.topk import smallest_k
+        from jax.sharding import NamedSharding
+
+        strategy = self.base.strategy
+        sizes_np = self.base.partition_sizes()
+        num_p = len(sizes_np)
+        if isinstance(strategy, LimitGroups):
+            num_probe = min(strategy.count, num_p)
+        else:
+            raw = int(np.asarray(probe_mask.sum(axis=1)).max())
+            num_probe = min(_next_pow2(max(raw, 1)), num_p)
+        masked_cdist = jnp.where(probe_mask, cdist, jnp.inf)
+        probe_d, probe_ids = smallest_k(masked_cdist, num_probe)
+        probe_np = np.asarray(
+            jnp.where(jnp.isinf(probe_d), -1, probe_ids)
+        ).astype(np.int32)
+
+        pmax = int(sizes_np.max()) if num_p else 1
+        rcap = min(512, _next_pow2(pmax))
+        flat_p = probe_np[probe_np >= 0]
+        max_occ = int(np.bincount(flat_p).max()) if flat_p.size else 1
+        qcap = min(64, max(8, _next_pow2(max_occ)))
+        kk = min(k_eff, rcap)
+
+        # one schedule per shard over ITS partitions; a probe pair lives on
+        # exactly one shard, so regrouped shard results are disjoint
+        n_shards = self.mesh.shape[ROWS]
+        plans = []
+        for s in range(n_shards):
+            on_s = (probe_np >= 0) & (
+                self.part_shard[np.maximum(probe_np, 0)] == s
+            )
+            probe_s = np.where(on_s, probe_np, -1)
+            plans.append(
+                _plan_entry_schedule(
+                    probe_s, sizes_np.astype(np.int64),
+                    self.local_starts, rcap, qcap, kk,
+                )
+            )
+        e_max = max(p[0].shape[0] for p in plans)
+        w_max = max(p[4].shape[1] for p in plans)
+        num_q = probe_np.shape[0]
+        st = np.zeros((n_shards, e_max), np.int32)
+        sz = np.zeros((n_shards, e_max), np.int32)
+        pt = np.zeros((n_shards, e_max), np.int32)
+        bk = np.full((n_shards, e_max, qcap), -1, np.int32)
+        ps = np.full((n_shards, num_q, w_max), e_max * qcap, np.int32)
+        for s, (es_, esz_, ep_, eb_, psl_) in enumerate(plans):
+            e_s = es_.shape[0]
+            st[s, :e_s], sz[s, :e_s], pt[s, :e_s] = es_, esz_, ep_
+            bk[s, :e_s] = eb_
+            w_s = psl_.shape[1]
+            ps[s, :, :w_s] = np.where(
+                psl_ >= e_s * qcap, e_max * qcap, psl_
+            )
+
+        sh2 = NamedSharding(self.mesh, P(ROWS, None))
+        sh3 = NamedSharding(self.mesh, P(ROWS, None, None))
+        dists, ids = _sharded_ivf_bucketed(
+            self.base._q_subspace(q),
+            qn,
+            group_term,
+            self.codebooks_rep,
+            self.codes_sharded,
+            self.row_const_sharded,
+            self.loc2glob_sharded,
+            jax.device_put(st, sh2),
+            jax.device_put(sz, sh2),
+            jax.device_put(pt, sh2),
+            jax.device_put(bk, sh3),
+            jax.device_put(ps, sh3),
+            mesh=self.mesh,
+            bounds=self.base.pq.bounds,
+            k=k_eff,
+            rcap=rcap, qcap=qcap, kk=kk, chunk=min(64, e_max),
             precision=self.base.precision,
             topk_impl=self.base.topk_impl,
             recall_target=self.base.recall_target,

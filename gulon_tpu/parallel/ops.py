@@ -142,6 +142,78 @@ def sharded_exact_scan(
     )(queries, qn, data, data_norms)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "bounds", "block_rows", "precision"),
+)
+def _sharded_encode_jit(
+    x: jax.Array,  # [N', D] row-sharded over every mesh device
+    codebooks: jax.Array,  # [m, K, dsub] replicated
+    *,
+    mesh: Mesh,
+    bounds,
+    block_rows: int,
+    precision: str,
+):
+    pad_width = max(w for _, w in bounds)
+
+    def shard_fn(x_loc, cb):
+        from gulon_tpu.ops.pq import _encode_stacked
+
+        xs = split_subspaces(x_loc, bounds, pad_width)
+        return _encode_stacked(xs, cb, block_rows, precision)
+
+    return shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P((ROWS, SUB), None), P()),
+        out_specs=P((ROWS, SUB), None),
+        check_vma=False,
+    )(x, codebooks)
+
+
+def sharded_encode(
+    pq,
+    x,
+    mesh: Mesh,
+    *,
+    chunk: int = 1 << 20,
+    block_rows: int = 65536,
+    precision: str = "default",
+) -> np.ndarray:
+    """Mesh-parallel bulk encode: rows shard over EVERY device.
+
+    The distributed counterpart of the reference's per-subspace encode
+    fan-out (P3, ``ProductQuantizer.scala:25-35``) along the bigger axis:
+    each device encodes its row shard with replicated codebooks (vmapped
+    argmin over all m subspaces at once), so a v5e-8 build encodes 8x the
+    rows per step. Host input streams through the mesh in ``chunk``-row
+    slices; never funnels the corpus through one device.
+    """
+    from jax.sharding import NamedSharding
+
+    n_dev = mesh.devices.size
+    sharding = NamedSharding(mesh, P((ROWS, SUB), None))
+    out = np.empty((len(x), pq.num_quantizers), pq.dtype_codes)
+    for start in range(0, len(x), chunk):
+        xc = np.asarray(x[start : start + chunk], np.float32)
+        n_pad = (-len(xc)) % n_dev
+        if n_pad:
+            xc = np.pad(xc, ((0, n_pad), (0, 0)))
+        codes = _sharded_encode_jit(
+            jax.device_put(xc, sharding),
+            pq.codebooks,
+            mesh=mesh,
+            bounds=pq.bounds,
+            block_rows=block_rows,
+            precision=precision,
+        )
+        out[start : start + len(xc) - n_pad] = np.asarray(
+            codes[: len(xc) - n_pad]
+        ).astype(pq.dtype_codes)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Distributed k-means: rows sharded (dp) x subspaces sharded (mp)
 # ---------------------------------------------------------------------------
@@ -292,12 +364,13 @@ def sharded_fit_kmeans(
         x = x[None]
     m, n, d = x.shape
 
+    if m % mesh.shape[SUB] != 0:
+        # subspace count doesn't split over the sub axis (e.g. the single
+        # coarse k-means, m=1): flatten the mesh so every device
+        # data-parallels rows instead
+        mesh = Mesh(mesh.devices.reshape(-1, 1), (ROWS, SUB))
     m_shards = mesh.shape[SUB]
     r_shards = mesh.shape[ROWS]
-    if m % m_shards != 0:
-        raise ValueError(
-            f"stacked subspace count {m} not divisible by sub axis {m_shards}"
-        )
 
     # sample initial centroids host-side: materializing the full stacked
     # tensor on one device just for row sampling would defeat mesh builds

