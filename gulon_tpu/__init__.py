@@ -37,6 +37,9 @@ _EXPORTS = {
     "LimitVectors": "gulon_tpu.models.ivf",
     "build_flat_index": "gulon_tpu.models.build",
     "build_ivf_index": "gulon_tpu.models.build",
+    "build_flat_index_streaming": "gulon_tpu.models.streaming",
+    "build_ivf_index_streaming": "gulon_tpu.models.streaming",
+    "Word2VecStream": "gulon_tpu.utils.native",
     "ExactIndex": "gulon_tpu.models.exact",
     "build_exact_index": "gulon_tpu.models.exact",
     "WordVectors": "gulon_tpu.utils.word2vec",

@@ -68,6 +68,18 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.w2v_key_offsets.argtypes = [ctypes.c_void_p]
         lib.w2v_close.restype = None
         lib.w2v_close.argtypes = [ctypes.c_void_p]
+        lib.w2v_open_index.restype = ctypes.c_void_p
+        lib.w2v_open_index.argtypes = [ctypes.c_char_p, ctypes.c_int32]
+        lib.w2v_parse_rows.restype = ctypes.c_int64
+        lib.w2v_parse_rows.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int32,
+        ]
+        lib.w2v_parse_gather.restype = ctypes.c_int64
+        lib.w2v_parse_gather.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_float), ctypes.c_int32,
+        ]
         _lib = lib
         return _lib
 
@@ -124,3 +136,87 @@ def read_word2vec(
         return WordVectors(keys, vectors)
     finally:
         lib.w2v_close(handle)
+
+
+class Word2VecStream:
+    """Index-mode handle over a word2vec text file: keys parse up front,
+    vectors parse on demand in row ranges — the streaming-build loader.
+
+    Host memory stays O(keys + requested chunk), never O(corpus floats):
+    the file is memory-mapped and each :meth:`rows`/:meth:`gather` call
+    parses just the requested lines (multithreaded). Counterpart of the
+    reference's 10k-line chunked streaming (``WordVectors.scala:199-257``)
+    reshaped for a device-side encode pipeline.
+    """
+
+    def __init__(self, path: str, num_threads: int = 0):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native IO library unavailable")
+        self._lib = lib
+        self._threads = num_threads
+        self._handle = lib.w2v_open_index(path.encode(), num_threads)
+        if not self._handle:
+            raise RuntimeError("native parser returned null handle")
+        err = lib.w2v_error(self._handle)
+        if err:
+            self.close()
+            raise ValueError(err.decode())
+        self.num_rows = int(lib.w2v_rows(self._handle))
+        self.dim = int(lib.w2v_dim(self._handle))
+        offsets = np.ctypeslib.as_array(
+            lib.w2v_key_offsets(self._handle), shape=(self.num_rows + 1,)
+        )
+        key_buf = ctypes.string_at(
+            lib.w2v_keys(self._handle), int(offsets[-1])
+        )
+        self.keys = np.empty(self.num_rows, dtype=object)
+        for i in range(self.num_rows):
+            self.keys[i] = key_buf[offsets[i] : offsets[i + 1]].decode(
+                "utf-8"
+            )
+
+    def rows(self, start: int, count: int) -> np.ndarray:
+        """Parse rows [start, start+count) -> ``[count, dim]`` f32."""
+        out = np.empty((count, self.dim), np.float32)
+        rc = self._lib.w2v_parse_rows(
+            self._handle, start, count,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            self._threads,
+        )
+        if rc == -2:
+            raise ValueError(f"row range [{start}, {start + count}) invalid")
+        if rc >= 0:
+            raise ValueError(f"malformed line at data row {rc}")
+        return out
+
+    def gather(self, ids) -> np.ndarray:
+        """Parse arbitrary row ids -> ``[len(ids), dim]`` f32."""
+        ids = np.ascontiguousarray(ids, np.int64)
+        out = np.empty((len(ids), self.dim), np.float32)
+        rc = self._lib.w2v_parse_gather(
+            self._handle,
+            ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            len(ids),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            self._threads,
+        )
+        if rc == -2:
+            raise ValueError("row ids out of range")
+        if rc >= 0:
+            raise ValueError(f"malformed line at data row {rc}")
+        return out
+
+    def close(self) -> None:
+        if getattr(self, "_handle", None):
+            self._lib.w2v_close(self._handle)
+            self._handle = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def __del__(self):
+        self.close()

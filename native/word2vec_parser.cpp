@@ -45,9 +45,15 @@ struct Handle {
   // parse results
   int64_t rows = 0;
   int32_t dim = 0;
-  std::vector<float> vectors;      // rows * dim
+  std::vector<float> vectors;      // rows * dim (full-parse mode only)
   std::vector<char> keys;          // concatenated utf-8 bytes
   std::vector<int64_t> key_offsets;  // rows + 1
+  // index mode: byte offset of each data row's line start (-1 = the
+  // unterminated tail line, kept in `tail`); the mapping stays open so
+  // vectors parse on demand in row ranges (streaming builds)
+  std::vector<int64_t> line_begin;
+  std::string tail;
+  bool indexed = false;
   std::string error;
 };
 
@@ -161,6 +167,32 @@ bool parse_chunk(const char* begin, const char* end, int32_t dim,
   return true;
 }
 
+// Index-mode fill: record keys and line-start offsets, skip the floats.
+bool index_chunk(const char* base, const char* begin, const char* end,
+                 char* keys, int64_t* key_offsets, int64_t* line_begin,
+                 int64_t row_base, int64_t key_base) {
+  const char* p = begin;
+  int64_t row = row_base;
+  int64_t kb = key_base;
+  while (p < end) {
+    const char* nl = find_newline(p, end);
+    if (nl > p && !is_blank_line(p, nl)) {
+      const void* spv = memchr(p, ' ', static_cast<size_t>(nl - p));
+      if (!spv) return false;
+      const char* sp = static_cast<const char*>(spv);
+      int64_t klen = sp - p;
+      memcpy(keys + kb, p, static_cast<size_t>(klen));
+      key_offsets[row] = kb;
+      kb += klen;
+      line_begin[row] = p - base;
+      ++row;
+    }
+    p = nl + 1;
+  }
+  key_offsets[row] = kb;
+  return true;
+}
+
 void close_handle(Handle* h) {
   if (h->data) munmap(const_cast<char*>(h->data), h->size);
   if (h->fd >= 0) close(h->fd);
@@ -168,11 +200,118 @@ void close_handle(Handle* h) {
   h->fd = -1;
 }
 
+// Parse the floats of one indexed row into `out` (dim values).
+bool parse_row(const Handle* h, int64_t r, float* out) {
+  const char* p;
+  const char* nl;
+  int64_t lb = h->line_begin[static_cast<size_t>(r)];
+  if (lb >= 0) {
+    p = h->data + lb;
+    nl = find_newline(p, h->data + h->size);
+  } else {
+    p = h->tail.data();
+    nl = p + h->tail.size() - 1;  // stored tail always ends in '\n'
+  }
+  const void* spv = memchr(p, ' ', static_cast<size_t>(nl - p));
+  if (!spv) return false;
+  const char* fp = static_cast<const char*>(spv);
+  for (int32_t j = 0; j < h->dim; ++j) {
+    char* q = nullptr;
+    errno = 0;
+    float v = strtof(fp, &q);
+    if (q == fp || q > nl) return false;
+    out[j] = v;
+    fp = q;
+  }
+  for (; fp < nl; ++fp)
+    if (*fp != ' ' && *fp != '\r') return false;
+  return true;
+}
+
+Handle* do_open(const char* path, int32_t num_threads, bool index_only);
+
 }  // namespace
 
 extern "C" {
 
 void* w2v_open(const char* path, int32_t num_threads) {
+  return do_open(path, num_threads, false);
+}
+
+// Index mode: parse keys + per-row line offsets only; the mapping stays
+// open and vectors parse on demand via w2v_parse_rows/w2v_parse_gather —
+// the streaming-build loader (host RSS stays O(chunk), not O(corpus)).
+void* w2v_open_index(const char* path, int32_t num_threads) {
+  return do_open(path, num_threads, true);
+}
+
+// Parse rows [row_start, row_start+count) into out (count x dim f32).
+// Returns -1 on success, -2 on bad arguments, else the failing row.
+int64_t w2v_parse_rows(void* hv, int64_t row_start, int64_t count,
+                       float* out, int32_t num_threads) {
+  Handle* h = static_cast<Handle*>(hv);
+  if (!h->indexed || row_start < 0 || count < 0 ||
+      row_start + count > h->rows)
+    return -2;
+  int nt = num_threads > 0
+               ? num_threads
+               : static_cast<int>(std::thread::hardware_concurrency());
+  if (nt < 1) nt = 1;
+  if (count < 4096) nt = 1;
+  std::atomic<int64_t> bad(-1);
+  std::vector<std::thread> threads;
+  for (int t = 0; t < nt; ++t) {
+    threads.emplace_back([&, t] {
+      int64_t lo = count * t / nt, hi = count * (t + 1) / nt;
+      for (int64_t i = lo; i < hi; ++i) {
+        if (!parse_row(h, row_start + i,
+                       out + static_cast<size_t>(i) * h->dim)) {
+          int64_t expect = -1;
+          bad.compare_exchange_strong(expect, row_start + i);
+          return;
+        }
+      }
+    });
+  }
+  for (auto& th : threads) th.join();
+  return bad.load() >= 0 ? bad.load() : -1;
+}
+
+// Parse arbitrary row ids (the training-sample path). Same returns.
+int64_t w2v_parse_gather(void* hv, const int64_t* ids, int64_t count,
+                         float* out, int32_t num_threads) {
+  Handle* h = static_cast<Handle*>(hv);
+  if (!h->indexed || count < 0) return -2;
+  for (int64_t i = 0; i < count; ++i)
+    if (ids[i] < 0 || ids[i] >= h->rows) return -2;
+  int nt = num_threads > 0
+               ? num_threads
+               : static_cast<int>(std::thread::hardware_concurrency());
+  if (nt < 1) nt = 1;
+  if (count < 4096) nt = 1;
+  std::atomic<int64_t> bad(-1);
+  std::vector<std::thread> threads;
+  for (int t = 0; t < nt; ++t) {
+    threads.emplace_back([&, t] {
+      int64_t lo = count * t / nt, hi = count * (t + 1) / nt;
+      for (int64_t i = lo; i < hi; ++i) {
+        if (!parse_row(h, ids[i], out + static_cast<size_t>(i) * h->dim)) {
+          int64_t expect = -1;
+          bad.compare_exchange_strong(expect, ids[i]);
+          return;
+        }
+      }
+    });
+  }
+  for (auto& th : threads) th.join();
+  return bad.load() >= 0 ? bad.load() : -1;
+}
+
+}  // extern "C"
+
+namespace {
+
+Handle* do_open(const char* path, int32_t num_threads, bool index_only) {
   Handle* h = new Handle();
   h->fd = open(path, O_RDONLY);
   if (h->fd < 0) {
@@ -325,20 +464,33 @@ void* w2v_open(const char* path, int32_t num_threads) {
     return h;
   }
   h->rows = total_rows;
-  h->vectors.resize(static_cast<size_t>(total_rows) * h->dim);
+  if (!index_only)
+    h->vectors.resize(static_cast<size_t>(total_rows) * h->dim);
+  else
+    h->line_begin.assign(static_cast<size_t>(total_rows), -1);
   h->keys.resize(static_cast<size_t>(total_kb));
   h->key_offsets.assign(static_cast<size_t>(total_rows) + 1, 0);
 
-  // Pass 2: parallel fill.
+  // Pass 2: parallel fill (floats + keys, or keys + line offsets).
   std::atomic<int64_t> bad_row(-1);
   {
     std::vector<std::thread> threads;
     for (int t = 0; t < nt; ++t) {
       threads.emplace_back([&, t] {
         int64_t err_row = -1;
-        if (!parse_chunk(bounds[t], bounds[t + 1], h->dim, h->vectors.data(),
-                         h->keys.data(), h->key_offsets.data(), row_base[t],
-                         key_base[t], &err_row)) {
+        bool ok;
+        if (index_only) {
+          ok = index_chunk(h->data, bounds[t], bounds[t + 1],
+                           h->keys.data(), h->key_offsets.data(),
+                           h->line_begin.data(), row_base[t], key_base[t]);
+          err_row = row_base[t];
+        } else {
+          ok = parse_chunk(bounds[t], bounds[t + 1], h->dim,
+                           h->vectors.data(), h->keys.data(),
+                           h->key_offsets.data(), row_base[t], key_base[t],
+                           &err_row);
+        }
+        if (!ok) {
           int64_t expect = -1;
           bad_row.compare_exchange_strong(expect, err_row);
         }
@@ -352,17 +504,36 @@ void* w2v_open(const char* path, int32_t num_threads) {
   }
   if (tail_begin && tail_stats.rows) {
     int64_t err_row = -1;
-    if (!parse_chunk(tail_begin, tail_end, h->dim, h->vectors.data(),
-                     h->keys.data(), h->key_offsets.data(), tail_row_base,
-                     tail_key_base, &err_row)) {
+    bool ok;
+    if (index_only) {
+      ok = index_chunk(tail_begin, tail_begin, tail_end, h->keys.data(),
+                       h->key_offsets.data(), h->line_begin.data(),
+                       tail_row_base, tail_key_base);
+      if (ok) h->line_begin[static_cast<size_t>(tail_row_base)] = -1;
+      err_row = tail_row_base;
+    } else {
+      ok = parse_chunk(tail_begin, tail_end, h->dim, h->vectors.data(),
+                       h->keys.data(), h->key_offsets.data(), tail_row_base,
+                       tail_key_base, &err_row);
+    }
+    if (!ok) {
       h->error = "malformed line at data row " + std::to_string(err_row);
       return h;
     }
   }
   h->key_offsets[static_cast<size_t>(total_rows)] = total_kb;
-  close_handle(h);  // parsed arrays live on; the mapping can go
+  if (index_only) {
+    h->indexed = true;
+    h->tail = tail;  // the one possibly-unterminated final line
+  } else {
+    close_handle(h);  // parsed arrays live on; the mapping can go
+  }
   return h;
 }
+
+}  // namespace
+
+extern "C" {
 
 const char* w2v_error(void* hv) {
   Handle* h = static_cast<Handle*>(hv);
