@@ -40,6 +40,10 @@ _EXPORTS = {
     "build_flat_index_streaming": "gulon_tpu.models.streaming",
     "build_ivf_index_streaming": "gulon_tpu.models.streaming",
     "Word2VecStream": "gulon_tpu.utils.native",
+    "export_serving": "gulon_tpu.utils.aot",
+    "save_serving": "gulon_tpu.utils.aot",
+    "load_serving": "gulon_tpu.utils.aot",
+    "AOTServing": "gulon_tpu.utils.aot",
     "ExactIndex": "gulon_tpu.models.exact",
     "build_exact_index": "gulon_tpu.models.exact",
     "WordVectors": "gulon_tpu.utils.word2vec",

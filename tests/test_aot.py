@@ -1,0 +1,100 @@
+"""AOT-exported serving artifacts: export -> save -> load -> call, no jit.
+
+Parity property: the deserialized computation returns exactly what the
+index's jitted path returns (same distances, same ids) for both index
+kinds, both metrics, across padded batch sizes.
+"""
+
+import numpy as np
+import pytest
+
+from generators import planted_clusters, random_keys
+from gulon_tpu.models.build import build_flat_index, build_ivf_index
+from gulon_tpu.models.ivf import LimitGroups, LimitVectors
+from gulon_tpu.models.metric import Metric
+from gulon_tpu.ops.pq import PQConfig
+from gulon_tpu.utils.aot import (
+    export_serving,
+    load_serving,
+    save_serving,
+)
+
+
+@pytest.fixture(scope="module")
+def data():
+    rng = np.random.default_rng(9)
+    x, _, _ = planted_clusters(rng, 2500, 16, 8, scale=0.3)
+    keys = random_keys(rng, 2500)
+    q = (x[:40] + rng.normal(0, 0.01, (40, 16))).astype(np.float32)
+    return keys, x, q
+
+
+def test_flat_aot_roundtrip(tmp_path, data):
+    keys, x, q = data
+    index = build_flat_index(
+        keys, x,
+        metric=Metric.COSINE,
+        pq_config=PQConfig(num_clusters=16, num_quantizers=4, max_iters=8),
+    )
+    bundle = export_serving(index, shapes=[(64, 5), (8, 5)])
+    path = str(tmp_path / "flat.aot")
+    save_serving(path, bundle)
+    serving = load_serving(path, index)
+
+    d_ref, i_ref = index.query_arrays(5, q)
+    d_aot, i_aot = serving.query_arrays(5, q)  # pads 40 -> 64
+    np.testing.assert_allclose(
+        np.asarray(d_aot), np.asarray(d_ref), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_array_equal(np.asarray(i_aot), np.asarray(i_ref))
+    # small batch uses the tighter artifact; results identical
+    d8, i8 = serving.query_arrays(5, q[:3])
+    np.testing.assert_allclose(
+        np.asarray(d8), np.asarray(d_ref[:3]), rtol=1e-5, atol=1e-6
+    )
+    # no artifact for this k -> falls back to the jitted path
+    d_fb, _ = serving.query_arrays(7, q[:2])
+    assert d_fb.shape == (2, 7)
+    # Result-level API works
+    res = serving.batch_query(5, q[:2])
+    assert list(res[0].keys) == list(index.batch_query(5, q[:2])[0].keys)
+
+
+@pytest.mark.parametrize(
+    "strategy", [LimitGroups(3), LimitVectors(600)],
+    ids=["groups", "vectors"],
+)
+def test_ivf_aot_roundtrip(tmp_path, data, strategy):
+    keys, x, q = data
+    index = build_ivf_index(
+        keys, x,
+        pq_config=PQConfig(num_clusters=16, num_quantizers=4, max_iters=8),
+        num_partitions=10,
+        strategy=strategy,
+    )
+    bundle = export_serving(index, shapes=[(64, 6)])
+    path = str(tmp_path / "ivf.aot")
+    save_serving(path, bundle)
+    serving = load_serving(path, index)
+    d_ref, i_ref = index.query_arrays(6, q)
+    d_aot, i_aot = serving.query_arrays(6, q)
+    np.testing.assert_allclose(
+        np.asarray(d_aot), np.asarray(d_ref), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_array_equal(np.asarray(i_aot), np.asarray(i_ref))
+
+
+def test_aot_dimension_mismatch(tmp_path, data):
+    keys, x, q = data
+    index = build_flat_index(
+        keys, x,
+        pq_config=PQConfig(num_clusters=8, num_quantizers=2, max_iters=5),
+    )
+    path = str(tmp_path / "dim.aot")
+    save_serving(path, export_serving(index, shapes=[(8, 3)]))
+    other = build_flat_index(
+        keys, np.pad(x, ((0, 0), (0, 4))),
+        pq_config=PQConfig(num_clusters=8, num_quantizers=2, max_iters=5),
+    )
+    with pytest.raises(ValueError):
+        load_serving(path, other)
