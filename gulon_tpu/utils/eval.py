@@ -81,9 +81,19 @@ def sample_ground_truth(
     queries = vectors[idx]
 
     max_k = max(ks)
-    dists, _ = exact_scan(queries, vectors, k=max_k)
-    dists = np.asarray(dists)
-    kth = {k: dists[:, k - 1].copy() for k in ks}
+    _, ids = exact_scan(queries, vectors, k=max_k)
+    ids = np.asarray(ids)
+    # k-th distances recomputed in the DIRECT sum((a-b)^2) form: the scan's
+    # matmul formulation carries ~1e-6 cancellation noise (can even go
+    # negative at d=0), while the reference's protocol relies on
+    # MathUtils.distanceSq being exactly 0 for identical vectors — the
+    # recall cutoff and the per-result recompute must agree at d=0.
+    kth = {
+        k: ((vectors[ids[:, k - 1]] - queries) ** 2)
+        .sum(axis=1)
+        .astype(np.float32)
+        for k in ks
+    }
     return GroundTruth(
         queries=queries, query_keys=keys[idx], kth_distances=kth, ks=ks
     )

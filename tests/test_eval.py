@@ -68,27 +68,41 @@ def test_epsilon_monotone(setup):
         assert loose[k].mean >= tight[k].mean - 1e-9
 
 
-def test_exactish_index_perfect_recall(setup):
-    """An index with lossless codes (k-means can memorize n<=K points)
-    scores exactly 1.0 — the harness's self-consistency check."""
+def test_exactish_index_perfect_recall():
+    """An index with lossless codes scores exactly 1.0 — the harness's
+    self-consistency check. The lossless index is constructed directly
+    (codebook = the points themselves, one code per row) so the property
+    always asserts instead of depending on k-means memorizing."""
+    import jax.numpy as jnp
+
+    from gulon_tpu.models.flat import FlatIndex
+    from gulon_tpu.models.keyindex import SortedKeyIndex
+    from gulon_tpu.models.metric import Metric
+    from gulon_tpu.ops.pq import ProductQuantizer, subspace_bounds
+
     rng = np.random.default_rng(7)
-    n, d = 60, 8
+    n, d, K = 60, 8, 64
     x = rng.normal(size=(n, d)).astype(np.float32)
     keys = random_keys(rng, n)
-    index = build_flat_index(
-        keys,
-        x,
-        pq_config=PQConfig(num_clusters=64, num_quantizers=1, max_iters=200),
+    order = np.argsort(keys, kind="stable")
+    keys_s, x_s = keys[order], x[order]
+    cb = np.zeros((1, K, d), np.float32)
+    cb[0, :n] = x_s
+    pq = ProductQuantizer(
+        codebooks=jnp.asarray(cb),
+        bounds=subspace_bounds(d, 1),
+        num_clusters=K,
     )
-    # only meaningful if reconstruction is (near-)exact for every row
+    codes = jnp.asarray(np.arange(n, dtype=np.uint8)[:, None])
+    index = FlatIndex(
+        _key_index=SortedKeyIndex(keys_s),
+        pq=pq,
+        codes=codes,
+        recon_norms=pq.reconstruction_norms(codes),
+        metric=Metric.L2,
+    )
     dec = np.asarray(index.pq.decode(np.asarray(index.codes)))
-    keys_sorted = index.key_index.keys
-    orig = {k: v for k, v in zip(keys, x)}
-    err = max(
-        float(((dec[i] - orig[keys_sorted[i]]) ** 2).sum()) for i in range(n)
-    )
-    if err > 1e-6:
-        pytest.skip("k-means failed to memorize; property vacuous")
+    np.testing.assert_array_equal(dec, x_s)  # lossless by construction
     truth = sample_ground_truth(keys, x, num_samples=20, ks=(1, 5, 10))
     per_k = recall_of(index, truth, x, keys)
     for k in (1, 5, 10):
