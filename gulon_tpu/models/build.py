@@ -159,13 +159,10 @@ def build_ivf_index(
     codes = jnp.asarray(codes_np)
 
     # Per-row constant of the expanded residual distance:
-    # ||r^||^2 + 2 <c_g, r^>  (see ivf.py module docstring).
+    # ||r^||^2 + 2 <c_g, r^>  (see ivf.py module docstring), via
+    # per-partition LUT gathers — no corpus reconstruction.
     rnorm = np.asarray(pq.reconstruction_norms(codes))
-    crdot = np.empty(n, np.float32)
-    for start in range(0, n, encode_chunk):
-        sl = slice(start, min(start + encode_chunk, n))
-        dec = np.asarray(pq.decode(codes[sl]))
-        crdot[sl] = np.einsum("nd,nd->n", centroids[group_ids[sl]], dec)
+    crdot = pq.centroid_code_dot(codes_np, centroids, group_ids)
     row_const = jnp.asarray(rnorm + 2.0 * crdot)
 
     return IVFIndex(

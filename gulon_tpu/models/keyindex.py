@@ -7,8 +7,11 @@ Counterpart of reference ``KeyIndex.scala``:
 - ``GroupedKeyIndex``: keys sorted within each group, ``group_offsets`` are
   the *internal* group boundaries (length = num_groups - 1, matching the
   ``centroids.length == offsets.length + 1`` invariant of
-  ``Index.scala:241-242``); lookup binary-searches each group in turn
-  (``KeyIndex.scala:30-53``).
+  ``Index.scala:241-242``). The reference looks keys up by binary-searching
+  each group in turn — O(G log(N/G)) per probe (``KeyIndex.scala:30-53``);
+  here a lazily built global sort permutation makes lookup one O(log N)
+  bisect regardless of partition count (ties resolve to the lowest row,
+  i.e. the earliest group, matching the reference's group-order scan).
 """
 
 from __future__ import annotations
@@ -96,11 +99,16 @@ class GroupedKeyIndex:
         return int(np.searchsorted(self.group_offsets, row, side="right"))
 
     def lookup(self, key: str) -> Optional[int]:
-        start = 0
-        bounds = list(self.group_offsets) + [len(self.keys)]
-        for end in bounds:
-            i = _bisect(self.keys, key, start, int(end))
-            if i >= 0:
-                return i
-            start = int(end)
+        cache = getattr(self, "_lookup_cache", None)
+        if cache is None:
+            # stable sort: equal keys keep ascending row order, so the hit
+            # below is the earliest group's occurrence — same answer as the
+            # reference's sequential per-group scan (KeyIndex.scala:40-52)
+            order = np.argsort(self.keys, kind="stable")
+            cache = (self.keys[order], order)
+            object.__setattr__(self, "_lookup_cache", cache)
+        sorted_keys, order = cache
+        i = int(np.searchsorted(sorted_keys, key, side="left"))
+        if i < len(sorted_keys) and sorted_keys[i] == key:
+            return int(order[i])
         return None

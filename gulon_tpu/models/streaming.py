@@ -271,14 +271,11 @@ def build_ivf_index_streaming(
     codes = codes[order]
     keys = keys[order]
 
-    # row_const = ||r^||^2 + 2<c_g, r^> from codes alone (chunked decode).
+    # row_const = ||r^||^2 + 2<c_g, r^> from codes alone, via per-partition
+    # LUT gathers (centroid_code_dot) — no corpus reconstruction.
     codes_dev = jnp.asarray(codes)
     rnorm = np.asarray(pq.reconstruction_norms(codes_dev))
-    crdot = np.empty(n, np.float32)
-    for start in range(0, n, encode_chunk):
-        sl = slice(start, min(start + encode_chunk, n))
-        dec = np.asarray(pq.decode(codes_dev[sl]))
-        crdot[sl] = np.einsum("nd,nd->n", centroids[group_ids[sl]], dec)
+    crdot = pq.centroid_code_dot(codes, centroids, group_ids)
 
     return IVFIndex(
         _key_index=GroupedKeyIndex(keys, group_offsets),

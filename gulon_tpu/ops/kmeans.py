@@ -20,6 +20,7 @@ TPU-native redesign of the reference training engine
 from __future__ import annotations
 
 import functools
+import threading
 from typing import Callable, NamedTuple, Optional
 
 import jax
@@ -28,15 +29,33 @@ import numpy as np
 
 from gulon_tpu.ops.distance import sq_norms
 
-# Progress callbacks are delivered through a stable module-level trampoline
-# so the jitted training loop's cache key only depends on WHETHER reporting
-# is on, never on the callback object (fresh lambdas would otherwise force
-# a retrace per build).
-_REPORT_FN: list = [None]
+# Progress callbacks are delivered through a module-level slot registry so
+# the jitted training loop's cache key only depends on the slot id, never on
+# the callback object (fresh lambdas would otherwise force a retrace per
+# build). Sequential builds always reuse slot 0 (one trace, like the
+# reference's shared Ref[IO] reporter); concurrent builds get distinct slots
+# so callbacks never cross streams — the retrace that implies only happens
+# when builds actually overlap.
+_REPORT_SLOTS: dict = {}
+_REPORT_LOCK = threading.Lock()
 
 
-def _report_trampoline(iteration, step_size, converged_count):
-    fn = _REPORT_FN[0]
+def _acquire_report_slot(fn) -> int:
+    with _REPORT_LOCK:
+        slot = 0
+        while slot in _REPORT_SLOTS:
+            slot += 1
+        _REPORT_SLOTS[slot] = fn
+        return slot
+
+
+def _release_report_slot(slot: int) -> None:
+    with _REPORT_LOCK:
+        _REPORT_SLOTS.pop(slot, None)
+
+
+def _report_trampoline(slot, iteration, step_size, converged_count):
+    fn = _REPORT_SLOTS.get(int(slot))
     if fn is not None:
         fn(iteration, step_size, converged_count)
 
@@ -170,7 +189,7 @@ class _LoopState(NamedTuple):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "max_iters", "block_rows", "report", "precision"),
+    static_argnames=("k", "max_iters", "block_rows", "report_slot", "precision"),
 )
 def _fit_stacked(
     x: jax.Array,
@@ -179,7 +198,7 @@ def _fit_stacked(
     k: int,
     max_iters: int,
     block_rows: int,
-    report: bool = False,
+    report_slot: Optional[int] = None,
     precision: str = "default",
 ) -> KMeansResult:
     assign_all = jax.vmap(
@@ -209,8 +228,11 @@ def _fit_stacked(
             jnp.sqrt(jnp.sum((new_c - st.centroids) ** 2, axis=-1))
         )
         it = st.iteration + 1
-        if report:
-            jax.debug.callback(_report_trampoline, it, step, jnp.sum(done))
+        if report_slot is not None:
+            jax.debug.callback(
+                functools.partial(_report_trampoline, report_slot),
+                it, step, jnp.sum(done),
+            )
         return _LoopState(new_c, new_a, it, done, step)
 
     final = jax.lax.while_loop(cond, body, state0)
@@ -238,7 +260,7 @@ def fit_kmeans(
     if squeeze:
         x = x[None]
     init = init_centroids(x, config.k, config.seed)
-    _REPORT_FN[0] = report_fn
+    slot = None if report_fn is None else _acquire_report_slot(report_fn)
     try:
         res = _fit_stacked(
             x,
@@ -246,11 +268,12 @@ def fit_kmeans(
             k=config.k,
             max_iters=config.max_iters,
             block_rows=config.block_rows,
-            report=report_fn is not None,
+            report_slot=slot,
             precision=config.precision,
         )
     finally:
-        _REPORT_FN[0] = None
+        if slot is not None:
+            _release_report_slot(slot)
     if squeeze:
         res = KMeansResult(
             centroids=res.centroids[0],

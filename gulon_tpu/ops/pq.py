@@ -155,6 +155,51 @@ class ProductQuantizer:
         qs = self.split(queries)  # [m, Q, dp]
         return _lut(qs, self.codebooks)
 
+    def centroid_code_dot(
+        self,
+        codes,
+        centroids,
+        group_ids,
+        chunk_rows: int = 1 << 20,
+    ) -> np.ndarray:
+        """``<centroids[group_ids[i]], decode(codes[i])>`` per row: ``[n]``.
+
+        Computed WITHOUT decoding the corpus: per-partition LUTs
+        ``lut[p, m, K] = <centroid_p restricted to subspace m, codebook[m, K]>``
+        are built for the partition range each row chunk touches, then the
+        dot is ``sum_m lut[g_i, m, codes[i, m]]`` — one [n, m] gather instead
+        of an [n, D] reconstruction. Assumes the grouped row layout (rows of
+        a partition contiguous, ``group_ids`` nondecreasing), so a chunk's
+        partition range stays narrow.
+        """
+        codes = np.asarray(codes)
+        gids = np.asarray(group_ids, np.int32)
+        cs = self.split(jnp.asarray(centroids))  # [m, P, dp]
+        n = codes.shape[0]
+        out = np.empty(n, np.float32)
+        num_p = int(cs.shape[1])
+        for start in range(0, n, chunk_rows):
+            sl = slice(start, min(start + chunk_rows, n))
+            g0 = int(gids[sl].min())
+            # pad the partition span to a power of two so chunk shapes (and
+            # therefore jit traces) stay bounded regardless of how partition
+            # boundaries fall across chunks
+            span = int(gids[sl].max()) + 1 - g0
+            pc = 1
+            while pc < span:
+                pc *= 2
+            g0 = min(g0, num_p - pc) if pc <= num_p else 0
+            pc = min(pc, num_p)
+            out[sl] = np.asarray(
+                _centroid_code_dot_chunk(
+                    jnp.asarray(codes[sl]),
+                    jnp.asarray(gids[sl] - g0),
+                    jax.lax.slice_in_dim(cs, g0, g0 + pc, axis=1),
+                    self.codebooks,
+                )
+            )
+        return out
+
 
 @functools.partial(jax.jit, static_argnames=("block_rows", "precision"))
 def _encode_stacked(
@@ -182,6 +227,31 @@ def _recon_norms(codes: jax.Array, cnorms: jax.Array) -> jax.Array:
     # cnorms [m, K]; gather per subspace and sum.
     gathered = jax.vmap(lambda cn, c: cn[c], in_axes=(0, 1))(cnorms, codes)
     return jnp.sum(gathered, axis=0)
+
+
+@jax.jit
+def _centroid_code_dot_chunk(
+    codes: jax.Array,  # [R, m] uint
+    gid_rel: jax.Array,  # [R] i32, relative to the chunk's first partition
+    cs_chunk: jax.Array,  # [m, Pc, dp] centroid subspace stack
+    codebooks: jax.Array,  # [m, K, dp]
+) -> jax.Array:
+    lut = jnp.einsum(
+        "mpd,mkd->pmk",
+        cs_chunk,
+        codebooks,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [Pc, m, K]
+    m = codes.shape[1]
+    return jnp.sum(
+        lut[
+            gid_rel[:, None],
+            jnp.arange(m, dtype=jnp.int32)[None, :],
+            codes.astype(jnp.int32),
+        ],
+        axis=1,
+    )
 
 
 @jax.jit

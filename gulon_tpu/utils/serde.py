@@ -143,20 +143,15 @@ def index_from_proto(msg: pb.Index) -> AnyIndex:
         centroids = np.stack(
             [np.asarray(c.values, np.float32) for c in gi.centroids]
         )
-        # Rebuild derived arrays (group ids + the expanded-distance row term).
+        # Rebuild derived arrays (group ids + the expanded-distance row
+        # term). crdot comes from per-partition LUT gathers — O(n·m) work,
+        # never decoding the corpus, so 10M-row indices load fast.
         bounds = np.concatenate([[0], offsets, [n]])
         group_ids = np.repeat(
             np.arange(len(bounds) - 1, dtype=np.int32), np.diff(bounds)
         )
         rnorm = np.asarray(pq.reconstruction_norms(codes))
-        crdot = np.empty(n, np.float32)
-        chunk = 1 << 20
-        for start in range(0, n, chunk):
-            sl = slice(start, min(start + chunk, n))
-            dec = np.asarray(pq.decode(codes[sl]))
-            crdot[sl] = np.einsum(
-                "nd,nd->n", centroids[group_ids[sl]], dec
-            )
+        crdot = pq.centroid_code_dot(codes_np, centroids, group_ids)
         row_const = jnp.asarray(rnorm + 2.0 * crdot)
         if gi.strategy == pb.GroupedIndex.LIMIT_GROUPS:
             strategy = LimitGroups(gi.limit)

@@ -107,3 +107,18 @@ def test_degenerate_identical_init_still_improves():
         kmeans_objective(x, init[0], np.zeros(len(x), np.int32))
     )
     assert o_end <= o_init + 1e-5
+
+
+def test_report_slots_isolate_concurrent_builds():
+    """Slot registry: overlapping builds get distinct slots; release frees."""
+    from gulon_tpu.ops import kmeans as km
+
+    a = km._acquire_report_slot(lambda *args: None)
+    b = km._acquire_report_slot(lambda *args: None)
+    assert a != b
+    km._release_report_slot(a)
+    c = km._acquire_report_slot(lambda *args: None)
+    assert c == a  # freed slots are reused (stable jit cache keys)
+    km._release_report_slot(b)
+    km._release_report_slot(c)
+    assert not km._REPORT_SLOTS

@@ -120,3 +120,23 @@ def test_uneven_subspace_split_roundtrip():
     assert rec.shape == x.shape
     # padded coordinates never leak: error is bounded by quantization alone
     assert ((x - rec) ** 2).mean() < 1.0
+
+
+def test_centroid_code_dot_matches_decode():
+    """LUT-gather crdot == einsum over the decoded corpus (used by IVF
+    builds/loads to avoid reconstructing the corpus)."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(2000, 37)).astype(np.float32)
+    pq = train_product_quantizer(
+        x, PQConfig(num_clusters=16, num_quantizers=5, max_iters=6)
+    )
+    codes = np.asarray(pq.encode(x))
+    num_p = 13
+    gids = np.sort(rng.integers(0, num_p, size=len(x))).astype(np.int32)
+    cents = rng.normal(size=(num_p, 37)).astype(np.float32)
+    fast = pq.centroid_code_dot(codes, cents, gids, chunk_rows=700)
+    dec = np.asarray(pq.decode(jnp.asarray(codes)))
+    ref = np.einsum("nd,nd->n", cents[gids], dec)
+    assert np.abs(fast - ref).max() < 1e-4

@@ -138,7 +138,8 @@ def test_grouped_keyindex_lookup_total(groups, probe):
         assert row is not None and keys[row] == keys[i]
     got = ki.lookup(probe)
     if probe in flat:
-        assert keys[got] == probe
+        # earliest-group match, like the reference's sequential group scan
+        assert got == flat.index(probe)
     else:
         assert got is None
 
