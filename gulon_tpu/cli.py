@@ -78,6 +78,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="build a partitioned (IVF residual) index",
     )
     b.add_argument(
+        "--exact",
+        action="store_true",
+        help="build an exact (unquantized full-scan) index instead of a PQ "
+        "index; saved as npz, quantization flags are ignored",
+    )
+    b.add_argument(
         "--partitions",
         type=_positive_int(1),
         default=None,
@@ -103,18 +109,6 @@ def build_parser() -> argparse.ArgumentParser:
     q = sub.add_parser("query", help="batch query an index")
     q.add_argument("-k", type=_positive_int(1), default=1)
     q.add_argument("--index", required=True, help="index file")
-    q.add_argument(
-        "--scan-strategy",
-        default=None,
-        help="device scan strategy (flat: auto|decode|lut|cached|pallas; "
-        "partitioned: masked|gathered)",
-    )
-    q.add_argument(
-        "--precision",
-        default=None,
-        choices=["default", "highest"],
-        help="scan matmul precision (default: fast bf16-pass MXU)",
-    )
     q.add_argument("input", help="word2vec-format query file")
 
     w = sub.add_parser(
@@ -134,6 +128,28 @@ def build_parser() -> argparse.ArgumentParser:
         "-e", "--error", type=float, default=0.0,
         help="relative distance epsilon (default 0)",
     )
+    for sp in (q, w, t):  # serving-side knobs
+        sp.add_argument(
+            "--scan-strategy",
+            default=None,
+            help="device scan strategy (flat index: auto|decode|lut|cached|"
+            "pallas; partitioned index: masked|gathered|bucketed; exact "
+            "index: none)",
+        )
+        sp.add_argument(
+            "--precision",
+            default=None,
+            choices=["default", "highest"],
+            help="scan matmul precision (default: fast bf16-pass MXU)",
+        )
+        sp.add_argument(
+            "--mesh",
+            type=_positive_int(1),
+            default=None,
+            metavar="N",
+            help="shard the index row-wise over the first N devices and "
+            "serve with an ICI top-k merge (default: single device)",
+        )
     for sp in (b, q, w, t):
         sp.add_argument(
             "--profile",
@@ -142,6 +158,53 @@ def build_parser() -> argparse.ArgumentParser:
             help="write a jax profiler trace (view with xprof/tensorboard)",
         )
     return parser
+
+
+_FLAT_STRATEGIES = ("auto", "decode", "lut", "cached", "pallas")
+_IVF_STRATEGIES = ("masked", "gathered", "bucketed")
+
+
+def _load_serving_index(args, reporter):
+    """Load an index and apply the serving knobs (strategy/precision/mesh)."""
+    from gulon_tpu.models.exact import ExactIndex
+    from gulon_tpu.models.flat import FlatIndex
+    from gulon_tpu.models.ivf import IVFIndex
+    from gulon_tpu.utils.serde import load_index
+
+    with reporter.task(f"loading {args.index}"):
+        index = load_index(args.index)
+    strategy = getattr(args, "scan_strategy", None)
+    if strategy:
+        allowed = (
+            _FLAT_STRATEGIES
+            if isinstance(index, FlatIndex)
+            else _IVF_STRATEGIES
+            if isinstance(index, IVFIndex)
+            else ()
+        )
+        if strategy not in allowed:
+            kind = type(index).__name__
+            options = "|".join(allowed) if allowed else "none"
+            raise ValueError(
+                f"scan strategy {strategy!r} not valid for a {kind} "
+                f"(expected {options})"
+            )
+        index.scan_strategy = strategy
+    if getattr(args, "precision", None):
+        index.precision = args.precision
+    if getattr(args, "mesh", None):
+        import jax
+
+        from gulon_tpu.parallel import make_mesh, shard_index
+
+        avail = len(jax.devices())
+        if args.mesh > avail:
+            raise ValueError(
+                f"--mesh {args.mesh} exceeds the {avail} available devices"
+            )
+        with reporter.task(f"sharding over {args.mesh} devices"):
+            index = shard_index(index, make_mesh(args.mesh))
+    return index
 
 
 def cmd_build_index(args, reporter) -> int:
@@ -165,6 +228,11 @@ def cmd_build_index(args, reporter) -> int:
     if args.limit and args.limit_vectors:
         reporter.out.write(
             "error: --limit and --limit-vectors are mutually exclusive\n"
+        )
+        return 1
+    if args.exact and args.partitioned:
+        reporter.out.write(
+            "error: --exact and --partitioned are mutually exclusive\n"
         )
         return 1
 
@@ -195,6 +263,14 @@ def cmd_build_index(args, reporter) -> int:
             f"iter {int(iteration)}/{args.max_iters} "
             f"step {float(step_size):.3e} ({int(converged_count)} done)",
         )
+    if args.exact:
+        from gulon_tpu.models.exact import build_exact_index
+
+        with reporter.task("building exact index"):
+            index = build_exact_index(wv.keys, wv.vectors, metric=metric)
+        with reporter.task(f"writing {args.output}"):
+            save_index(index, args.output)
+        return 0
     if args.partitioned:
         num_partitions = args.partitions or default_num_partitions(len(wv))
         if args.limit_vectors:
@@ -228,29 +304,25 @@ def cmd_build_index(args, reporter) -> int:
 
 
 def cmd_query(args, reporter) -> int:
-    from gulon_tpu.utils.serde import load_index
     from gulon_tpu.utils.word2vec import read_word2vec_path
 
-    with reporter.task(f"loading {args.index}"):
-        index = load_index(args.index)
-    if getattr(args, "scan_strategy", None):
-        index.scan_strategy = args.scan_strategy
-    if getattr(args, "precision", None):
-        index.precision = args.precision
+    index = _load_serving_index(args, reporter)
     with reporter.task(f"reading {args.input}"):
         wv = read_word2vec_path(args.input)
     with reporter.task(f"querying {len(wv)} vectors"):
-        results = index.batch_query(args.k, wv.vectors)
-    for key, res in zip(wv.keys, results):
-        print(f"{key}: {','.join(str(w) for w in res.keys)}")
+        # query_arrays + one vectorized id->key map: no per-result host
+        # Result assembly on the serving path
+        _, ids = index.query_arrays(args.k, wv.vectors)
+        ids = np.asarray(ids)
+    all_keys = np.asarray(index.key_index.keys, dtype=object)
+    for key, row_ids in zip(wv.keys, ids):
+        neighbours = all_keys[row_ids[row_ids >= 0]]
+        print(f"{key}: {','.join(str(w) for w in neighbours)}")
     return 0
 
 
 def cmd_query_words(args, reporter) -> int:
-    from gulon_tpu.utils.serde import load_index
-
-    with reporter.task(f"loading {args.index}"):
-        index = load_index(args.index)
+    index = _load_serving_index(args, reporter)
     for line in sys.stdin:
         word = line.strip()
         if not word:
@@ -269,11 +341,9 @@ def cmd_test(args, reporter) -> int:
         recall_of,
         sample_ground_truth,
     )
-    from gulon_tpu.utils.serde import load_index
     from gulon_tpu.utils.word2vec import read_word2vec_path
 
-    with reporter.task(f"loading {args.index}"):
-        index = load_index(args.index)
+    index = _load_serving_index(args, reporter)
     with reporter.task(f"reading {args.vectors}"):
         wv = read_word2vec_path(args.vectors)
     if index.metric.normalized:

@@ -78,12 +78,15 @@ class ExactIndex(Index):
         return np.asarray(self.vectors[row])
 
     def save(self, path) -> None:
-        np.savez_compressed(
-            path,
-            keys=np.asarray(self.key_index.keys, dtype=np.str_),
-            vectors=np.asarray(self.vectors),
-            metric=np.int32(self.metric.proto_value),
-        )
+        # write through an open handle: np.savez appends ".npz" to bare
+        # string paths, which would break save(path)->load(path) round-trips
+        with open(path, "wb") as f:
+            np.savez_compressed(
+                f,
+                keys=np.asarray(self.key_index.keys, dtype=np.str_),
+                vectors=np.asarray(self.vectors),
+                metric=np.int32(self.metric.proto_value),
+            )
 
     @staticmethod
     def load(path) -> "ExactIndex":

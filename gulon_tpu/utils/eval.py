@@ -116,33 +116,43 @@ def recall_of(
     (ingest-side transform), matching what the reference stores.
     """
     true_vectors = np.asarray(true_vectors, np.float32)
-    key_to_row = {k: i for i, k in enumerate(true_keys)}
     max_k = max(truth.ks)
     q_total = len(truth.queries)
     per_k: Dict[int, SummaryStats] = {k: SummaryStats() for k in truth.ks}
+
+    # Map index rows -> evaluation rows ONCE (by key), so per-batch work is
+    # pure array indexing via ``query_arrays`` — no host Result assembly, no
+    # per-result string lookups (the reference does the string lookup per
+    # returned word, Tests.scala:25-31; one upfront pass is equivalent).
+    key_to_row = {k: i for i, k in enumerate(true_keys)}
+    index_keys = np.asarray(index.key_index.keys, dtype=object)
+    try:
+        idx_to_eval = np.fromiter(
+            (key_to_row[w] for w in index_keys),
+            np.int64,
+            count=len(index_keys),
+        )
+    except KeyError as e:
+        raise ValueError(
+            f"index contains key {e.args[0]!r} that is not present "
+            "in the evaluation vectors — the index was built from a "
+            "different corpus than --vectors"
+        ) from None
 
     start = time.monotonic()
     done = 0
     for b0 in range(0, q_total, batch_size):
         qb = truth.queries[b0 : b0 + batch_size]
-        results = index.batch_query(max_k, qb)
-        for qi, res in enumerate(results):
+        _, ids = index.query_arrays(max_k, qb)
+        ids = np.asarray(ids)
+        for qi in range(len(qb)):
             q = qb[qi]
-            try:
-                rows = np.fromiter(
-                    (key_to_row[w] for w in res.keys), np.int64,
-                    count=len(res),
-                )
-            except KeyError as e:
-                raise ValueError(
-                    f"index returned key {e.args[0]!r} that is not present "
-                    "in the evaluation vectors — the index was built from a "
-                    "different corpus than --vectors"
-                ) from None
-            exact = (
-                ((true_vectors[rows] - q[None, :]) ** 2).sum(axis=1)
-                if len(rows)
-                else np.zeros(0, np.float32)
+            row_ids = ids[qi]
+            valid = row_ids >= 0  # -1 = padding (k wider than coverage)
+            exact = np.full(row_ids.shape[0], np.inf, np.float32)
+            rows = idx_to_eval[row_ids[valid]]
+            exact[valid] = ((true_vectors[rows] - q[None, :]) ** 2).sum(
+                axis=1
             )
             for k in truth.ks:
                 true_kth = truth.kth_distances[k][b0 + qi]

@@ -172,14 +172,29 @@ def index_from_proto(msg: pb.Index) -> AnyIndex:
     raise ValueError("index proto has no implementation set")
 
 
-def save_index(index: AnyIndex, path) -> None:
+def save_index(index, path) -> None:
+    """Persist any index: PQ indices as reference-format protobuf,
+    ExactIndex as npz (raw vectors have no reference wire format)."""
+    from gulon_tpu.models.exact import ExactIndex
+
+    if isinstance(index, ExactIndex):
+        index.save(path)
+        return
     data = index_to_proto(index).SerializeToString()
     with open(path, "wb") as f:
         f.write(data)
 
 
-def load_index(path) -> AnyIndex:
-    msg = pb.Index()
+def load_index(path):
+    """Load an index file of either format (sniffed by magic bytes):
+    npz (zip, ``PK\\x03\\x04``) -> ExactIndex, anything else -> protobuf."""
     with open(path, "rb") as f:
+        head = f.read(4)
+        f.seek(0)
+        if head == b"PK\x03\x04":
+            from gulon_tpu.models.exact import ExactIndex
+
+            return ExactIndex.load(f)
+        msg = pb.Index()
         msg.ParseFromString(f.read())
     return index_from_proto(msg)

@@ -109,3 +109,74 @@ def test_cluster_bounds():
         cli.build_parser().parse_args(
             ["build-index", "--metric", "l2", "-k", "65537", "-o", "x", "v"]
         )
+
+
+def test_exact_build_and_serving_knobs(corpus_file, tmp_path, capsys):
+    """--exact builds an npz ExactIndex servable by every subcommand;
+    --mesh shards serving; --scan-strategy is validated per index type."""
+    vecs, keys, x = corpus_file
+    idx = str(tmp_path / "exact.idx")
+    assert _run([
+        "build-index", "--metric", "l2", "--exact", "-o", idx, vecs,
+    ]) == 0
+    qfile = str(tmp_path / "q.txt")
+    with open(qfile, "w") as f:
+        write_word2vec(WordVectors(keys[:3], x[:3]), f, header=False)
+    capsys.readouterr()
+    assert _run(["query", "-k", "1", "--index", idx, qfile]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert [ln.split(": ")[1] for ln in out] == list(keys[:3])
+    # sharded serving returns the same neighbours
+    assert _run(["query", "-k", "1", "--index", idx, "--mesh", "8", qfile]) == 0
+    assert capsys.readouterr().out.strip().splitlines() == out
+    # exact indices have no scan strategies
+    assert _run([
+        "query", "-k", "1", "--index", idx, "--scan-strategy", "decode", qfile,
+    ]) == 1
+    # recall of exact search is 1.0 at eps=0
+    assert _run([
+        "test", "--vectors", vecs, "--index", idx, "--sample", "20",
+    ]) == 0
+    r1 = capsys.readouterr().out.strip().splitlines()[0]
+    assert r1.startswith("R@1: 1.0000")
+
+
+def test_exact_and_partitioned_mutually_exclusive(corpus_file, tmp_path):
+    vecs, _, _ = corpus_file
+    assert _run([
+        "build-index", "--metric", "l2", "--exact", "-p",
+        "-o", str(tmp_path / "x.idx"), vecs,
+    ]) == 1
+
+
+def test_ivf_strategy_flags_and_mesh(corpus_file, tmp_path, capsys):
+    """bucketed/gathered are accepted (and validated) on the CLI and return
+    the same neighbours as the masked scan, single-chip and sharded."""
+    vecs, keys, x = corpus_file
+    idx = str(tmp_path / "ivf.idx")
+    assert _run([
+        "build-index", "--metric", "l2", "-k", "16", "-m", "4",
+        "-n", "10", "-p", "--partitions", "6", "--limit", "3",
+        "-o", idx, vecs,
+    ]) == 0
+    qfile = str(tmp_path / "q.txt")
+    with open(qfile, "w") as f:
+        write_word2vec(WordVectors(keys[:5], x[:5]), f, header=False)
+
+    def lines(extra):
+        capsys.readouterr()
+        assert _run(
+            ["query", "-k", "3", "--index", idx] + extra + [qfile]
+        ) == 0
+        return capsys.readouterr().out.strip().splitlines()
+
+    base = lines([])
+    assert lines(["--scan-strategy", "bucketed"]) == base
+    assert lines(["--scan-strategy", "gathered"]) == base
+    assert lines(["--mesh", "4"]) == base
+    assert lines(["--scan-strategy", "bucketed", "--mesh", "4"]) == base
+    # flat-only strategy rejected for an IVF index
+    assert _run([
+        "query", "-k", "3", "--index", idx, "--scan-strategy", "pallas",
+        qfile,
+    ]) == 1
