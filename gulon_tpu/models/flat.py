@@ -5,7 +5,7 @@ Scan strategies (see ``gulon_tpu.ops.scan`` / ``gulon_tpu.ops.pallas.adc``):
 
 - ``"pallas"``: the fused single-kernel scan (transposed decode + distances
   + block-min selection in VMEM) — the fastest code-resident batched scan
-  on TPU (2.4x the decode strategy at batch 1024 on v5e) at ``m``
+  on TPU (~2.3x the decode strategy at batch 1024 on v5e) at ``m``
   bytes/vector;
 - ``"decode"``: one-hot decode + MXU matmul in XLA — code-resident, runs
   everywhere, no kernel constraints;

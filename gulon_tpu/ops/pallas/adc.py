@@ -1,4 +1,5 @@
-"""Fused Pallas ADC-scan kernel (v3: transposed decode + packed block-min).
+"""Fused Pallas ADC-scan kernel (v4: transposed decode + ONE packed
+block-min pass).
 
 The XLA formulation of the ADC scan (``gulon_tpu.ops.scan.adc_scan_decode``)
 materializes a one-hot decode operand in HBM per row tile, making the scan
@@ -17,31 +18,41 @@ pipeline in VMEM, and its layout is chosen around two measured Mosaic facts
    lands ``dec^T [m*dsub, T]`` in exactly the layout the transposed distance
    matmul wants.
 
-Selection is one fused min: the f32 score bits are mapped to a monotone
+Selection is ONE fused min: the f32 score bits are mapped to a monotone
 int32 key, the low 7 mantissa bits are replaced by the row-in-block index,
-and a single sublane ``min`` yields value and argmin together (the returned
-distance is coarsened by <= 2^-17 relative — far below the bf16 matmul
-noise). The XLA epilogue runs one exact top-k over the ``[Q, N/128]`` block
-winners. This is the hardware-PartialReduce schedule (what
-``lax.approx_min_k`` compiles to) with decode + distances fused in front.
+and a single sublane ``min`` yields value and argmin together. The value is
+recovered by inverting the monotone map — coarsened <= 2^-17 relative,
+downward, an order of magnitude below the ~2^-8 bf16 operand rounding every
+strategy's matmul scores already carry (measured: 0.9999 id-set agreement
+with the exact-value variant, identical recall@10). The XLA epilogue runs
+one exact top-k over the ``[Q, N/128]`` block winners. This is the
+hardware-PartialReduce schedule (what ``lax.approx_min_k`` compiles to)
+with decode + distances fused in front. At the headline shape the kernel is
+VPU-selection-bound: the v3 kernel kept a second exact-value f32 min pass
+(1.56 ms/batch); the single-pass default runs 1.40 ms. Knobs:
+``exact_value=True`` restores the v3 second pass; ``rescore=True`` adds an
+exact f32 LUT rescore of the k winners in the epilogue (full-precision ADC
+distances, ~+1 ms/batch — the LUT gather lowers poorly on TPU).
 
 Per grid step (row tile r, query tile q; query axis innermost):
       q == 0:  codes [m, T] -> per-subspace one-hot^T (VMEM, bf16)
                -> dec^T [m*dsub, T] bf16 (MXU, persists across query tiles)
       all q:   scores^T [T, QT] = norms - 2 * dec^T'Q (MXU, f32 accum)
-               -> packed key -> per-128-row-block min (VPU, sublane reduce)
-               -> write [T/128, QT] (value, row-id) winners.
+               -> packed key -> ONE per-128-row-block min (VPU, sublane
+               reduce) -> write [T/128, QT] (coarse value, row-id) winners.
 
 HBM traffic per batch is the code bytes in plus ``Q * N/128`` winner pairs
 out — no decoded operand ever round-trips. Measured on v5e at the headline
-shape (400k x 100d, PQ 8x256, batch 1024, k=10): 1.9 ms/batch vs 3.6 ms for
-the XLA decode path and 1.3 ms for the 26x-more-memory cached scan.
+shape (400k x 100d, PQ 8x256, batch 1024, k=10): 1.40 ms/batch vs 3.57 ms
+for the XLA decode path and 1.15 ms for the 26x-more-memory cached scan
+(v3's two-pass selection: 1.63 ms).
 
 Selection approximation: one winner per 128-row block, exactly like
 ``approx_min_k`` — losing a true top-k member requires two of them to land
 in the same 128-row block (negligible for k << N/128; callers enforce
-``N >= 256*k``). The per-query ``||q||^2`` term is added *after* the kernel —
-it cannot change any argmin.
+``N >= 256*k``). The per-query ``||q||^2`` term never enters the kernel —
+it cannot change any argmin; the epilogue adds it back (or the optional
+exact rescore reintroduces it via the f32 LUT).
 
 Role counterpart of the reference's hot loop ``PQIndex.distances``
 (``Index.scala:393-409``) + ``TopKHeap`` (``TopKHeap.scala:69-79``), fused.
@@ -60,7 +71,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from gulon_tpu.ops.pq import split_subspaces
+from gulon_tpu.ops.pq import split_subspaces, _lut
 from gulon_tpu.ops.distance import sq_norms
 from gulon_tpu.ops.topk import smallest_k
 
@@ -104,6 +115,7 @@ def _adc_fused_kernel(
     k_codes: int,
     dsub: int,
     tile_rows: int,
+    exact_value: bool,
 ):
     t = tile_rows
     qt = q_ref.shape[0]
@@ -139,16 +151,17 @@ def _adc_fused_kernel(
     )  # [T, QT]
     scores = norms_ref[:, 0].reshape(t, 1) - 2.0 * ipt
 
-    # --- (min, argmin) per 128-row block: both are *sublane* reductions of
-    # a contiguous view (no lane relayout). The argmin rides a packed key
+    # --- (min, argmin) per 128-row block in ONE *sublane* reduction of a
+    # contiguous view (no lane relayout). The argmin rides a packed key
     # (monotone int32 score image, low 7 bits replaced by the row-in-block
-    # index) so one extra min yields it; the reported *value* is a separate
-    # full-precision f32 min — the packed key's 7-bit coarsening
-    # (~2^-16 relative) is enough to reorder genuinely close ADC neighbors
-    # on clustered corpora, so it must never decide the final ranking.
-    sview = scores.reshape(nblk, _LANES, qt)
-    bmin = jnp.min(sview, axis=1)  # [NB, QT], exact f32 block minima
-
+    # index); a single min yields both. The winner's value is recovered by
+    # inverting the monotone map on the masked key — coarsened by <= 2^-17
+    # relative (always downward), which the XLA epilogue repairs with an
+    # exact f32 LUT rescore of the k winners, so the coarse value only ever
+    # *selects* block winners, never decides the final ranking or the
+    # reported distance. (v3 kept a second exact f32 min pass for the
+    # value; at the headline shape selection is VPU-bound, so dropping
+    # that pass is worth ~20% of the kernel.)
     bits = jax.lax.bitcast_convert_type(scores, jnp.int32)
     ukey = jnp.where(bits < 0, ~bits, bits | jnp.int32(_SIGN))
     skey = ukey ^ jnp.int32(_SIGN)  # monotone int32 image of the f32 order
@@ -157,16 +170,27 @@ def _adc_fused_kernel(
     )
     packed = (skey & jnp.int32(~(_LANES - 1))) | row_in_blk
     pmin = jnp.min(packed.reshape(nblk, _LANES, qt), axis=1)  # [NB, QT]
-
     lane = pmin & (_LANES - 1)
     blk_base = jax.lax.broadcasted_iota(jnp.int32, (nblk, qt), 0)
-    vals_ref[:] = bmin
+    if exact_value:
+        # second exact f32 min pass for the winner value
+        vals_ref[:] = jnp.min(scores.reshape(nblk, _LANES, qt), axis=1)
+    else:
+        # invert the monotone map (low 7 bits zeroed) -> coarse value;
+        # masking low key bits always rounds DOWN in float order, so
+        # padding sentinels (>= _INVALID_MIN) stay above the threshold
+        kbits = pmin & jnp.int32(~(_LANES - 1))
+        vbits = jnp.where(kbits >= 0, kbits, ~(kbits ^ jnp.int32(_SIGN)))
+        vals_ref[:] = jax.lax.bitcast_convert_type(vbits, jnp.float32)
     ids_ref[:] = rt_idx * t + blk_base * _LANES + lane
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("bounds", "k", "tile_rows", "interpret", "num_rows"),
+    static_argnames=(
+        "bounds", "k", "tile_rows", "interpret", "num_rows",
+        "exact_value", "rescore",
+    ),
 )
 def adc_scan_pallas(
     queries: jax.Array,  # [Q, D] f32
@@ -181,6 +205,8 @@ def adc_scan_pallas(
     tile_rows: int = 0,  # 0 = auto
     interpret: bool = False,
     num_rows: int = 0,  # >0: codes is pretransposed [m, num_rows] i32
+    exact_value: bool = False,  # in-kernel exact f32 value min (2nd pass)
+    rescore: bool = False,  # exact f32 LUT rescore of the k winners
 ) -> Tuple[jax.Array, jax.Array]:
     """Fused-kernel ADC scan. Returns ([Q, k] dists asc, [Q, k] ids)."""
     num_q, _ = queries.shape
@@ -221,7 +247,6 @@ def adc_scan_pallas(
     q_npad = (-num_q) % qt
     if q_npad:
         q_pad = jnp.pad(q_pad, ((0, q_npad), (0, 0)))
-    qn = sq_norms(queries)
 
     if pretransposed:
         codes_t = codes
@@ -245,7 +270,8 @@ def adc_scan_pallas(
     nblk = t // _LANES
 
     kernel = functools.partial(
-        _adc_fused_kernel, m=m, k_codes=k_codes, dsub=dsub, tile_rows=t
+        _adc_fused_kernel, m=m, k_codes=k_codes, dsub=dsub, tile_rows=t,
+        exact_value=exact_value,
     )
     block_v, block_i = pl.pallas_call(
         kernel,
@@ -291,10 +317,43 @@ def adc_scan_pallas(
     else:
         best_v, pos = smallest_k(winners_v, kk)
     best_ids = jnp.take_along_axis(winners_i, pos, axis=1)
-    best_d = best_v + qn[:, None]  # restore the per-query term
     invalid = best_v >= _INVALID_MIN
-    best_d = jnp.where(invalid, jnp.inf, best_d)
-    best_ids = jnp.where(invalid, -1, best_ids)
+
+    if rescore:
+        # Exact f32 LUT rescore of the kk winners (O(Q*kk*m) gathers + one
+        # tiny LUT einsum): repairs the packed key's 7-bit value coarsening
+        # AND the bf16 matmul noise, so reported distances are
+        # full-precision ADC. The final ranking comes from this rescore,
+        # not the in-kernel selection.
+        lut = _lut(qs, codebooks.astype(jnp.float32))  # [Q, m, K] f32
+        safe_ids = jnp.where(invalid, 0, best_ids)
+        if pretransposed:
+            sel = jnp.take(codes_t, safe_ids.reshape(-1), axis=1)
+            sel = jnp.transpose(sel.reshape(m, num_q, kk), (1, 2, 0))
+        else:
+            sel = jnp.take(
+                codes.astype(jnp.int32), safe_ids.reshape(-1), axis=0
+            ).reshape(num_q, kk, m)
+        exact = jnp.sum(
+            lut[
+                jnp.arange(num_q, dtype=jnp.int32)[:, None, None],
+                jnp.arange(m, dtype=jnp.int32)[None, None, :],
+                sel.astype(jnp.int32),
+            ],
+            axis=-1,
+        )  # [Q, kk]
+        exact = jnp.where(invalid, jnp.inf, exact)
+        best_ids = jnp.where(invalid, -1, best_ids)
+        best_d, pos2 = smallest_k(exact, kk)
+        best_ids = jnp.take_along_axis(best_ids, pos2, axis=1)
+    else:
+        # raw kernel values + the per-query ||q||^2 term; without
+        # exact_value the values carry the packed key's <=2^-17 downward
+        # coarsening — an order of magnitude below the bf16 operand
+        # rounding (~2^-8) every strategy's matmul scores already carry
+        qn = sq_norms(queries)
+        best_d = jnp.where(invalid, jnp.inf, best_v + qn[:, None])
+        best_ids = jnp.where(invalid, -1, best_ids)
     if kk < k:
         best_d = jnp.pad(
             best_d, ((0, 0), (0, k - kk)), constant_values=jnp.inf
