@@ -245,6 +245,33 @@ class AOTServing:
     def query(self, k: int, vector):
         return self.batch_query(k, np.asarray(vector)[None, :])[0]
 
+    # --- passthroughs so AOTServing is a drop-in for the Index API ---
+
+    @property
+    def key_index(self):
+        return self.index.key_index
+
+    @property
+    def dimension(self) -> int:
+        return self.index.dimension
+
+    @property
+    def size(self) -> int:
+        return self.index.size
+
+    @property
+    def metric(self):
+        return self.index.metric
+
+    def lookup(self, word: str):
+        return self.index.lookup(word)
+
+    def query_by_word(self, k: int, word: str):
+        vec = self.index.lookup(word)
+        if vec is None:
+            return None
+        return self.query(k, vec)
+
 
 def load_serving(path: str, index) -> AOTServing:
     """Attach a saved sidecar's AOT functions to a loaded index."""

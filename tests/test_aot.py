@@ -84,6 +84,30 @@ def test_ivf_aot_roundtrip(tmp_path, data, strategy):
     np.testing.assert_array_equal(np.asarray(i_aot), np.asarray(i_ref))
 
 
+def test_aot_index_api_passthrough(tmp_path, data):
+    """AOTServing is a drop-in for the Index surface (lookup, metadata)."""
+    keys, x, q = data
+    index = build_flat_index(
+        keys, x,
+        pq_config=PQConfig(num_clusters=16, num_quantizers=4, max_iters=8),
+    )
+    path = str(tmp_path / "pass.aot")
+    save_serving(path, export_serving(index, shapes=[(8, 5)]))
+    serving = load_serving(path, index)
+
+    assert serving.dimension == index.dimension
+    assert serving.size == index.size
+    assert serving.metric == index.metric
+    assert serving.key_index is index.key_index
+    word = keys[7]
+    np.testing.assert_array_equal(serving.lookup(word), index.lookup(word))
+    assert serving.lookup("definitely-not-a-key") is None
+    assert serving.query_by_word(5, "definitely-not-a-key") is None
+    res = serving.query_by_word(5, word)
+    ref = index.query_by_word(5, word)
+    assert list(res.keys) == list(ref.keys)
+
+
 def test_aot_dimension_mismatch(tmp_path, data):
     keys, x, q = data
     index = build_flat_index(
