@@ -24,8 +24,12 @@ def main():
 
     from benchmarks.common import time_device_loop
 
+    import os
+
     n, m, K, dsub, mdp = 400_000, 8, 256, 13, 128
-    num_q, qt, t = 1024, 512, 2048
+    num_q = 1024
+    qt = int(os.environ.get("PROBE_QT", 512))
+    t = int(os.environ.get("PROBE_T", 2048))
     npad = -(-n // t) * t
     n_rt, n_qt, nblk = npad // t, num_q // qt, t // 128
     _INT_BIG = 2**30
@@ -39,13 +43,21 @@ def main():
     cb = jax.random.normal(key, (m, K, dsub), jnp.float32).astype(jnp.bfloat16)
 
     def make_tdec(variant):
-        """Variant A: transposed decode (decT [mdp, T]) + sublane block-min
-        with a packed (score, row) key — no lane relayout anywhere."""
+        """Transposed-orientation variants (decT [mdp, T], sublane
+        reductions, no lane relayout anywhere) — bisect the production
+        kernel: tdec_grid (decode only) -> tdec_noselect (+ scores matmul)
+        -> tdec_min (+ block-min) -> tdec_match (v5: + eq-match argmin) /
+        tdec_packed (v4: packed monotone-key single pass)."""
 
         def kern(codes_ref, normsT_ref, q_ref, cbT_ref, vals_ref, ids_ref,
                  decT_ref):
             rt_idx = pl.program_id(0)
             qt_idx = pl.program_id(1)
+
+            if variant == "tdec_noop":
+                vals_ref[:] = jnp.zeros((nblk, qt), jnp.float32)
+                ids_ref[:] = jnp.zeros((nblk, qt), jnp.int32)
+                return
 
             @pl.when(qt_idx == 0)
             def _():
@@ -64,12 +76,43 @@ def main():
                         ).astype(jnp.bfloat16)
                     )
 
+            if variant == "tdec_grid":
+                vals_ref[:] = jnp.zeros((nblk, qt), jnp.float32)
+                ids_ref[:] = jnp.zeros((nblk, qt), jnp.int32)
+                return
+
             ipt = jax.lax.dot_general(
                 decT_ref[:], q_ref[:],
                 dimension_numbers=(((0,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # [T, QT]
             scores = normsT_ref[:, 0].reshape(t, 1) - 2.0 * ipt
+
+            if variant == "tdec_noselect":
+                vals_ref[:] = scores[:nblk, :]
+                ids_ref[:] = jnp.zeros((nblk, qt), jnp.int32)
+                return
+
+            if variant in ("tdec_min", "tdec_match"):
+                s3 = scores.reshape(nblk, 128, qt)
+                vmin = jnp.min(s3, axis=1)
+                if variant == "tdec_min":
+                    vals_ref[:] = vmin
+                    ids_ref[:] = jnp.zeros((nblk, qt), jnp.int32)
+                    return
+                row_iota = jax.lax.broadcasted_iota(
+                    jnp.int32, (nblk, 128, qt), 1
+                )
+                cand = jnp.where(
+                    s3 == vmin[:, None, :], row_iota, jnp.int32(128)
+                )
+                lane = jnp.min(cand, axis=1)
+                blk_base = jax.lax.broadcasted_iota(
+                    jnp.int32, (nblk, qt), 0
+                )
+                vals_ref[:] = vmin
+                ids_ref[:] = rt_idx * t + blk_base * 128 + lane
+                return
 
             # pack (monotone score bits | row-in-block) into one int32 key
             bits = pltpu.bitcast(scores, jnp.int32)
@@ -124,8 +167,159 @@ def main():
 
         return run
 
+    def make_cached():
+        """Cached variant: dec^T [mdp, N] bf16 lives in HBM (built once);
+        the kernel is scores-matmul + min-then-match selection only."""
+
+        def kern(decT_ref, normsT_ref, q_ref, vals_ref, ids_ref):
+            rt_idx = pl.program_id(0)
+            ipt = jax.lax.dot_general(
+                decT_ref[:], q_ref[:],
+                dimension_numbers=(((0,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [T, QT]
+            scores = normsT_ref[:, 0].reshape(t, 1) - 2.0 * ipt
+            s3 = scores.reshape(nblk, 128, qt)
+            vmin = jnp.min(s3, axis=1)
+            row_iota = jax.lax.broadcasted_iota(
+                jnp.int32, (nblk, 128, qt), 1
+            )
+            cand = jnp.where(
+                s3 == vmin[:, None, :], row_iota, jnp.int32(128)
+            )
+            lane = jnp.min(cand, axis=1)
+            blk_base = jax.lax.broadcasted_iota(jnp.int32, (nblk, qt), 0)
+            vals_ref[:] = vmin
+            ids_ref[:] = rt_idx * t + blk_base * 128 + lane
+
+        @jax.jit
+        def run(decT_hbm, norms, q_pad):
+            return pl.pallas_call(
+                kern,
+                grid=(n_rt, n_qt),
+                in_specs=[
+                    pl.BlockSpec((mdp, t), lambda r, q: (0, r),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((t, 1), lambda r, q: (r, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((qt, mdp), lambda r, q: (q, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=(
+                    pl.BlockSpec((nblk, qt), lambda r, q: (r, q),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((nblk, qt), lambda r, q: (r, q),
+                                 memory_space=pltpu.VMEM),
+                ),
+                out_shape=(
+                    jax.ShapeDtypeStruct((n_rt * nblk, num_q), jnp.float32),
+                    jax.ShapeDtypeStruct((n_rt * nblk, num_q), jnp.int32),
+                ),
+            )(decT_hbm, norms.reshape(-1, 1), q_pad)
+
+        def wrapped(codes_t, norms, q_pad, cb):
+            return run(wrapped.decT, norms, q_pad)
+
+        # build dec^T once outside the timed loop
+        cbf = jnp.transpose(cb, (0, 2, 1)).astype(jnp.float32)  # [m,dsub,K]
+        oh = jax.nn.one_hot(codes_t, K, dtype=jnp.float32)  # [m, npad, K]
+        decT = jnp.einsum("mdk,mnk->mdn", cbf, oh).reshape(m * dsub, npad)
+        pad = jnp.zeros((mdp - m * dsub, npad), jnp.float32)
+        wrapped.decT = jnp.concatenate([decT, pad], 0).astype(jnp.bfloat16)
+        return wrapped
+
+    def make_i8dec():
+        """int8 decode variant: one-hot as s8, codebook pre-quantized to
+        s8 per subspace; decode matmul runs s8xs8->s32 at 2x MXU rate,
+        dequantized into the bf16 dec^T scratch."""
+
+        def kern(codes_ref, normsT_ref, q_ref, cbT_ref, scale_ref,
+                 vals_ref, ids_ref, decT_ref):
+            rt_idx = pl.program_id(0)
+            qt_idx = pl.program_id(1)
+
+            @pl.when(qt_idx == 0)
+            def _():
+                decT_ref[:] = jnp.zeros((mdp, t), jnp.bfloat16)
+                row_iota = jax.lax.broadcasted_iota(jnp.int32, (K, t), 0)
+                for s in range(m):
+                    onehotT = (
+                        codes_ref[s, :].reshape(1, t) == row_iota
+                    ).astype(jnp.int8)  # [K, T]
+                    acc = jax.lax.dot_general(
+                        cbT_ref[s], onehotT,
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32,
+                    )  # [dsub, T] s32
+                    decT_ref[s * dsub : (s + 1) * dsub, :] = (
+                        acc.astype(jnp.float32) * scale_ref[s, 0]
+                    ).astype(jnp.bfloat16)
+
+            ipt = jax.lax.dot_general(
+                decT_ref[:], q_ref[:],
+                dimension_numbers=(((0,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            scores = normsT_ref[:, 0].reshape(t, 1) - 2.0 * ipt
+            s3 = scores.reshape(nblk, 128, qt)
+            vmin = jnp.min(s3, axis=1)
+            row_iota = jax.lax.broadcasted_iota(
+                jnp.int32, (nblk, 128, qt), 1
+            )
+            cand = jnp.where(
+                s3 == vmin[:, None, :], row_iota, jnp.int32(128)
+            )
+            lane = jnp.min(cand, axis=1)
+            blk_base = jax.lax.broadcasted_iota(jnp.int32, (nblk, qt), 0)
+            vals_ref[:] = vmin
+            ids_ref[:] = rt_idx * t + blk_base * 128 + lane
+
+        @jax.jit
+        def run(codes_t, norms, q_pad, cb_i8, scales):
+            return pl.pallas_call(
+                kern,
+                grid=(n_rt, n_qt),
+                in_specs=[
+                    pl.BlockSpec((m, t), lambda r, q: (0, r),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((t, 1), lambda r, q: (r, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((qt, mdp), lambda r, q: (q, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec(memory_space=pltpu.VMEM),
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                ],
+                out_specs=(
+                    pl.BlockSpec((nblk, qt), lambda r, q: (r, q),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((nblk, qt), lambda r, q: (r, q),
+                                 memory_space=pltpu.VMEM),
+                ),
+                out_shape=(
+                    jax.ShapeDtypeStruct((n_rt * nblk, num_q), jnp.float32),
+                    jax.ShapeDtypeStruct((n_rt * nblk, num_q), jnp.int32),
+                ),
+                scratch_shapes=[pltpu.VMEM((mdp, t), jnp.bfloat16)],
+            )(codes_t, norms.reshape(-1, 1), q_pad, cb_i8, scales)
+
+        cbT = jnp.transpose(cb, (0, 2, 1)).astype(jnp.float32)  # [m,dsub,K]
+        amax = jnp.max(jnp.abs(cbT), axis=(1, 2), keepdims=False)  # [m]
+        scales = (amax / 127.0).reshape(m, 1)
+        cb_i8 = jnp.clip(
+            jnp.round(cbT / scales[:, :, None]), -127, 127
+        ).astype(jnp.int8)
+
+        def wrapped(codes_t, norms, q_pad, cb):
+            return run(codes_t, norms, q_pad, cb_i8, scales)
+
+        return wrapped
+
     def make(variant):
-        if variant == "tdec_packed":
+        if variant == "tdec_cached":
+            return make_cached()
+        if variant == "tdec_i8":
+            return make_i8dec()
+        if variant.startswith("tdec_"):
             return make_tdec(variant)
 
         def kern(codes_ref, norms_ref, q_ref, cb_ref, vals_ref, ids_ref,

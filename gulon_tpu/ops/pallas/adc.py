@@ -1,5 +1,5 @@
-"""Fused Pallas ADC-scan kernel (v4: transposed decode + ONE packed
-block-min pass).
+"""Fused Pallas ADC-scan kernel (v5: transposed decode + min-then-match
+block selection).
 
 The XLA formulation of the ADC scan (``gulon_tpu.ops.scan.adc_scan_decode``)
 materializes a one-hot decode operand in HBM per row tile, making the scan
@@ -18,19 +18,19 @@ pipeline in VMEM, and its layout is chosen around two measured Mosaic facts
    lands ``dec^T [m*dsub, T]`` in exactly the layout the transposed distance
    matmul wants.
 
-Selection is ONE fused min: the f32 score bits are mapped to a monotone
-int32 key, the low 7 mantissa bits are replaced by the row-in-block index,
-and a single sublane ``min`` yields value and argmin together. The value is
-recovered by inverting the monotone map — coarsened <= 2^-17 relative,
-downward, an order of magnitude below the ~2^-8 bf16 operand rounding every
-strategy's matmul scores already carry (measured: 0.9999 id-set agreement
-with the exact-value variant, identical recall@10). The XLA epilogue runs
-one exact top-k over the ``[Q, N/128]`` block winners. This is the
-hardware-PartialReduce schedule (what ``lax.approx_min_k`` compiles to)
-with decode + distances fused in front. At the headline shape the kernel is
-VPU-selection-bound: the v3 kernel kept a second exact-value f32 min pass
-(1.56 ms/batch); the single-pass default runs 1.40 ms. Knobs:
-``exact_value=True`` restores the v3 second pass; ``rescore=True`` adds an
+Selection is min-then-match: one sublane block-min of the raw f32 scores
+(the exact winner value), then an eq-compare against the broadcast minimum
+selects the winner's row-in-block via a second sublane min over the matched
+iota. Reductions on the sublane axis are ~0.15 VPU ops/element (vreg tree);
+the cost is the *elementwise* work, and min-then-match needs only ~2
+ops/element (eq + select) where v4's monotone-int32 key-packing chain
+needed ~7 — and the winner values come out exact f32 instead of
+7-bit-coarsened. The XLA epilogue runs one exact top-k over the
+``[Q, N/128]`` block winners. This is the hardware-PartialReduce schedule
+(what ``lax.approx_min_k`` compiles to) with decode + distances fused in
+front. At the headline shape the kernel is VPU-selection-bound: v3
+(packed key + exact-value second pass) ran 1.63 ms/batch, v4 (single
+packed pass, coarse values) 1.40 ms, v5 0.98 ms. ``rescore=True`` adds an
 exact f32 LUT rescore of the k winners in the epilogue (full-precision ADC
 distances, ~+1 ms/batch — the LUT gather lowers poorly on TPU).
 
@@ -38,14 +38,14 @@ Per grid step (row tile r, query tile q; query axis innermost):
       q == 0:  codes [m, T] -> per-subspace one-hot^T (VMEM, bf16)
                -> dec^T [m*dsub, T] bf16 (MXU, persists across query tiles)
       all q:   scores^T [T, QT] = norms - 2 * dec^T'Q (MXU, f32 accum)
-               -> packed key -> ONE per-128-row-block min (VPU, sublane
-               reduce) -> write [T/128, QT] (coarse value, row-id) winners.
+               -> per-128-row-block min + eq-match (VPU, sublane reduces)
+               -> write [T/128, QT] (exact f32 value, row-id) winners.
 
 HBM traffic per batch is the code bytes in plus ``Q * N/128`` winner pairs
 out — no decoded operand ever round-trips. Measured on v5e at the headline
-shape (400k x 100d, PQ 8x256, batch 1024, k=10): 1.40 ms/batch vs 3.57 ms
+shape (400k x 100d, PQ 8x256, batch 1024, k=10): 0.98 ms/batch vs 3.57 ms
 for the XLA decode path and 1.15 ms for the 26x-more-memory cached scan
-(v3's two-pass selection: 1.63 ms).
+(v4's packed-key selection: 1.40 ms).
 
 Selection approximation: one winner per 128-row block, exactly like
 ``approx_min_k`` — losing a true top-k member requires two of them to land
@@ -78,7 +78,6 @@ from gulon_tpu.ops.topk import smallest_k
 _BIG = 3.0e38  # python float: kernels must not capture traced constants
 _INVALID_MIN = 1.0e38  # values at/above this are padding, not real rows
 _LANES = 128
-_SIGN = -(2**31)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -115,7 +114,6 @@ def _adc_fused_kernel(
     k_codes: int,
     dsub: int,
     tile_rows: int,
-    exact_value: bool,
 ):
     t = tile_rows
     qt = q_ref.shape[0]
@@ -151,45 +149,28 @@ def _adc_fused_kernel(
     )  # [T, QT]
     scores = norms_ref[:, 0].reshape(t, 1) - 2.0 * ipt
 
-    # --- (min, argmin) per 128-row block in ONE *sublane* reduction of a
-    # contiguous view (no lane relayout). The argmin rides a packed key
-    # (monotone int32 score image, low 7 bits replaced by the row-in-block
-    # index); a single min yields both. The winner's value is recovered by
-    # inverting the monotone map on the masked key — coarsened by <= 2^-17
-    # relative (always downward), which the XLA epilogue repairs with an
-    # exact f32 LUT rescore of the k winners, so the coarse value only ever
-    # *selects* block winners, never decides the final ranking or the
-    # reported distance. (v3 kept a second exact f32 min pass for the
-    # value; at the headline shape selection is VPU-bound, so dropping
-    # that pass is worth ~20% of the kernel.)
-    bits = jax.lax.bitcast_convert_type(scores, jnp.int32)
-    ukey = jnp.where(bits < 0, ~bits, bits | jnp.int32(_SIGN))
-    skey = ukey ^ jnp.int32(_SIGN)  # monotone int32 image of the f32 order
-    row_in_blk = jax.lax.broadcasted_iota(jnp.int32, (t, qt), 0) & (
-        _LANES - 1
-    )
-    packed = (skey & jnp.int32(~(_LANES - 1))) | row_in_blk
-    pmin = jnp.min(packed.reshape(nblk, _LANES, qt), axis=1)  # [NB, QT]
-    lane = pmin & (_LANES - 1)
+    # --- (min, argmin) per 128-row block via min-then-match: one sublane
+    # block-min of the raw f32 scores is the exact winner value; comparing
+    # the scores against the broadcast minimum re-finds its row (ties pick
+    # the smallest row-in-block, same as v4's packed key). Both reductions
+    # ride the *sublane* axis of a contiguous view — no lane relayout — and
+    # the elementwise work is ~2 VPU ops per score element (the eq and the
+    # select) vs ~7 for v4's monotone-int32 key-packing chain, with the
+    # value exact f32 instead of 7-bit-coarsened.
+    s3 = scores.reshape(nblk, _LANES, qt)
+    vmin = jnp.min(s3, axis=1)  # [NB, QT] exact f32 winner values
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (nblk, _LANES, qt), 1)
+    cand = jnp.where(s3 == vmin[:, None, :], row_iota, jnp.int32(_LANES))
+    lane = jnp.min(cand, axis=1)  # [NB, QT]
     blk_base = jax.lax.broadcasted_iota(jnp.int32, (nblk, qt), 0)
-    if exact_value:
-        # second exact f32 min pass for the winner value
-        vals_ref[:] = jnp.min(scores.reshape(nblk, _LANES, qt), axis=1)
-    else:
-        # invert the monotone map (low 7 bits zeroed) -> coarse value;
-        # masking low key bits always rounds DOWN in float order, so
-        # padding sentinels (>= _INVALID_MIN) stay above the threshold
-        kbits = pmin & jnp.int32(~(_LANES - 1))
-        vbits = jnp.where(kbits >= 0, kbits, ~(kbits ^ jnp.int32(_SIGN)))
-        vals_ref[:] = jax.lax.bitcast_convert_type(vbits, jnp.float32)
+    vals_ref[:] = vmin
     ids_ref[:] = rt_idx * t + blk_base * _LANES + lane
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "bounds", "k", "tile_rows", "interpret", "num_rows",
-        "exact_value", "rescore",
+        "bounds", "k", "tile_rows", "interpret", "num_rows", "rescore",
     ),
 )
 def adc_scan_pallas(
@@ -205,7 +186,6 @@ def adc_scan_pallas(
     tile_rows: int = 0,  # 0 = auto
     interpret: bool = False,
     num_rows: int = 0,  # >0: codes is pretransposed [m, num_rows] i32
-    exact_value: bool = False,  # in-kernel exact f32 value min (2nd pass)
     rescore: bool = False,  # exact f32 LUT rescore of the k winners
 ) -> Tuple[jax.Array, jax.Array]:
     """Fused-kernel ADC scan. Returns ([Q, k] dists asc, [Q, k] ids)."""
@@ -271,7 +251,6 @@ def adc_scan_pallas(
 
     kernel = functools.partial(
         _adc_fused_kernel, m=m, k_codes=k_codes, dsub=dsub, tile_rows=t,
-        exact_value=exact_value,
     )
     block_v, block_i = pl.pallas_call(
         kernel,
@@ -321,10 +300,9 @@ def adc_scan_pallas(
 
     if rescore:
         # Exact f32 LUT rescore of the kk winners (O(Q*kk*m) gathers + one
-        # tiny LUT einsum): repairs the packed key's 7-bit value coarsening
-        # AND the bf16 matmul noise, so reported distances are
-        # full-precision ADC. The final ranking comes from this rescore,
-        # not the in-kernel selection.
+        # tiny LUT einsum): repairs the bf16 matmul noise, so reported
+        # distances are full-precision ADC. The final ranking comes from
+        # this rescore, not the in-kernel selection.
         lut = _lut(qs, codebooks.astype(jnp.float32))  # [Q, m, K] f32
         safe_ids = jnp.where(invalid, 0, best_ids)
         if pretransposed:
@@ -347,10 +325,9 @@ def adc_scan_pallas(
         best_d, pos2 = smallest_k(exact, kk)
         best_ids = jnp.take_along_axis(best_ids, pos2, axis=1)
     else:
-        # raw kernel values + the per-query ||q||^2 term; without
-        # exact_value the values carry the packed key's <=2^-17 downward
-        # coarsening — an order of magnitude below the bf16 operand
-        # rounding (~2^-8) every strategy's matmul scores already carry
+        # exact f32 kernel values + the per-query ||q||^2 term; the only
+        # noise left is the ~2^-8 bf16 operand rounding every strategy's
+        # matmul scores carry (rescore=True removes that too)
         qn = sq_norms(queries)
         best_d = jnp.where(invalid, jnp.inf, best_v + qn[:, None])
         best_ids = jnp.where(invalid, -1, best_ids)

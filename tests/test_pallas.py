@@ -123,23 +123,19 @@ def test_pallas_pretransposed_matches(setup):
 
 
 def test_pallas_value_knobs_agree(setup):
-    """packed-key values (default), exact-value pass, and the LUT rescore
-    all select the same neighbour sets; rescore reports exact f32 ADC."""
+    """the default path and the LUT rescore select the same neighbour
+    sets; rescore reports exact f32 ADC distances."""
     x, q, pq, codes, norms = setup
     kw = dict(bounds=pq.bounds, k=10, tile_rows=5120, interpret=True)
     d0, i0 = adc_scan_pallas(jnp.asarray(q), pq.codebooks, codes, norms, **kw)
-    d1, i1 = adc_scan_pallas(
-        jnp.asarray(q), pq.codebooks, codes, norms, exact_value=True, **kw
-    )
     d2, i2 = adc_scan_pallas(
         jnp.asarray(q), pq.codebooks, codes, norms, rescore=True, **kw
     )
-    i0, i1, i2 = map(np.asarray, (i0, i1, i2))
-    for a, b in [(i0, i1), (i0, i2)]:
-        overlap = np.mean(
-            [len(set(a[j]) & set(b[j])) / 10 for j in range(len(a))]
-        )
-        assert overlap >= 0.95, overlap
+    i0, i2 = map(np.asarray, (i0, i2))
+    overlap = np.mean(
+        [len(set(i0[j]) & set(i2[j])) / 10 for j in range(len(i0))]
+    )
+    assert overlap >= 0.95, overlap
     # rescored distances match an exact f32 recompute on the decoded rows
     dec = np.asarray(pq.decode(codes))
     i2s = np.where(i2 < 0, 0, i2)
