@@ -103,6 +103,14 @@ def build_parser() -> argparse.ArgumentParser:
         "are covered (LimitVectors strategy; mutually exclusive with "
         "--limit)",
     )
+    b.add_argument(
+        "--kmeans-init",
+        choices=("sample", "kmeans++"),
+        default="sample",
+        help="codebook/partition seeding: 'sample' (reference-faithful "
+        "uniform rows, default) or 'kmeans++' (D^2-weighted, usually "
+        "lower quantization error at equal iterations)",
+    )
     b.add_argument("-o", "--output", required=True, help="output index file")
     b.add_argument("input", help="word2vec-format text file")
 
@@ -251,6 +259,7 @@ def cmd_build_index(args, reporter) -> int:
         num_clusters=args.clusters,
         num_quantizers=args.quantizers,
         max_iters=args.max_iters,
+        init=args.kmeans_init,
     )
 
     def kmeans_progress(iteration, step_size, converged_count):
@@ -290,6 +299,7 @@ def cmd_build_index(args, reporter) -> int:
                 pq_config=pq_config,
                 num_partitions=num_partitions,
                 strategy=strategy,
+                coarse_init=args.kmeans_init,
                 report_fn=kmeans_progress,
             )
     else:

@@ -109,6 +109,7 @@ def build_ivf_index(
     strategy: Optional[Strategy] = None,
     coarse_max_iters: int = 100,
     coarse_seed: int = 0,
+    coarse_init: str = "sample",
     encode_chunk: int = _DEFAULT_ENCODE_CHUNK,
     report_fn=None,
     mesh=None,
@@ -134,7 +135,8 @@ def build_ivf_index(
 
     # Coarse clustering over the full vectors (CommandUtils.scala:127-133).
     coarse_cfg = KMeansConfig(
-        k=num_partitions, max_iters=coarse_max_iters, seed=coarse_seed
+        k=num_partitions, max_iters=coarse_max_iters, seed=coarse_seed,
+        init=coarse_init,
     )
     if mesh is not None:
         from gulon_tpu.parallel.ops import sharded_fit_kmeans

@@ -71,6 +71,11 @@ class KMeansConfig(NamedTuple):
     # equivalent codebooks (measured: recall@10 0.1898 vs 0.1902 at the
     # glove100 config); "highest" = full-f32 MXU, reference-faithful ranking
     precision: str = "default"
+    # "sample" = uniform row sampling (reference ``KMeans.scala:188-196``
+    # semantics, the default); "kmeans++" = D^2-weighted seeding — a
+    # quality option the reference does not have, typically a few percent
+    # lower quantization error at equal iterations.
+    init: str = "sample"
 
 
 class KMeansResult(NamedTuple):
@@ -179,6 +184,61 @@ def init_indices(m: int, n: int, k: int, seed: int) -> jax.Array:
     return jax.vmap(lambda kk: jax.random.randint(kk, (k,), 0, n))(sub_keys)
 
 
+@functools.partial(jax.jit, static_argnames=("k",))
+def _pp_indices_stacked(x: jax.Array, *, k: int, seed) -> jax.Array:
+    """[m, k] k-means++ (D^2-weighted) seed rows for stacked ``[m, n, d]``.
+
+    Standard Arthur–Vassilvitskii seeding, one jitted ``fori_loop`` vmapped
+    over the subspace axis: first row uniform, each next row sampled with
+    probability proportional to its squared distance to the nearest chosen
+    centroid. Total cost O(k·n·d) — about one Lloyd assignment pass. All-
+    duplicate corners (every remaining D^2 == 0) fall back to a uniform
+    draw so the categorical never sees an all(-inf) logit row.
+    """
+    m, n, _ = x.shape
+    xn = jax.vmap(sq_norms)(x)  # [m, n]
+    key = jax.random.key(seed)
+    sub_keys = jax.vmap(
+        lambda i: jax.random.fold_in(jax.random.fold_in(key, i), 0x9E37)
+    )(jnp.arange(m))
+
+    def one(xs, xnorm, kk):
+        k0, kloop = jax.random.split(kk)
+        first = jax.random.randint(k0, (), 0, n)
+
+        def dist_to(cj):
+            ip = jnp.matmul(xs, cj, preferred_element_type=jnp.float32)
+            return jnp.maximum(xnorm + jnp.sum(cj * cj) - 2.0 * ip, 0.0)
+
+        def body(j, carry):
+            idxs, d2 = carry
+            kj = jax.random.fold_in(kloop, j)
+            total = jnp.sum(d2)
+            logits = jnp.where(
+                total > 0.0,
+                jnp.log(jnp.maximum(d2, 1e-30)),
+                jnp.zeros_like(d2),
+            )
+            pick = jax.random.categorical(kj, logits)
+            idxs = idxs.at[j].set(pick.astype(jnp.int32))
+            d2 = jnp.minimum(d2, dist_to(xs[pick]))
+            return idxs, d2
+
+        idxs0 = jnp.zeros((k,), jnp.int32).at[0].set(first.astype(jnp.int32))
+        d2_0 = dist_to(xs[first])
+        idxs, _ = jax.lax.fori_loop(1, k, body, (idxs0, d2_0))
+        return idxs
+
+    return jax.vmap(one)(x, xn, sub_keys)
+
+
+def init_centroids_pp(x, k: int, seed: int) -> jax.Array:
+    """k-means++ init for stacked ``[m, n, d]`` input -> ``[m, k, d]``."""
+    x = jnp.asarray(x)
+    idx = _pp_indices_stacked(x, k=k, seed=seed)
+    return jax.vmap(lambda xs, ix: xs[ix])(x, idx)
+
+
 class _LoopState(NamedTuple):
     centroids: jax.Array  # [m, k, d]
     assignments: jax.Array  # [m, n]
@@ -259,7 +319,14 @@ def fit_kmeans(
     squeeze = x.ndim == 2
     if squeeze:
         x = x[None]
-    init = init_centroids(x, config.k, config.seed)
+    if config.init == "kmeans++":
+        init = init_centroids_pp(x, config.k, config.seed)
+    elif config.init == "sample":
+        init = init_centroids(x, config.k, config.seed)
+    else:
+        raise ValueError(
+            f"unknown init {config.init!r} (expected 'sample' or 'kmeans++')"
+        )
     slot = None if report_fn is None else _acquire_report_slot(report_fn)
     try:
         res = _fit_stacked(

@@ -90,6 +90,9 @@ class PQConfig(NamedTuple):
     # trains on every row; a large sample is statistically equivalent and
     # keeps HBM bounded for huge corpora).
     train_sample: Optional[int] = None
+    # Codebook seeding: "sample" (reference-faithful uniform rows) or
+    # "kmeans++" (D^2-weighted; see KMeansConfig.init).
+    init: str = "sample"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -313,6 +316,7 @@ def train_product_quantizer(
         seed=config.seed,
         block_rows=config.block_rows,
         precision=config.precision,
+        init=config.init,
     )
     if mesh is not None:
         from gulon_tpu.parallel.ops import sharded_fit_kmeans

@@ -372,11 +372,26 @@ def sharded_fit_kmeans(
     m_shards = mesh.shape[SUB]
     r_shards = mesh.shape[ROWS]
 
-    # sample initial centroids host-side: materializing the full stacked
-    # tensor on one device just for row sampling would defeat mesh builds
-    init = np.asarray(
-        init_centroids(x, config.k, config.seed, backend="host")
-    )
+    # initial centroids host-side: materializing the full stacked tensor on
+    # one device just for seeding would defeat mesh builds. kmeans++ seeds
+    # from a bounded row subsample (D^2 seeding quality is insensitive to
+    # subsampling at these sizes) so its O(k·n·d) pass stays cheap.
+    if config.init == "kmeans++":
+        from gulon_tpu.ops.kmeans import init_centroids_pp
+
+        cap = min(n, max(config.k * 64, 65536))
+        sub = x
+        if cap < n:
+            rng = np.random.default_rng(config.seed)
+            rows = np.sort(rng.choice(n, size=cap, replace=False))
+            sub = x[:, rows]
+        init = np.asarray(
+            init_centroids_pp(jnp.asarray(sub), config.k, config.seed)
+        )
+    else:
+        init = np.asarray(
+            init_centroids(x, config.k, config.seed, backend="host")
+        )
 
     n_pad = (-n) % r_shards
     valid = np.ones((m, n), bool)

@@ -180,3 +180,20 @@ def test_ivf_strategy_flags_and_mesh(corpus_file, tmp_path, capsys):
         "query", "-k", "3", "--index", idx, "--scan-strategy", "pallas",
         qfile,
     ]) == 1
+
+
+def test_build_with_kmeanspp_init(corpus_file, tmp_path, capsys):
+    """--kmeans-init kmeans++ builds a working index end-to-end."""
+    vecs, keys, x = corpus_file
+    idx = str(tmp_path / "pp.idx")
+    assert _run([
+        "build-index", "--metric", "l2", "-k", "16", "-m", "4",
+        "-n", "10", "--kmeans-init", "kmeans++", "-o", idx, vecs,
+    ]) == 0
+    qfile = str(tmp_path / "qpp.txt")
+    with open(qfile, "w") as f:
+        write_word2vec(WordVectors(keys[:2], x[:2]), f, header=False)
+    capsys.readouterr()
+    assert _run(["query", "-k", "1", "--index", idx, qfile]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert [line.split(":")[0] for line in out] == list(keys[:2])

@@ -122,3 +122,51 @@ def test_report_slots_isolate_concurrent_builds():
     km._release_report_slot(b)
     km._release_report_slot(c)
     assert not km._REPORT_SLOTS
+
+
+def test_kmeanspp_init_rows_and_determinism():
+    """kmeans++ seeds are actual data rows; same seed => same centroids."""
+    from gulon_tpu.ops.kmeans import init_centroids_pp
+
+    x, _, _ = planted_clusters(np.random.default_rng(5), 400, 8, 12)
+    xs = np.asarray(x)[None]  # [1, n, d]
+    c1 = np.asarray(init_centroids_pp(xs, 12, seed=3))[0]
+    c2 = np.asarray(init_centroids_pp(xs, 12, seed=3))[0]
+    assert np.array_equal(c1, c2)
+    # every centroid is some data row
+    for row in c1:
+        assert np.any(np.all(np.isclose(xs[0], row), axis=1))
+    # distinct seeds draw differently
+    c3 = np.asarray(init_centroids_pp(xs, 12, seed=4))[0]
+    assert not np.array_equal(c1, c3)
+
+
+def test_kmeanspp_beats_or_ties_uniform_on_planted():
+    """On a planted mixture, kmeans++ ends at an objective <= uniform
+    sampling's (same seed, same iteration budget)."""
+    x, _, _ = planted_clusters(np.random.default_rng(11), 1200, 10, 16)
+    res_u = fit_kmeans(x, KMeansConfig(k=16, max_iters=12, seed=0))
+    res_pp = fit_kmeans(
+        x, KMeansConfig(k=16, max_iters=12, seed=0, init="kmeans++")
+    )
+    o_u = _objective(x, res_u.centroids, res_u.assignments)
+    o_pp = _objective(x, res_pp.centroids, res_pp.assignments)
+    assert o_pp <= o_u * 1.05, (o_pp, o_u)
+
+
+def test_kmeanspp_duplicate_rows_no_nan():
+    """All-duplicate input: the D^2 distribution is all-zero after the
+    first pick; the fallback keeps sampling uniform instead of NaN-ing."""
+    from gulon_tpu.ops.kmeans import init_centroids_pp
+
+    xs = np.ones((1, 64, 4), np.float32)
+    c = np.asarray(init_centroids_pp(xs, 8, seed=0))[0]
+    assert np.all(np.isfinite(c)) and np.allclose(c, 1.0)
+
+
+def test_unknown_init_raises():
+    x = np.zeros((32, 4), np.float32)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        fit_kmeans(x, KMeansConfig(k=4, max_iters=2, init="bogus"))

@@ -331,3 +331,26 @@ def test_mesh_build_ivf_end_to_end(data):
     # nearest planted neighbor should appear
     for r in res:
         assert len(r.keys) == 5
+
+
+def test_sharded_kmeans_kmeanspp_init(data):
+    """kmeans++ seeding works on the mesh path and lands at a sane
+    objective (comparable to uniform seeding on the same budget)."""
+    _, x, _ = data
+    mesh = make_mesh()
+    xs = np.stack([x[:, i * 4 : (i + 1) * 4] for i in range(4)])
+    res_pp = sharded_fit_kmeans(
+        xs, KMeansConfig(k=12, max_iters=10, seed=3, init="kmeans++"), mesh
+    )
+    res_u = sharded_fit_kmeans(
+        xs, KMeansConfig(k=12, max_iters=10, seed=3), mesh
+    )
+    for s in range(4):
+        o_pp = float(kmeans_objective(
+            xs[s], np.asarray(res_pp.centroids)[s],
+            np.asarray(res_pp.assignments)[s]))
+        o_u = float(kmeans_objective(
+            xs[s], np.asarray(res_u.centroids)[s],
+            np.asarray(res_u.assignments)[s]))
+        assert np.isfinite(o_pp)
+        assert o_pp <= o_u * 1.25, (o_pp, o_u)
