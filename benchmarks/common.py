@@ -65,12 +65,17 @@ def time_device_loop(step_fn: Callable, carry_probe: Callable, iters: int = 16):
 
     carry_probe(loop(iters))  # compile
     carry_probe(loop(1))
-    t0 = time.perf_counter()
-    carry_probe(loop(iters))
-    t_many = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    carry_probe(loop(1))
-    t_one = time.perf_counter() - t0
+
+    def timed(n):
+        t0 = time.perf_counter()
+        carry_probe(loop(n))
+        return time.perf_counter() - t0
+
+    # each readback carries ~10-25 ms of tunnel RTT with tens-of-ms
+    # jitter; min-of-repeats on both points keeps the difference from
+    # being swallowed (or driven negative) by one slow round trip
+    t_many = min(timed(iters) for _ in range(5))
+    t_one = min(timed(1) for _ in range(5))
     return max((t_many - t_one) / (iters - 1), 1e-9)
 
 

@@ -67,24 +67,46 @@ def bench_adc(n, d, m, k_codes, n_queries, name, max_iters=25):
 
     q_dev = q_pool
 
-    def step(acc):
-        import jax
+    # serving path: the fused Pallas kernel where it is eligible (same
+    # envelope FlatIndex's "auto" uses), XLA decode otherwise. The
+    # query-invariant [m, N] code relayout is built once, like the index's
+    # lazily-cached _pallas_codes_t.
+    import jax
 
+    use_pallas = (
+        jax.default_backend() == "tpu"
+        and n >= 256 * 10
+        and k_codes <= 1024
+    )
+    if use_pallas:
+        from gulon_tpu.ops.pallas.adc import adc_scan_pallas
+
+        codes_t = jnp.asarray(np.asarray(codes, np.int32).T)
+
+        def scan(qb):
+            return adc_scan_pallas(
+                qb, pq.codebooks, codes_t, norms,
+                bounds=pq.bounds, k=10, num_rows=n,
+            )
+
+    else:
+
+        def scan(qb):
+            return adc_scan_decode(
+                qb, pq.codebooks, codes, norms, bounds=pq.bounds, k=10
+            )
+
+    def step(acc):
         start = (acc.astype(jnp.int32) % 4) * n_queries
         qb = jax.lax.dynamic_slice_in_dim(q_dev, start, n_queries, 0)
-        dd, ii = adc_scan_decode(
-            qb + acc * 1e-30, pq.codebooks, codes, norms,
-            bounds=pq.bounds, k=10,
-        )
+        dd, ii = scan(qb + acc * 1e-30)
         return acc + dd[0, 0] + jnp.float32(ii[0, 0] % 7)
 
     per_batch = time_device_loop(step, float)
     # recall vs exact, plus the PQ ceiling (exact NN over decoded vectors):
     # scan_efficiency ~ 1.0 means the query path is lossless for the codes
     sample = min(256, n_queries)
-    _, i_adc = adc_scan_decode(
-        q_dev[:sample], pq.codebooks, codes, norms, bounds=pq.bounds, k=10
-    )
+    _, i_adc = scan(q_dev[:sample])
     _, i_ex = exact_scan(q_dev[:sample], x, k=10)
     from gulon_tpu.ops.scan import adc_scan_decode as _ceil_scan
     _, i_ceil = _ceil_scan(
@@ -94,11 +116,10 @@ def bench_adc(n, d, m, k_codes, n_queries, name, max_iters=25):
     recall = idset_recall(np.asarray(i_adc), np.asarray(i_ex), 10)
     ceiling = idset_recall(np.asarray(i_ceil), np.asarray(i_ex), 10)
 
-    import jax
-
     _emit(
         {
             "benchmark": name,
+            "scan_path": "pallas_fused" if use_pallas else "xla_decode",
             "corpus": f"{n}x{d}",
             "code_bytes_per_vector": int(np.asarray(codes).dtype.itemsize * m),
             "batch": n_queries,
@@ -262,7 +283,9 @@ def bench_kmeans(n=10_000, d=100, k=25):
         c, a = lloyd_step(x + acc * 1e-30, c0)
         return acc + c[0, 0] + jnp.float32(a[0])
 
-    per_iter = time_device_loop(step, float)
+    # the unit is ~65 us: hundreds of chained iterations so the two-point
+    # difference dwarfs tunnel RTT jitter
+    per_iter = time_device_loop(step, float, iters=512)
     import jax
 
     _emit(
@@ -359,11 +382,20 @@ def bench_ivf1m(n=300_000, d=96, n_queries=1024, partitions=300, probe=15):
     )
     build_s = time.monotonic() - t0
 
-    # time through the public API (returns host Results; includes host
-    # result assembly like a real serving call)
-    results = index.batch_query(10, np.asarray(q_dev))  # compile + warm
+    # device path (what the CLI/eval now use): query_arrays returns raw
+    # (dists, ids) arrays with no host Result assembly
+    q_host = np.asarray(q_dev)
+    dw, _iw = index.query_arrays(10, q_host)  # compile + warm
+    _ = np.asarray(dw[:1, :1])  # block: keep the compile out of the timing
     t0 = time.perf_counter()
-    results = index.batch_query(10, np.asarray(q_dev))
+    dd, _ii = index.query_arrays(10, q_host)
+    _ = np.asarray(dd[:1, :1])
+    per_batch_arrays = time.perf_counter() - t0
+
+    # full public API (host Result objects with key strings)
+    results = index.batch_query(10, q_host)  # warm
+    t0 = time.perf_counter()
+    results = index.batch_query(10, q_host)
     per_batch = time.perf_counter() - t0
 
     # recall vs exact over raw vectors
@@ -382,6 +414,7 @@ def bench_ivf1m(n=300_000, d=96, n_queries=1024, partitions=300, probe=15):
             "partitions": partitions,
             "probe": probe,
             "batch": n_queries,
+            "ms_per_batch_arrays": round(per_batch_arrays * 1e3, 1),
             "ms_per_batch_incl_host": round(per_batch * 1e3, 1),
             "recall_at_10_vs_exact": round(float(np.mean(rec)), 4),
             "build_s": round(build_s, 1),

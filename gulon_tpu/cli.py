@@ -104,6 +104,14 @@ def build_parser() -> argparse.ArgumentParser:
         "--limit)",
     )
     b.add_argument(
+        "--max-partition-size",
+        type=_positive_int(1),
+        default=None,
+        help="split coarse partitions larger than this into capacity-"
+        "bounded children (bounds sublinear-scan probe cost; requires "
+        "--partitioned)",
+    )
+    b.add_argument(
         "--kmeans-init",
         choices=("sample", "kmeans++"),
         default="sample",
@@ -227,10 +235,11 @@ def cmd_build_index(args, reporter) -> int:
 
     if not args.partitioned and (
         args.partitions or args.limit or args.limit_vectors
+        or args.max_partition_size
     ):
         reporter.out.write(
-            "error: --partitions/--limit/--limit-vectors require "
-            "--partitioned\n"
+            "error: --partitions/--limit/--limit-vectors/"
+            "--max-partition-size require --partitioned\n"
         )
         return 1
     if args.limit and args.limit_vectors:
@@ -300,6 +309,7 @@ def cmd_build_index(args, reporter) -> int:
                 num_partitions=num_partitions,
                 strategy=strategy,
                 coarse_init=args.kmeans_init,
+                max_partition_size=args.max_partition_size,
                 report_fn=kmeans_progress,
             )
     else:

@@ -89,6 +89,91 @@ def build_flat_index(
     )
 
 
+def _balanced_split(
+    xp: np.ndarray, k: int, cap: int, rng: np.random.Generator
+) -> np.ndarray:
+    """Assign ``xp``'s rows to ``k`` children, each holding <= ``cap`` rows.
+
+    A few host-side Lloyd iterations for quality, then a capacity repair
+    pass: each overfull child keeps its ``cap`` nearest rows and the rest
+    greedily move to the nearest child with spare room. Feasible because
+    ``k*cap >= len(xp)`` by construction.
+    """
+    n = len(xp)
+    init = xp[rng.choice(n, size=k, replace=False)]
+    cents = init.astype(np.float32)
+    xn = (xp * xp).sum(1)
+    for _ in range(10):
+        d2 = xn[:, None] - 2.0 * (xp @ cents.T) + (cents * cents).sum(1)[None]
+        assign = d2.argmin(1)
+        for j in range(k):
+            sel = assign == j
+            if sel.any():
+                cents[j] = xp[sel].mean(0)
+    d2 = xn[:, None] - 2.0 * (xp @ cents.T) + (cents * cents).sum(1)[None]
+    assign = d2.argmin(1)
+    counts = np.bincount(assign, minlength=k)
+    for j in range(k):
+        if counts[j] <= cap:
+            continue
+        idx = np.nonzero(assign == j)[0]
+        move = idx[np.argsort(d2[idx, j])][cap:]
+        counts[j] = cap
+        for r in move:
+            for cnd in np.argsort(d2[r]):
+                if cnd != j and counts[cnd] < cap:
+                    assign[r] = cnd
+                    counts[cnd] += 1
+                    break
+    return assign
+
+
+def _split_oversized_partitions(
+    fetch_rows,
+    assignments: np.ndarray,
+    centroids: np.ndarray,
+    cap: int,
+    seed: int,
+):
+    """Split every partition with > ``cap`` rows into <= ``cap``-row children.
+
+    Bounds ``pmax`` so the sublinear IVF paths (whose per-probe cost scales
+    with the *largest* partition; see ``ivf.py``) never pay for one outlier
+    partition. Children get their own centroids (the child-member means), so
+    probing ranks them like any other partition. The reference never bounds
+    partition sizes (its ranged scan pays actual sizes, ``Index.scala:411``)
+    — this is an opt-in build knob for TPU serving shapes.
+
+    ``fetch_rows(row_ids) -> [len, d] f32`` supplies vectors on demand, so
+    streaming builds only ever hold one oversized partition in host memory.
+    """
+    assignments = np.asarray(assignments, np.int64).copy()
+    cents = list(np.asarray(centroids, np.float32))
+    rng = np.random.default_rng(seed)
+    next_id = len(cents)
+    for pid in range(len(cents)):
+        rows = np.nonzero(assignments == pid)[0]
+        if len(rows) <= cap:
+            continue
+        xp = np.asarray(fetch_rows(rows), np.float32)
+        kchild = -(-len(rows) // cap)
+        child = _balanced_split(xp, kchild, cap, rng)
+        for j in range(kchild):
+            sel = child == j
+            c_j = (
+                xp[sel].mean(0).astype(np.float32)
+                if sel.any()
+                else cents[pid]
+            )
+            if j == 0:
+                cents[pid] = c_j
+            else:
+                assignments[rows[sel]] = next_id
+                cents.append(c_j)
+                next_id += 1
+    return assignments, np.stack(cents)
+
+
 def default_num_partitions(n: int) -> int:
     """Reference default: ``size / 1000`` (``BuildIndex.scala:104``)."""
     return max(1, n // 1000)
@@ -110,6 +195,7 @@ def build_ivf_index(
     coarse_max_iters: int = 100,
     coarse_seed: int = 0,
     coarse_init: str = "sample",
+    max_partition_size: Optional[int] = None,
     encode_chunk: int = _DEFAULT_ENCODE_CHUNK,
     report_fn=None,
     mesh=None,
@@ -118,6 +204,9 @@ def build_ivf_index(
 
     With ``mesh`` the k-means stages train distributed (rows data-parallel,
     PQ subspaces model-parallel; see ``gulon_tpu.parallel``).
+    ``max_partition_size`` bounds every partition by splitting oversized
+    ones into capacity-limited children (own centroids) — caps the
+    per-probe cost of the sublinear scan strategies.
     """
     from gulon_tpu.utils.word2vec import WordVectors
 
@@ -147,9 +236,16 @@ def build_ivf_index(
 
     # Group rows by (cluster, key), dropping empty clusters
     # (WordVectors.scala:24-58).
-    grouped = WordVectors(keys, x).grouped(
-        np.asarray(coarse.centroids), np.asarray(coarse.assignments)
-    )
+    coarse_cents = np.asarray(coarse.centroids)
+    coarse_assign = np.asarray(coarse.assignments)
+    if max_partition_size is not None:
+        if max_partition_size < 1:
+            raise ValueError("max_partition_size must be >= 1")
+        coarse_assign, coarse_cents = _split_oversized_partitions(
+            lambda rows: x[rows], coarse_assign, coarse_cents,
+            max_partition_size, coarse_seed,
+        )
+    grouped = WordVectors(keys, x).grouped(coarse_cents, coarse_assign)
     centroids = grouped.centroids
     group_ids = grouped.group_ids
 

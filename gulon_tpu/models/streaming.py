@@ -166,6 +166,8 @@ def build_ivf_index_streaming(
     strategy: Optional[Strategy] = None,
     coarse_max_iters: int = 100,
     coarse_seed: int = 0,
+    coarse_init: str = "sample",
+    max_partition_size: Optional[int] = None,
     encode_chunk: int = _DEFAULT_CHUNK,
     num_threads: int = 0,
     report_fn=None,
@@ -191,7 +193,8 @@ def build_ivf_index_streaming(
         # computePartitions over the unsorted corpus
         train_x, _ = _train_sample(stream, pq_config, metric.normalized)
         coarse_cfg = KMeansConfig(
-            k=num_partitions, max_iters=coarse_max_iters, seed=coarse_seed
+            k=num_partitions, max_iters=coarse_max_iters, seed=coarse_seed,
+            init=coarse_init,
         )
         if mesh is not None:
             from gulon_tpu.parallel.ops import sharded_fit_kmeans
@@ -221,6 +224,25 @@ def build_ivf_index_streaming(
         )
 
         del train_x
+
+        if max_partition_size is not None:
+            # split oversized partitions before grouping: only one
+            # partition's vectors are ever gathered into host memory
+            if max_partition_size < 1:
+                raise ValueError("max_partition_size must be >= 1")
+            from gulon_tpu.models.build import _split_oversized_partitions
+
+            def fetch(rows):
+                xp = stream.gather(rows)
+                return _normalize_np(xp) if metric.normalized else xp
+
+            assignments, centroids_full = _split_oversized_partitions(
+                fetch, assignments, centroids_full, max_partition_size,
+                coarse_seed,
+            )
+            assignments = assignments.astype(np.int32)
+            num_partitions = len(centroids_full)
+
         # grouped (cluster, key) order is known from pass A; the residual
         # PQ trains on grouped-order residuals exactly like the in-memory
         # builder (grouped.residuals() -> train)

@@ -197,3 +197,23 @@ def test_build_with_kmeanspp_init(corpus_file, tmp_path, capsys):
     assert _run(["query", "-k", "1", "--index", idx, qfile]) == 0
     out = capsys.readouterr().out.strip().splitlines()
     assert [line.split(":")[0] for line in out] == list(keys[:2])
+
+
+def test_max_partition_size_flag(corpus_file, tmp_path, capsys):
+    vecs, keys, x = corpus_file
+    idx = str(tmp_path / "cap.idx")
+    # requires --partitioned
+    assert _run([
+        "build-index", "--metric", "l2", "--max-partition-size", "50",
+        "-o", idx, vecs,
+    ]) == 1
+    capsys.readouterr()
+    assert _run([
+        "build-index", "--metric", "l2", "-k", "16", "-m", "4", "-n", "8",
+        "-p", "--partitions", "6", "--max-partition-size", "120",
+        "-o", idx, vecs,
+    ]) == 0
+    from gulon_tpu.utils.serde import load_index
+
+    index = load_index(idx)
+    assert index.partition_sizes().max() <= 120

@@ -293,3 +293,78 @@ def test_entry_schedule_covers_all_pairs():
                 assert st == pos and sz > 0
                 pos += sz
             assert pos == starts[p] + sizes[p]
+
+
+def test_max_partition_size_bounds_pmax():
+    """Oversized partitions split into capacity-bounded children with their
+    own centroids; query quality holds and the bound is strict."""
+    rng = np.random.default_rng(77)
+    # deliberately skewed: half of all rows land in one tight blob
+    blob = rng.normal(0, 0.05, (400, 8)).astype(np.float32)
+    rest, _, _ = planted_clusters(rng, 400, 8, 10, scale=0.2, spread=3.0)
+    x = np.concatenate([blob + 5.0, rest], 0)
+    keys = random_keys(rng, len(x))
+    cap = 64
+    index = build_ivf_index(
+        keys, x,
+        pq_config=PQConfig(num_clusters=16, num_quantizers=4, max_iters=10,
+                           block_rows=128),
+        num_partitions=8,
+        strategy=LimitGroups(4),
+        coarse_max_iters=10,
+        max_partition_size=cap,
+    )
+    assert index.partition_sizes().max() <= cap
+    # the blob needed >= ceil(400/64)=7 children, so partitions grew
+    assert index.num_partitions > 8 - 2
+    # blob self-queries come back with a blob-resident neighbour at
+    # near-zero true distance (within the blob everything is within ~0.2;
+    # the nearest non-blob cluster is >= several units away) — i.e. the
+    # split children still get probed and scanned correctly
+    index.strategy = LimitGroups(10)
+    res = index.batch_query(1, x[:16])
+    key_row = {k_: i for i, k_ in enumerate(keys)}
+    for i, r in enumerate(res):
+        true_d = float(((x[key_row[r.keys[0]]] - x[i]) ** 2).sum())
+        assert true_d < 1.0, (i, true_d)
+
+
+def test_max_partition_size_roundtrip_and_sublinear(tmp_path):
+    """A split index serializes/loads and its gathered scan agrees with the
+    masked scan."""
+    from gulon_tpu.utils.serde import load_index, save_index
+
+    rng = np.random.default_rng(3)
+    x, _, _ = planted_clusters(rng, 600, 8, 6, scale=0.3, spread=2.0)
+    keys = random_keys(rng, len(x))
+    index = build_ivf_index(
+        keys, x,
+        pq_config=PQConfig(num_clusters=16, num_quantizers=4, max_iters=10,
+                           block_rows=128),
+        num_partitions=6,
+        strategy=LimitGroups(3),
+        coarse_max_iters=10,
+        max_partition_size=80,
+    )
+    assert index.partition_sizes().max() <= 80
+    p = str(tmp_path / "split.pb")
+    save_index(index, p)
+    loaded = load_index(p)
+    q = x[:8]
+    d0, i0 = index.query_arrays(5, q)
+    dl, il = loaded.query_arrays(5, q)
+    assert np.allclose(np.asarray(d0), np.asarray(dl), atol=1e-4)
+    index.scan_strategy = "gathered"
+    dg, ig = index.query_arrays(5, q)
+    assert np.array_equal(np.asarray(i0), np.asarray(ig))
+
+
+def test_balanced_split_capacity_and_quality():
+    from gulon_tpu.models.build import _balanced_split
+
+    rng = np.random.default_rng(0)
+    xp = rng.normal(0, 1, (333, 6)).astype(np.float32)
+    assign = _balanced_split(xp, 5, 70, rng)
+    counts = np.bincount(assign, minlength=5)
+    assert counts.sum() == 333
+    assert counts.max() <= 70
