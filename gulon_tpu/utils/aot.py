@@ -129,6 +129,81 @@ def _ivf_callable(index, k: int):
     )
 
 
+def _ivf_gathered_callable(index, k: int):
+    """(traceable fn, operands) for the code-resident gathered IVF scan.
+
+    The sublinear serving path: per-query partition slices over the padded
+    ``[N + pmax, m]`` code matrix. Fully static-shaped (``num_probe`` from
+    the LimitGroups strategy, ``pmax`` from the partition layout — bound it
+    at build time with ``max_partition_size``), so it exports like any
+    other computation. LimitVectors is not exportable on this path: its
+    probe-set width is data-dependent (host-rounded per batch).
+    """
+    from gulon_tpu.models.ivf import (
+        LimitGroups,
+        _ivf_scan_gathered_codes,
+        _probe_mask_limit_groups,
+    )
+    from gulon_tpu.ops.distance import normalize_rows, sq_norms
+    from gulon_tpu.ops.pq import split_subspaces
+    from gulon_tpu.ops.topk import smallest_k
+
+    if not isinstance(index.strategy, LimitGroups):
+        raise ValueError(
+            "AOT export of scan_strategy='gathered' requires a LimitGroups "
+            "strategy (LimitVectors probe widths are data-dependent)"
+        )
+    normalized = index.metric.normalized
+    bounds, pad_width = index.pq.bounds, index.pq.pad_width
+    k_eff = min(k, index.size)
+    sizes_np = index.partition_sizes()
+    pmax = int(sizes_np.max()) if len(sizes_np) else 1
+    num_probe = min(index.strategy.count, index.num_partitions)
+    k_g = min(k_eff, num_probe * pmax)
+    starts = np.concatenate([[0], np.cumsum(sizes_np)[:-1]]).astype(np.int32)
+    precision, topk_impl, rt = (
+        index.precision, index.topk_impl, index.recall_target,
+    )
+    codes_pad, rc_pad = index._code_operands()
+
+    def fn(q, cb, codes_pad, rc_pad, starts, sizes, centroids):
+        if normalized:
+            q = normalize_rows(q)
+        cn = sq_norms(centroids)
+        ip = jnp.matmul(
+            q, centroids.T,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        group_term = cn[None, :] - 2.0 * ip
+        qn = sq_norms(q)
+        cdist = group_term + qn[:, None]
+        pm = _probe_mask_limit_groups(cdist, num_probe)
+        masked_cdist = jnp.where(pm, cdist, jnp.inf)
+        probe_d, probe_ids = smallest_k(masked_cdist, num_probe)
+        probe_ids = jnp.where(
+            jnp.isinf(probe_d), -1, probe_ids
+        ).astype(jnp.int32)
+        qs = split_subspaces(q, bounds, pad_width)
+        qs = jnp.transpose(qs, (1, 0, 2)).reshape(q.shape[0], -1)
+        dists, ids = _ivf_scan_gathered_codes(
+            qs, qn, group_term, cb, codes_pad, rc_pad, starts, sizes,
+            probe_ids, num_probe=num_probe, pmax=pmax, k=k_g,
+            precision=precision, topk_impl=topk_impl, recall_target=rt,
+        )
+        if k_g < k_eff:
+            pad = k_eff - k_g
+            dists = jnp.pad(dists, ((0, 0), (0, pad)),
+                            constant_values=jnp.inf)
+            ids = jnp.pad(ids, ((0, 0), (0, pad)), constant_values=-1)
+        return dists, ids
+
+    return fn, (
+        index.pq.codebooks, codes_pad, rc_pad, jnp.asarray(starts),
+        jnp.asarray(sizes_np), index.centroids,
+    )
+
+
 def _callable_for(index, k: int):
     from gulon_tpu.models.flat import FlatIndex
     from gulon_tpu.models.ivf import IVFIndex
@@ -136,6 +211,14 @@ def _callable_for(index, k: int):
     if isinstance(index, FlatIndex):
         return _flat_callable(index, k)
     if isinstance(index, IVFIndex):
+        if index.scan_strategy == "gathered":
+            return _ivf_gathered_callable(index, k)
+        if index.scan_strategy == "bucketed":
+            raise ValueError(
+                "scan_strategy='bucketed' plans its entry schedule host-"
+                "side per batch and cannot be AOT-exported; use 'gathered' "
+                "(sublinear, exportable) or 'masked'"
+            )
         return _ivf_callable(index, k)
     raise TypeError(f"cannot export serving for {type(index)!r}")
 

@@ -122,3 +122,46 @@ def test_aot_dimension_mismatch(tmp_path, data):
     )
     with pytest.raises(ValueError):
         load_serving(path, other)
+
+
+def test_ivf_gathered_aot_roundtrip(tmp_path, data):
+    """The sublinear (gathered, code-resident) scan exports and matches the
+    jitted gathered path exactly."""
+    import dataclasses
+
+    keys, x, q = data
+    index = build_ivf_index(
+        keys, x,
+        pq_config=PQConfig(num_clusters=16, num_quantizers=4, max_iters=8),
+        num_partitions=10,
+        strategy=LimitGroups(3),
+        max_partition_size=400,
+    )
+    index.scan_strategy = "gathered"
+    bundle = export_serving(index, shapes=[(64, 6)])
+    path = str(tmp_path / "ivfg.aot")
+    save_serving(path, bundle)
+    serving = load_serving(path, index)
+    d_ref, i_ref = index.query_arrays(6, q)
+    d_aot, i_aot = serving.query_arrays(6, q)
+    np.testing.assert_allclose(
+        np.asarray(d_aot), np.asarray(d_ref), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_array_equal(np.asarray(i_aot), np.asarray(i_ref))
+
+
+def test_ivf_gathered_aot_rejects_limitvectors_and_bucketed(data):
+    keys, x, _ = data
+    index = build_ivf_index(
+        keys, x,
+        pq_config=PQConfig(num_clusters=16, num_quantizers=4, max_iters=8),
+        num_partitions=10,
+        strategy=LimitVectors(600),
+    )
+    index.scan_strategy = "gathered"
+    with pytest.raises(ValueError, match="LimitGroups"):
+        export_serving(index, shapes=[(8, 5)])
+    index.strategy = LimitGroups(3)
+    index.scan_strategy = "bucketed"
+    with pytest.raises(ValueError, match="bucketed"):
+        export_serving(index, shapes=[(8, 5)])
