@@ -398,15 +398,29 @@ def bench_ivf1m(n=300_000, d=96, n_queries=1024, partitions=300, probe=15):
     results = index.batch_query(10, q_host)
     per_batch = time.perf_counter() - t0
 
+    # fused-kernel strategy (partition-padded block-min scan)
+    index.scan_strategy = "pallas"
+    dw, _iw = index.query_arrays(10, q_host)  # compile + warm + layout build
+    _ = np.asarray(dw[:1, :1])
+    t0 = time.perf_counter()
+    dd_p, ii_p = index.query_arrays(10, q_host)
+    _ = np.asarray(dd_p[:1, :1])
+    per_batch_pallas = time.perf_counter() - t0
+    results_pallas = index._make_results(dd_p, ii_p)
+    index.scan_strategy = "masked"
+
     # recall vs exact over raw vectors
     _, i_ex = exact_scan(q_dev, x_dev, k=10)
     i_ex = np.asarray(i_ex)
     keys_by_row = {k: i for i, k in enumerate(keys)}
     # map returned keys to original row ids via key lookup
-    rec = []
-    for qi, res in enumerate(results[:256]):
-        got = {keys_by_row[w] for w in res.keys}
-        rec.append(len(got & set(i_ex[qi])) / 10)
+    def _recall(res_list):
+        rec = []
+        for qi, res in enumerate(res_list[:256]):
+            got = {keys_by_row[w] for w in res.keys}
+            rec.append(len(got & set(i_ex[qi])) / 10)
+        return float(np.mean(rec))
+
     _emit(
         {
             "benchmark": "ivf1m",
@@ -416,7 +430,9 @@ def bench_ivf1m(n=300_000, d=96, n_queries=1024, partitions=300, probe=15):
             "batch": n_queries,
             "ms_per_batch_arrays": round(per_batch_arrays * 1e3, 1),
             "ms_per_batch_incl_host": round(per_batch * 1e3, 1),
-            "recall_at_10_vs_exact": round(float(np.mean(rec)), 4),
+            "ms_per_batch_pallas": round(per_batch_pallas * 1e3, 1),
+            "recall_at_10_pallas": round(_recall(results_pallas), 4),
+            "recall_at_10_vs_exact": round(_recall(results), 4),
             "build_s": round(build_s, 1),
             "device": str(jax.devices()[0]),
         }

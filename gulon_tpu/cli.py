@@ -149,7 +149,8 @@ def build_parser() -> argparse.ArgumentParser:
             "--scan-strategy",
             default=None,
             help="device scan strategy (flat index: auto|decode|lut|cached|"
-            "pallas; partitioned index: masked|gathered|bucketed; exact "
+            "pallas; partitioned index: masked|pallas|gathered|bucketed; "
+            "exact "
             "index: none)",
         )
         sp.add_argument(
@@ -177,7 +178,7 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 _FLAT_STRATEGIES = ("auto", "decode", "lut", "cached", "pallas")
-_IVF_STRATEGIES = ("masked", "gathered", "bucketed")
+_IVF_STRATEGIES = ("masked", "pallas", "gathered", "bucketed")
 
 
 def _load_serving_index(args, reporter):

@@ -646,6 +646,12 @@ class IVFIndex(Index):
     recall_target: float = 0.95
     # "masked" = single masked full scan (default; best when batched probes
     # jointly cover the corpus);
+    # "pallas" = the fused block-min kernel over a partition-padded row
+    #   layout: every 128-row selection block lies inside one partition, so
+    #   the per-(query, partition) term and the probe mask apply to the
+    #   [Q, N/128] block winners AFTER the in-kernel min (they are block-
+    #   constant and commute with it) — masked-scan semantics at fused-
+    #   kernel throughput, at approx_min_k-style selection granularity;
     # "gathered" = per-query partition slices — sublinear in corpus size,
     # the latency/small-batch path;
     # "bucketed" = exact partition-centric schedule: probed partitions are
@@ -663,6 +669,10 @@ class IVFIndex(Index):
     recon_norms_cache: Optional[jax.Array] = None  # [N + pad] f32
     _codes_pad: Optional[jax.Array] = None  # [N + pad, m], built lazily
     _row_const_pad: Optional[jax.Array] = None  # [N + pad] f32
+    # lazily-built partition-padded layout for the fused-kernel strategy:
+    # (codes^T [m, Np] i32, row_const [Np] f32, blk_part [NB] i32,
+    #  row_map [Np] i32) — see scan_strategy "pallas" in query_arrays
+    _pallas_layout: Optional[tuple] = None
 
     @property
     def key_index(self) -> GroupedKeyIndex:
@@ -708,6 +718,102 @@ class IVFIndex(Index):
         qs = split_subspaces(q, self.pq.bounds, self.pq.pad_width)
         return jnp.transpose(qs, (1, 0, 2)).reshape(q.shape[0], -1)
 
+    _PALLAS_PAD_SENTINEL = 2.0e38  # > _INVALID_MIN: padding never wins
+
+    def _pallas_operands(self):
+        """Partition-padded layout for the fused-kernel scan (built once).
+
+        Every partition is padded to a 128-row-block boundary so each
+        selection block belongs to exactly one partition. Padding rows get
+        a row constant above the kernel's invalid threshold, so they can
+        never win a block min.
+        """
+        if self._pallas_layout is None:
+            sizes = self.partition_sizes().astype(np.int64)
+            starts = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+            psz = -(-sizes // 128) * 128
+            pstarts = np.concatenate([[0], np.cumsum(psz)[:-1]])
+            npad = int(psz.sum())
+            m = self.pq.num_quantizers
+            gid = np.asarray(self.group_ids)
+            dst = (
+                pstarts[gid] + (np.arange(self.size) - starts[gid])
+            ).astype(np.int64)
+            codes_pal = np.zeros((npad, m), np.int32)
+            codes_pal[dst] = np.asarray(self.codes, np.int32)
+            rc_pal = np.full(npad, self._PALLAS_PAD_SENTINEL, np.float32)
+            rc_pal[dst] = np.asarray(self.row_const, np.float32)
+            row_map = np.full(npad, -1, np.int32)
+            row_map[dst] = np.arange(self.size, dtype=np.int32)
+            blk_part = np.repeat(
+                np.arange(len(sizes), dtype=np.int32), psz // 128
+            )
+            self._pallas_layout = (
+                jnp.asarray(codes_pal.T),
+                jnp.asarray(rc_pal),
+                jnp.asarray(blk_part),
+                jnp.asarray(row_map),
+                npad,
+            )
+        return self._pallas_layout
+
+    def _pallas_eligible(self, k_eff: int) -> bool:
+        return (
+            k_eff <= 128
+            and self.pq.num_clusters <= 1024
+            and self.size >= 1024
+        )
+
+    def _query_pallas(self, q, qn, group_term, probe_mask, k_eff: int):
+        """Fused-kernel masked scan (see scan_strategy comment).
+
+        The kernel block-mins ``row_const - 2<q, r^>`` per 128-row block of
+        the partition-padded layout; the block-constant group term, the
+        probe mask, and ``||q||^2`` are applied to the [Q, NB] winners, then
+        one top-k. Matches the masked scan's expanded-distance algebra at
+        approx_min_k selection granularity (one candidate per 128 rows).
+        """
+        from gulon_tpu.ops.pallas.adc import (
+            _INVALID_MIN,
+            adc_block_scan_pallas,
+        )
+
+        codes_t, rc_pal, blk_part, row_map, npad = self._pallas_operands()
+        bv, bi = adc_block_scan_pallas(
+            q,
+            self.pq.codebooks,
+            codes_t,
+            rc_pal,
+            bounds=self.pq.bounds,
+            num_rows=npad,
+            interpret=jax.default_backend() != "tpu",
+        )
+        nb = blk_part.shape[0]
+        bv, bi = bv[:, :nb], bi[:, :nb]  # kernel tile padding blocks
+        gt = jnp.take(group_term, blk_part, axis=1)  # [Q, NB]
+        pm = jnp.take(probe_mask, blk_part, axis=1)
+        valid = (bv < _INVALID_MIN) & pm
+        d = jnp.where(valid, bv + gt + qn[:, None], jnp.inf)
+        kk = min(k_eff, nb)
+        if self.topk_impl == "approx" and kk >= 32 and nb >= 4 * kk:
+            best, pos = jax.lax.approx_min_k(
+                d, kk, recall_target=self.recall_target
+            )
+            pos = pos.astype(jnp.int32)
+        else:
+            best, pos = smallest_k(d, kk)
+        win_rows = jnp.take_along_axis(bi, pos, axis=1)
+        ids = jnp.where(
+            jnp.isinf(best), -1, jnp.take(row_map, win_rows)
+        )
+        best = jnp.where(jnp.isinf(best), jnp.inf, best)
+        if kk < k_eff:
+            pad = k_eff - kk
+            best = jnp.pad(best, ((0, 0), (0, pad)),
+                           constant_values=jnp.inf)
+            ids = jnp.pad(ids, ((0, 0), (0, pad)), constant_values=-1)
+        return best, ids
+
     def query_arrays(self, k: int, vectors):
         q = jnp.asarray(vectors, jnp.float32)
         if q.ndim != 2 or q.shape[1] != self.dimension:
@@ -741,6 +847,8 @@ class IVFIndex(Index):
             raise ValueError(f"unknown strategy {self.strategy!r}")
 
         k_eff = min(k, self.size)
+        if self.scan_strategy == "pallas" and self._pallas_eligible(k_eff):
+            return self._query_pallas(q, qn, group_term, probe_mask, k_eff)
         if self.scan_strategy in ("gathered", "bucketed"):
             use_cache = self.recon_cache is not None
             sizes_np = self.partition_sizes()
@@ -857,10 +965,13 @@ class IVFIndex(Index):
                                 constant_values=jnp.inf)
                 ids = jnp.pad(ids, ((0, 0), (0, pad)), constant_values=-1)
             return dists, ids
-        if self.scan_strategy != "masked":
+        if self.scan_strategy not in ("masked", "pallas"):
+            # "pallas" lands here when the kernel envelope doesn't fit
+            # (tiny corpus / k > 128 / K > 1024): the masked scan is
+            # semantically identical
             raise ValueError(
                 f"unknown ivf scan strategy {self.scan_strategy!r} "
-                "(expected masked|gathered|bucketed)"
+                "(expected masked|pallas|gathered|bucketed)"
             )
         dists, ids = _ivf_scan(
             q,

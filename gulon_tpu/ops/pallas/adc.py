@@ -167,28 +167,23 @@ def _adc_fused_kernel(
     ids_ref[:] = rt_idx * t + blk_base * _LANES + lane
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "bounds", "k", "tile_rows", "interpret", "num_rows", "rescore",
-    ),
-)
-def adc_scan_pallas(
-    queries: jax.Array,  # [Q, D] f32
-    codebooks: jax.Array,  # [m, K, dsub] f32 (zero-padded subspaces)
-    codes: jax.Array,  # [N, m] uint — or pretransposed [m, N] i32 when
-    #                    num_rows is given (the relayout is query-invariant;
-    #                    callers can cache it, see FlatIndex)
-    recon_norms: jax.Array,  # [N] f32
+def _block_scan(
+    queries: jax.Array,
+    codebooks: jax.Array,
+    codes: jax.Array,
+    recon_norms: jax.Array,
     *,
     bounds,
-    k: int,
-    tile_rows: int = 0,  # 0 = auto
-    interpret: bool = False,
-    num_rows: int = 0,  # >0: codes is pretransposed [m, num_rows] i32
-    rescore: bool = False,  # exact f32 LUT rescore of the k winners
-) -> Tuple[jax.Array, jax.Array]:
-    """Fused-kernel ADC scan. Returns ([Q, k] dists asc, [Q, k] ids)."""
+    tile_rows: int,
+    interpret: bool,
+    num_rows: int,
+):
+    """Launch the fused kernel; returns per-128-row-block winners.
+
+    ``(winners_v [Q, NB], winners_i [Q, NB], qs, codes_t, pretransposed)``
+    where winner values are ``recon_norms[row] - 2<q, dec(row)>`` (no
+    ``||q||^2`` term) and values ``>= _INVALID_MIN`` mark padding blocks.
+    """
     num_q, _ = queries.shape
     m, k_codes, dsub = codebooks.shape
     pretransposed = num_rows > 0
@@ -196,16 +191,6 @@ def adc_scan_pallas(
     if k_codes > 1024:
         raise ValueError(
             f"pallas ADC kernel supports K <= 1024, got {k_codes}"
-        )
-    if k > _LANES:
-        raise ValueError(f"pallas ADC kernel supports k <= 128, got {k}")
-    kk = min(k, n)
-    # block-min selection yields one winner per 128-row block; the corpus
-    # must span comfortably more blocks than k or winners are lost
-    if n < 256 * kk:
-        raise ValueError(
-            f"pallas ADC kernel needs corpus >= 256*k rows (n={n}, k={kk}); "
-            "use the XLA scan for small corpora"
         )
 
     mdp = _round_up(m * dsub, 8)  # sublane-aligned dec^T leading dim
@@ -284,10 +269,84 @@ def adc_scan_pallas(
         jnp.transpose(codebooks, (0, 2, 1)).astype(jnp.bfloat16),
     )
 
+    return block_v.T[:num_q], block_i.T[:num_q], qs, codes_t, pretransposed
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("bounds", "tile_rows", "interpret", "num_rows"),
+)
+def adc_block_scan_pallas(
+    queries: jax.Array,  # [Q, D] f32
+    codebooks: jax.Array,  # [m, K, dsub] f32
+    codes: jax.Array,  # [N, m] uint, or [m, N] i32 when num_rows is given
+    recon_norms: jax.Array,  # [N] f32 (the per-row additive constant)
+    *,
+    bounds,
+    tile_rows: int = 0,
+    interpret: bool = False,
+    num_rows: int = 0,
+) -> Tuple[jax.Array, jax.Array]:
+    """Raw fused-kernel block winners for custom epilogues.
+
+    Returns ``([Q, NB] values, [Q, NB] row ids)``: per 128-row block, the
+    min of ``recon_norms[row] - 2<q, dec(row)>`` and its row. Values
+    ``>= _INVALID_MIN`` are padding. Used by the IVF pallas strategy, whose
+    per-(query, partition) term is block-constant under a partition-padded
+    row layout and therefore commutes with the in-kernel block min.
+    """
+    wv, wi, _, _, _ = _block_scan(
+        queries, codebooks, codes, recon_norms,
+        bounds=bounds, tile_rows=tile_rows, interpret=interpret,
+        num_rows=num_rows,
+    )
+    return wv, wi
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "bounds", "k", "tile_rows", "interpret", "num_rows", "rescore",
+    ),
+)
+def adc_scan_pallas(
+    queries: jax.Array,  # [Q, D] f32
+    codebooks: jax.Array,  # [m, K, dsub] f32 (zero-padded subspaces)
+    codes: jax.Array,  # [N, m] uint — or pretransposed [m, N] i32 when
+    #                    num_rows is given (the relayout is query-invariant;
+    #                    callers can cache it, see FlatIndex)
+    recon_norms: jax.Array,  # [N] f32
+    *,
+    bounds,
+    k: int,
+    tile_rows: int = 0,  # 0 = auto
+    interpret: bool = False,
+    num_rows: int = 0,  # >0: codes is pretransposed [m, num_rows] i32
+    rescore: bool = False,  # exact f32 LUT rescore of the k winners
+) -> Tuple[jax.Array, jax.Array]:
+    """Fused-kernel ADC scan. Returns ([Q, k] dists asc, [Q, k] ids)."""
+    num_q, _ = queries.shape
+    m, k_codes, dsub = codebooks.shape
+    n = num_rows if num_rows > 0 else codes.shape[0]
+    if k > _LANES:
+        raise ValueError(f"pallas ADC kernel supports k <= 128, got {k}")
+    kk = min(k, n)
+    # block-min selection yields one winner per 128-row block; the corpus
+    # must span comfortably more blocks than k or winners are lost
+    if n < 256 * kk:
+        raise ValueError(
+            f"pallas ADC kernel needs corpus >= 256*k rows (n={n}, k={kk}); "
+            "use the XLA scan for small corpora"
+        )
+    winners_v, winners_i, qs, codes_t, pretransposed = _block_scan(
+        queries, codebooks, codes, recon_norms,
+        bounds=bounds, tile_rows=tile_rows, interpret=interpret,
+        num_rows=num_rows,
+    )
+
     # XLA epilogue over the N/128 block winners: exact top-k for small k;
     # for over-fetch calls (k >= 32, caller rescores exactly afterwards)
     # the hardware PartialReduce is ~10x cheaper and only coverage matters
-    winners_v, winners_i = block_v.T[:num_q], block_i.T[:num_q]
     if kk >= 32 and winners_v.shape[1] >= 4 * kk:
         best_v, pos = jax.lax.approx_min_k(
             winners_v, kk, recall_target=0.95

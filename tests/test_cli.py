@@ -173,11 +173,14 @@ def test_ivf_strategy_flags_and_mesh(corpus_file, tmp_path, capsys):
     base = lines([])
     assert lines(["--scan-strategy", "bucketed"]) == base
     assert lines(["--scan-strategy", "gathered"]) == base
+    # pallas is valid for IVF too; this tiny corpus is below the kernel
+    # envelope so it serves via the identical masked fallback
+    assert lines(["--scan-strategy", "pallas"]) == base
     assert lines(["--mesh", "4"]) == base
     assert lines(["--scan-strategy", "bucketed", "--mesh", "4"]) == base
     # flat-only strategy rejected for an IVF index
     assert _run([
-        "query", "-k", "3", "--index", idx, "--scan-strategy", "pallas",
+        "query", "-k", "3", "--index", idx, "--scan-strategy", "lut",
         qfile,
     ]) == 1
 
