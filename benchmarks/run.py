@@ -138,6 +138,7 @@ def bench_exact(n, d, n_queries, name):
     import jax
     import jax.numpy as jnp
 
+    from gulon_tpu.ops.distance import sq_norms
     from gulon_tpu.ops.scan import exact_scan
 
     rng = np.random.default_rng(0)
@@ -145,18 +146,46 @@ def bench_exact(n, d, n_queries, name):
     q_idx = np.sort(rng.choice(n, n_queries * 4, replace=False))
     q_dev = jnp.take(x_dev, jnp.asarray(q_idx), axis=0)
 
-    def run(i):
-        qb = jax.lax.dynamic_slice_in_dim(q_dev, (i % 4) * n_queries, n_queries, 0)
-        return exact_scan(
-            qb, x_dev, k=10, precision="default", topk_impl="approx"
+    # serving path (ExactIndex auto on TPU): fused dense kernel over a
+    # pretransposed bf16 operand + exact f32 rescore of 4k block winners
+    use_pallas = jax.default_backend() == "tpu" and n >= 256 * 10
+    if use_pallas:
+        from gulon_tpu.ops.pallas.dense import (
+            dense_scan_pallas, prepare_data_t,
         )
+
+        dp = -(-d // 8) * 8
+        data_t = jnp.pad(x_dev.T, ((0, dp - d), (0, 0))).astype(jnp.bfloat16)
+        xn = sq_norms(x_dev)
+
+        def run(i):
+            qb = jax.lax.dynamic_slice_in_dim(
+                q_dev, (i % 4) * n_queries, n_queries, 0
+            )
+            return dense_scan_pallas(
+                qb, data_t, xn, k=10, rescore_rows=x_dev, rescore=4
+            )
+
+    else:
+
+        def run(i):
+            qb = jax.lax.dynamic_slice_in_dim(
+                q_dev, (i % 4) * n_queries, n_queries, 0
+            )
+            return exact_scan(
+                qb, x_dev, k=10, precision="default", topk_impl="approx"
+            )
 
     per_batch = time_direct(run)
     _emit(
         {
             "benchmark": name,
             "corpus": f"{n}x{d}",
-            "mode": "exact brute force (matmul + top-k)",
+            "mode": (
+                "exact brute force (fused dense kernel + f32 rescore)"
+                if use_pallas
+                else "exact brute force (matmul + top-k)"
+            ),
             "batch": n_queries,
             "us_per_query": round(per_batch / n_queries * 1e6, 3),
             "qps_per_chip": round(n_queries / per_batch, 1),

@@ -23,7 +23,7 @@ from gulon_tpu.models.index import Index, Result
 from gulon_tpu.models.keyindex import SortedKeyIndex
 from gulon_tpu.models.metric import Metric
 from gulon_tpu.ops import scan as scan_ops
-from gulon_tpu.ops.distance import normalize_rows
+from gulon_tpu.ops.distance import normalize_rows, sq_norms
 
 
 @dataclasses.dataclass
@@ -35,6 +35,12 @@ class ExactIndex(Index):
     precision: str = "default"
     topk_impl: str = "approx"
     recall_target: float = 0.95
+    # "auto" (default): fused dense kernel on TPU within its envelope
+    # (bf16-scored block winners + exact f32 rescore of 4k candidates),
+    # XLA exact_scan otherwise; "xla"/"pallas" force a path.
+    scan_strategy: str = "auto"
+    rescore_factor: int = 4
+    _data_t: Optional[jax.Array] = None  # lazy [Dp, N] bf16 for the kernel
 
     @property
     def key_index(self) -> SortedKeyIndex:
@@ -60,10 +66,44 @@ class ExactIndex(Index):
             )
         if self.metric.normalized:
             q = normalize_rows(q)
+        k_eff = min(k, self.size)
+        strategy = self.scan_strategy
+        if strategy == "auto":
+            strategy = (
+                "pallas"
+                if (
+                    jax.default_backend() == "tpu"
+                    and k_eff <= 128
+                    and self.size >= 256 * k_eff
+                )
+                else "xla"
+            )
+        if strategy == "pallas":
+            from gulon_tpu.ops.pallas.dense import (
+                dense_scan_pallas,
+                prepare_data_t,
+            )
+
+            if self._data_t is None:
+                self._data_t = prepare_data_t(self.vectors)
+            return dense_scan_pallas(
+                q,
+                self._data_t,
+                sq_norms(self.vectors),
+                k=k_eff,
+                interpret=jax.default_backend() != "tpu",
+                rescore_rows=self.vectors,
+                rescore=self.rescore_factor,
+            )
+        if strategy != "xla":
+            raise ValueError(
+                f"unknown exact scan strategy {self.scan_strategy!r} "
+                "(expected auto|xla|pallas)"
+            )
         dists, ids = scan_ops.exact_scan(
             q,
             self.vectors,
-            k=min(k, self.size),
+            k=k_eff,
             tile_rows=self.tile_rows,
             precision=self.precision,
             topk_impl=self.topk_impl,

@@ -143,3 +143,54 @@ def test_pallas_value_knobs_agree(setup):
     d2 = np.asarray(d2)
     mask = np.isfinite(d2)
     np.testing.assert_allclose(d2[mask], exact[mask], rtol=1e-4, atol=1e-4)
+
+
+def test_dense_scan_matches_exact():
+    """Dense fused kernel (interpret) + f32 rescore == XLA exact scan."""
+    from gulon_tpu.ops.pallas.dense import dense_scan_pallas, prepare_data_t
+    from gulon_tpu.ops.distance import sq_norms
+    from gulon_tpu.ops.scan import exact_scan
+
+    rng = np.random.default_rng(5)
+    n, d, k = 65536, 24, 8
+    x = jnp.asarray(rng.normal(0, 1, (n, d)).astype(np.float32))
+    q = jnp.asarray(rng.normal(0, 1, (40, d)).astype(np.float32))
+    dt = prepare_data_t(x)
+    d_k, i_k = dense_scan_pallas(
+        q, dt, sq_norms(x), k=k, interpret=True,
+        rescore_rows=x, rescore=4, tile_rows=1024,
+    )
+    d_e, i_e = exact_scan(q, x, k=k, precision="highest", topk_impl="exact")
+    i_k, i_e = np.asarray(i_k), np.asarray(i_e)
+    overlap = np.mean(
+        [len(set(i_k[j]) & set(i_e[j])) / k for j in range(len(q))]
+    )
+    assert overlap >= 0.95, overlap
+    # rescored distances are exact f32
+    agree = i_k == i_e
+    np.testing.assert_allclose(
+        np.asarray(d_k)[agree], np.asarray(d_e)[agree], rtol=1e-4, atol=1e-4
+    )
+    # top-1 is guaranteed (the block winner of the true min's block)
+    assert np.array_equal(i_k[:, 0], i_e[:, 0])
+
+
+def test_exact_index_pallas_strategy():
+    """ExactIndex scan_strategy='pallas' returns the XLA path's results."""
+    from gulon_tpu.models.exact import build_exact_index
+
+    rng = np.random.default_rng(6)
+    n, d = 4096, 16
+    x = rng.normal(0, 1, (n, d)).astype(np.float32)
+    keys = np.array([f"k{i:06d}" for i in range(n)], dtype=object)
+    index = build_exact_index(keys, x)
+    index.topk_impl = "exact"
+    d_x, i_x = index.query_arrays(5, x[:16])
+    index.scan_strategy = "pallas"
+    d_p, i_p = index.query_arrays(5, x[:16])
+    assert np.array_equal(np.asarray(i_x)[:, 0], np.asarray(i_p)[:, 0])
+    overlap = np.mean([
+        len(set(np.asarray(i_x)[j]) & set(np.asarray(i_p)[j])) / 5
+        for j in range(16)
+    ])
+    assert overlap >= 0.95, overlap
