@@ -204,10 +204,60 @@ def _ivf_gathered_callable(index, k: int):
     )
 
 
+def _exact_callable(index, k: int):
+    """(traceable fn, operands) for an ExactIndex query at ``k``."""
+    from gulon_tpu.ops import scan as scan_ops
+    from gulon_tpu.ops.distance import normalize_rows, sq_norms
+
+    normalized = index.metric.normalized
+    k_eff = min(k, index.size)
+    use_pallas = (
+        jax.default_backend() == "tpu"
+        and index.scan_strategy in ("auto", "pallas")
+        and k_eff <= 128
+        and index.size >= 256 * k_eff
+    )
+    if use_pallas:
+        from gulon_tpu.ops.pallas.dense import (
+            dense_scan_pallas,
+            prepare_data_t,
+        )
+
+        if index._data_t is None:
+            index._data_t = prepare_data_t(index.vectors)
+        rescore = index.rescore_factor
+
+        def fn(q, data_t, norms, rows):
+            if normalized:
+                q = normalize_rows(q)
+            return dense_scan_pallas(
+                q, data_t, norms, k=k_eff,
+                rescore_rows=rows, rescore=rescore,
+            )
+
+        return fn, (index._data_t, sq_norms(index.vectors), index.vectors)
+
+    tile_rows, precision = index.tile_rows, index.precision
+    topk_impl, rt = index.topk_impl, index.recall_target
+
+    def fn(q, rows):
+        if normalized:
+            q = normalize_rows(q)
+        return scan_ops.exact_scan(
+            q, rows, k=k_eff, tile_rows=tile_rows, precision=precision,
+            topk_impl=topk_impl, recall_target=rt,
+        )
+
+    return fn, (index.vectors,)
+
+
 def _callable_for(index, k: int):
+    from gulon_tpu.models.exact import ExactIndex
     from gulon_tpu.models.flat import FlatIndex
     from gulon_tpu.models.ivf import IVFIndex
 
+    if isinstance(index, ExactIndex):
+        return _exact_callable(index, k)
     if isinstance(index, FlatIndex):
         return _flat_callable(index, k)
     if isinstance(index, IVFIndex):

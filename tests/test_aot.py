@@ -165,3 +165,22 @@ def test_ivf_gathered_aot_rejects_limitvectors_and_bucketed(data):
     index.scan_strategy = "bucketed"
     with pytest.raises(ValueError, match="bucketed"):
         export_serving(index, shapes=[(8, 5)])
+
+
+def test_exact_aot_roundtrip(tmp_path, data):
+    """ExactIndex exports and the artifact matches the jitted path."""
+    from gulon_tpu.models.exact import build_exact_index
+
+    keys, x, q = data
+    index = build_exact_index(keys, x)
+    index.topk_impl = "exact"
+    bundle = export_serving(index, shapes=[(64, 5)])
+    path = str(tmp_path / "exact.aot")
+    save_serving(path, bundle)
+    serving = load_serving(path, index)
+    d_ref, i_ref = index.query_arrays(5, q)
+    d_aot, i_aot = serving.query_arrays(5, q)
+    np.testing.assert_allclose(
+        np.asarray(d_aot), np.asarray(d_ref), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_array_equal(np.asarray(i_aot), np.asarray(i_ref))
