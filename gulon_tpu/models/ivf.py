@@ -630,6 +630,97 @@ def _ivf_scan_gathered_codes(
     return dists, ids
 
 
+@functools.partial(jax.jit, static_argnames=("kind", "count"))
+def _rank_and_probe(q, centroids, sizes, *, kind: str, count: int):
+    """Centroid ranking (``exactNearestNeighbours`` over centroids,
+    ``Index.scala:285-299``) + probe-mask construction, fused into one
+    computation: (group_term [Q, P], qn [Q], cdist [Q, P], mask [Q, P])."""
+    cn = sq_norms(centroids)
+    qc_ip = jnp.matmul(
+        q,
+        centroids.T,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    group_term = cn[None, :] - 2.0 * qc_ip
+    qn = sq_norms(q)
+    cdist = group_term + qn[:, None]
+    if kind == "groups":
+        pm = _probe_mask_limit_groups(cdist, count)
+    else:
+        pm = _probe_mask_limit_vectors(cdist, sizes, count)
+    return group_term, qn, cdist, pm
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "bounds", "num_rows", "k", "topk_impl", "recall_target", "interpret",
+    ),
+)
+def _pallas_ivf_query(
+    q: jax.Array,            # [Q, D] f32 (already metric-normalized)
+    qn: jax.Array,           # [Q] f32 ||q||^2
+    group_term: jax.Array,   # [Q, P] f32
+    probe_mask: jax.Array,   # [Q, P] bool
+    codebooks: jax.Array,
+    codes_t: jax.Array,      # [m, Np] i32 partition-padded, pretransposed
+    rc_pal: jax.Array,       # [Np] f32 (sentinel > _INVALID_MIN on padding)
+    col_part: jax.Array,     # [NW] i32 partition of each winner COLUMN
+    row_map: jax.Array,      # [Np] i32 padded row -> original row (-1 pad)
+    *,
+    bounds,
+    num_rows: int,
+    k: int,
+    topk_impl: str,
+    recall_target: float,
+    interpret: bool,
+):
+    """Kernel + epilogue of the IVF ``pallas`` strategy as ONE computation.
+
+    The kernel emits two (value, row) candidates per 128-row block of the
+    partition-padded layout (``winners=2``: losing a true top-k member
+    needs three of them in one block). Each winner *column* belongs to a
+    fixed block — and hence partition — of the static layout
+    (``col_part``), so the block-constant group term and probe mask apply
+    after the in-kernel min via shared-index column gathers.
+    """
+    from gulon_tpu.ops.pallas.adc import (
+        _INVALID_MIN,
+        adc_block_scan_pallas,
+    )
+
+    bv, bi = adc_block_scan_pallas(
+        q, codebooks, codes_t, rc_pal,
+        bounds=bounds, num_rows=num_rows, winners=2, interpret=interpret,
+    )
+    # winner column -> partition via the STATIC col_part vector (shared
+    # across queries): a single-index-vector column gather lowers well on
+    # TPU, where per-element take_along_axis gathers do not
+    gt = jnp.take(group_term, col_part, axis=1)  # [Q, NW]
+    pm = jnp.take(probe_mask, col_part, axis=1)
+    valid = (bv < _INVALID_MIN) & pm
+    d = jnp.where(valid, bv + gt + qn[:, None], jnp.inf)
+    kk = min(k, d.shape[1])
+    if topk_impl == "approx" and kk >= 32 and d.shape[1] >= 4 * kk:
+        best, pos = jax.lax.approx_min_k(
+            d, kk, recall_target=recall_target
+        )
+        pos = pos.astype(jnp.int32)
+    else:
+        best, pos = smallest_k(d, kk)
+    win_rows = jnp.take_along_axis(bi, pos, axis=1)
+    ids = jnp.where(jnp.isinf(best), -1, jnp.take(row_map, win_rows))
+    if kk < k:
+        pad = k - kk
+        best = jnp.pad(best, ((0, 0), (0, pad)), constant_values=jnp.inf)
+        ids = jnp.pad(ids, ((0, 0), (0, pad)), constant_values=-1)
+    return best, ids
+
+
+_PALLAS_BLOCK = 128
+
+
 @dataclasses.dataclass
 class IVFIndex(Index):
     _key_index: GroupedKeyIndex
@@ -673,6 +764,7 @@ class IVFIndex(Index):
     # (codes^T [m, Np] i32, row_const [Np] f32, blk_part [NB] i32,
     #  row_map [Np] i32) — see scan_strategy "pallas" in query_arrays
     _pallas_layout: Optional[tuple] = None
+    _sizes_dev: Optional[jax.Array] = None  # partition_sizes() on device
 
     @property
     def key_index(self) -> GroupedKeyIndex:
@@ -751,7 +843,7 @@ class IVFIndex(Index):
             self._pallas_layout = (
                 jnp.asarray(codes_pal.T),
                 jnp.asarray(rc_pal),
-                jnp.asarray(blk_part),
+                blk_part,  # host-side: the col_part map is built per (Q, k)
                 jnp.asarray(row_map),
                 npad,
             )
@@ -767,52 +859,38 @@ class IVFIndex(Index):
     def _query_pallas(self, q, qn, group_term, probe_mask, k_eff: int):
         """Fused-kernel masked scan (see scan_strategy comment).
 
-        The kernel block-mins ``row_const - 2<q, r^>`` per 128-row block of
-        the partition-padded layout; the block-constant group term, the
-        probe mask, and ``||q||^2`` are applied to the [Q, NB] winners, then
-        one top-k. Matches the masked scan's expanded-distance algebra at
-        approx_min_k selection granularity (one candidate per 128 rows).
+        One jitted computation (``_pallas_ivf_epilogue`` fused around the
+        kernel call): chaining the epilogue as eager ops would pay ~10
+        device dispatches per query batch — through a remote-TPU tunnel
+        that dwarfs the 1.5 ms of actual compute.
         """
-        from gulon_tpu.ops.pallas.adc import (
-            _INVALID_MIN,
-            adc_block_scan_pallas,
-        )
+        from gulon_tpu.ops.pallas.adc import block_layout
 
         codes_t, rc_pal, blk_part, row_map, npad = self._pallas_operands()
-        bv, bi = adc_block_scan_pallas(
-            q,
-            self.pq.codebooks,
-            codes_t,
-            rc_pal,
+        # static winner-column -> partition map for this (Q, layout):
+        # per row tile r the kernel writes winners*nblk columns, the two
+        # winner ranks of block r*nblk+j at columns r*W + j and
+        # r*W + nblk + j (W = winners*nblk)
+        m = self.pq.num_quantizers
+        mdp = -(-m * self.pq.pad_width // 8) * 8
+        _, _, n_rt, nblk = block_layout(
+            q.shape[0], self.pq.num_clusters, mdp, npad
+        )
+        nb = len(blk_part)
+        col = np.arange(n_rt * 2 * nblk, dtype=np.int64)
+        col_blk = (col // (2 * nblk)) * nblk + (col % (2 * nblk)) % nblk
+        col_part = blk_part[np.minimum(col_blk, nb - 1)].astype(np.int32)
+        return _pallas_ivf_query(
+            q, qn, group_term, probe_mask,
+            self.pq.codebooks, codes_t, rc_pal, jnp.asarray(col_part),
+            row_map,
             bounds=self.pq.bounds,
             num_rows=npad,
+            k=k_eff,
+            topk_impl=self.topk_impl,
+            recall_target=self.recall_target,
             interpret=jax.default_backend() != "tpu",
         )
-        nb = blk_part.shape[0]
-        bv, bi = bv[:, :nb], bi[:, :nb]  # kernel tile padding blocks
-        gt = jnp.take(group_term, blk_part, axis=1)  # [Q, NB]
-        pm = jnp.take(probe_mask, blk_part, axis=1)
-        valid = (bv < _INVALID_MIN) & pm
-        d = jnp.where(valid, bv + gt + qn[:, None], jnp.inf)
-        kk = min(k_eff, nb)
-        if self.topk_impl == "approx" and kk >= 32 and nb >= 4 * kk:
-            best, pos = jax.lax.approx_min_k(
-                d, kk, recall_target=self.recall_target
-            )
-            pos = pos.astype(jnp.int32)
-        else:
-            best, pos = smallest_k(d, kk)
-        win_rows = jnp.take_along_axis(bi, pos, axis=1)
-        ids = jnp.where(
-            jnp.isinf(best), -1, jnp.take(row_map, win_rows)
-        )
-        best = jnp.where(jnp.isinf(best), jnp.inf, best)
-        if kk < k_eff:
-            pad = k_eff - kk
-            best = jnp.pad(best, ((0, 0), (0, pad)),
-                           constant_values=jnp.inf)
-            ids = jnp.pad(ids, ((0, 0), (0, pad)), constant_values=-1)
-        return best, ids
 
     def query_arrays(self, k: int, vectors):
         q = jnp.asarray(vectors, jnp.float32)
@@ -823,28 +901,21 @@ class IVFIndex(Index):
         if self.metric.normalized:
             q = normalize_rows(q)  # Index.scala:268-269
 
-        # Rank coarse centroids: exactNearestNeighbours over centroids
-        # (Index.scala:285-299), batched as one matmul.
-        cn = sq_norms(self.centroids)
-        qc_ip = jnp.matmul(
-            q,
-            self.centroids.T,
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        group_term = cn[None, :] - 2.0 * qc_ip  # [Q, P]
-        qn = sq_norms(q)
-        cdist = group_term + qn[:, None]
-
+        # Rank coarse centroids + build the probe mask in ONE jitted
+        # computation (eager chaining costs a device dispatch per op —
+        # material through a remote-device transport).
         if isinstance(self.strategy, LimitGroups):
-            probe_mask = _probe_mask_limit_groups(cdist, self.strategy.count)
+            kind = "groups"
         elif isinstance(self.strategy, LimitVectors):
-            sizes = jnp.asarray(self.partition_sizes())
-            probe_mask = _probe_mask_limit_vectors(
-                cdist, sizes, self.strategy.count
-            )
+            kind = "vectors"
         else:
             raise ValueError(f"unknown strategy {self.strategy!r}")
+        if self._sizes_dev is None:
+            self._sizes_dev = jnp.asarray(self.partition_sizes())
+        group_term, qn, cdist, probe_mask = _rank_and_probe(
+            q, self.centroids, self._sizes_dev,
+            kind=kind, count=self.strategy.count,
+        )
 
         k_eff = min(k, self.size)
         if self.scan_strategy == "pallas" and self._pallas_eligible(k_eff):

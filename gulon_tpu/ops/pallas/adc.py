@@ -101,6 +101,20 @@ def _pick_tiles(num_q: int, k_codes: int, mdp: int) -> Tuple[int, int]:
     return qt, 1024
 
 
+def block_layout(
+    num_q: int, k_codes: int, mdp: int, n: int, tile_rows: int = 0
+) -> Tuple[int, int, int, int]:
+    """(qt, t, n_rt, nblk) the kernel will use — for callers that need the
+    winner-column layout (e.g. the IVF epilogue's column->block map)."""
+    qt, t = _pick_tiles(num_q, k_codes, mdp)
+    if tile_rows:
+        t = tile_rows
+    if n < t:
+        t = _round_up(n, 1024)
+    n_pad = _round_up(n, t)
+    return qt, t, n_pad // t, t // _LANES
+
+
 def _adc_fused_kernel(
     codes_ref,   # [m, T] i32 block (transposed: rows on lanes)
     norms_ref,   # [T, 1] f32 block
@@ -114,6 +128,7 @@ def _adc_fused_kernel(
     k_codes: int,
     dsub: int,
     tile_rows: int,
+    winners: int = 1,
 ):
     t = tile_rows
     qt = q_ref.shape[0]
@@ -163,8 +178,22 @@ def _adc_fused_kernel(
     cand = jnp.where(s3 == vmin[:, None, :], row_iota, jnp.int32(_LANES))
     lane = jnp.min(cand, axis=1)  # [NB, QT]
     blk_base = jax.lax.broadcasted_iota(jnp.int32, (nblk, qt), 0)
-    vals_ref[:] = vmin
-    ids_ref[:] = rt_idx * t + blk_base * _LANES + lane
+    vals_ref[:nblk] = vmin
+    ids_ref[:nblk] = rt_idx * t + blk_base * _LANES + lane
+    if winners == 2:
+        # runner-up per block: mask the winner's row, min again. Halves
+        # the probability of losing a true top-k member to a block
+        # collision (needs THREE members in one 128-row block).
+        s3b = jnp.where(row_iota == lane[:, None, :], _BIG, s3)
+        vmin2 = jnp.min(s3b, axis=1)
+        cand2 = jnp.where(
+            s3b == vmin2[:, None, :], row_iota, jnp.int32(_LANES)
+        )
+        lane2 = jnp.min(cand2, axis=1)
+        vals_ref[nblk:] = vmin2
+        ids_ref[nblk:] = rt_idx * t + blk_base * _LANES + jnp.minimum(
+            lane2, _LANES - 1
+        )
 
 
 def _block_scan(
@@ -177,6 +206,7 @@ def _block_scan(
     tile_rows: int,
     interpret: bool,
     num_rows: int,
+    winners: int = 1,
 ):
     """Launch the fused kernel; returns per-128-row-block winners.
 
@@ -194,15 +224,11 @@ def _block_scan(
         )
 
     mdp = _round_up(m * dsub, 8)  # sublane-aligned dec^T leading dim
-    qt, t = _pick_tiles(num_q, k_codes, mdp)
-    if tile_rows:
-        if tile_rows % 1024:
-            raise ValueError(
-                f"tile_rows must be a 1024-multiple, got {tile_rows}"
-            )
-        t = tile_rows
-    if n < t:  # small corpus: one tile, rounded up to the block multiple
-        t = _round_up(n, 1024)
+    if tile_rows and tile_rows % 1024:
+        raise ValueError(
+            f"tile_rows must be a 1024-multiple, got {tile_rows}"
+        )
+    qt, t, _, _ = block_layout(num_q, k_codes, mdp, n, tile_rows)
 
     # queries in the padded subspace layout, zero-padded to match dec^T
     qs = split_subspaces(queries, bounds, dsub)
@@ -236,6 +262,7 @@ def _block_scan(
 
     kernel = functools.partial(
         _adc_fused_kernel, m=m, k_codes=k_codes, dsub=dsub, tile_rows=t,
+        winners=winners,
     )
     block_v, block_i = pl.pallas_call(
         kernel,
@@ -250,15 +277,21 @@ def _block_scan(
         ],
         out_specs=(
             pl.BlockSpec(
-                (nblk, qt), lambda r, q: (r, q), memory_space=pltpu.VMEM
+                (winners * nblk, qt), lambda r, q: (r, q),
+                memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (nblk, qt), lambda r, q: (r, q), memory_space=pltpu.VMEM
+                (winners * nblk, qt), lambda r, q: (r, q),
+                memory_space=pltpu.VMEM,
             ),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((n_rt * nblk, q_pad.shape[0]), jnp.float32),
-            jax.ShapeDtypeStruct((n_rt * nblk, q_pad.shape[0]), jnp.int32),
+            jax.ShapeDtypeStruct(
+                (n_rt * winners * nblk, q_pad.shape[0]), jnp.float32
+            ),
+            jax.ShapeDtypeStruct(
+                (n_rt * winners * nblk, q_pad.shape[0]), jnp.int32
+            ),
         ),
         scratch_shapes=[pltpu.VMEM((mdp, t), jnp.bfloat16)],
         interpret=interpret,
@@ -274,7 +307,9 @@ def _block_scan(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("bounds", "tile_rows", "interpret", "num_rows"),
+    static_argnames=(
+        "bounds", "tile_rows", "interpret", "num_rows", "winners",
+    ),
 )
 def adc_block_scan_pallas(
     queries: jax.Array,  # [Q, D] f32
@@ -286,6 +321,7 @@ def adc_block_scan_pallas(
     tile_rows: int = 0,
     interpret: bool = False,
     num_rows: int = 0,
+    winners: int = 1,  # 1 or 2 candidates per 128-row block
 ) -> Tuple[jax.Array, jax.Array]:
     """Raw fused-kernel block winners for custom epilogues.
 
@@ -295,10 +331,12 @@ def adc_block_scan_pallas(
     per-(query, partition) term is block-constant under a partition-padded
     row layout and therefore commutes with the in-kernel block min.
     """
+    if winners not in (1, 2):
+        raise ValueError(f"winners must be 1 or 2, got {winners}")
     wv, wi, _, _, _ = _block_scan(
         queries, codebooks, codes, recon_norms,
         bounds=bounds, tile_rows=tile_rows, interpret=interpret,
-        num_rows=num_rows,
+        num_rows=num_rows, winners=winners,
     )
     return wv, wi
 
