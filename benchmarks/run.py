@@ -412,12 +412,14 @@ def bench_ivf1m(n=300_000, d=96, n_queries=1024, partitions=300, probe=15):
     build_s = time.monotonic() - t0
 
     # device path (what the CLI/eval now use): query_arrays returns raw
-    # (dists, ids) arrays with no host Result assembly
+    # (dists, ids) arrays with no host Result assembly. Queries stay
+    # device-resident: a 1024x96 f32 upload costs ~35 ms through the
+    # ~11 MB/s tunnel and would swamp every scan number below.
     q_host = np.asarray(q_dev)
-    dw, _iw = index.query_arrays(10, q_host)  # compile + warm
+    dw, _iw = index.query_arrays(10, q_dev)  # compile + warm
     _ = np.asarray(dw[:1, :1])  # block: keep the compile out of the timing
     t0 = time.perf_counter()
-    dd, _ii = index.query_arrays(10, q_host)
+    dd, _ii = index.query_arrays(10, q_dev)
     _ = np.asarray(dd[:1, :1])
     per_batch_arrays = time.perf_counter() - t0
 
@@ -429,10 +431,10 @@ def bench_ivf1m(n=300_000, d=96, n_queries=1024, partitions=300, probe=15):
 
     # fused-kernel strategy (partition-padded block-min scan)
     index.scan_strategy = "pallas"
-    dw, _iw = index.query_arrays(10, q_host)  # compile + warm + layout build
+    dw, _iw = index.query_arrays(10, q_dev)  # compile + warm + layout build
     _ = np.asarray(dw[:1, :1])
     t0 = time.perf_counter()
-    dd_p, ii_p = index.query_arrays(10, q_host)
+    dd_p, ii_p = index.query_arrays(10, q_dev)
     _ = np.asarray(dd_p[:1, :1])
     per_batch_pallas = time.perf_counter() - t0
     results_pallas = index._make_results(dd_p, ii_p)

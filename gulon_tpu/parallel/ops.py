@@ -67,18 +67,35 @@ def sharded_adc_scan(
     topk_impl: str = "approx",
     recall_target: float = 0.95,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Row-sharded ADC scan: per-shard decode-matmul scan + ICI top-k merge.
+    """Row-sharded ADC scan: per-shard fused-kernel (TPU) or decode-matmul
+    scan + ICI top-k merge.
 
     Returns replicated ([Q, k] distances, [Q, k] global row ids).
     """
     local_n = codes.shape[0] // mesh.shape[ROWS]
+    m, k_codes, _ = codebooks.shape
+    use_pallas = (
+        jax.default_backend() == "tpu"
+        and k <= 128
+        and k_codes <= 1024
+        and local_n >= 256 * k
+    )
 
     def shard_fn(q, cb, codes_loc, norms_loc):
-        d, ids = scan_ops.adc_scan_decode(
-            q, cb, codes_loc, norms_loc, bounds=bounds, k=k,
-            tile_rows=tile_rows, precision=precision,
-            topk_impl=topk_impl, recall_target=recall_target,
-        )
+        if use_pallas:
+            from gulon_tpu.ops.pallas.adc import adc_scan_pallas
+
+            # per-call [n_loc, m] -> [m, n_loc] relayout inside the shard
+            # (~codes bytes of HBM traffic; noise next to the scan matmul)
+            d, ids = adc_scan_pallas(
+                q, cb, codes_loc, norms_loc, bounds=bounds, k=k,
+            )
+        else:
+            d, ids = scan_ops.adc_scan_decode(
+                q, cb, codes_loc, norms_loc, bounds=bounds, k=k,
+                tile_rows=tile_rows, precision=precision,
+                topk_impl=topk_impl, recall_target=recall_target,
+            )
         return _merge_over_rows(d, _globalize_ids(ids, local_n), k)
 
     return shard_map(
