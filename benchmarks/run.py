@@ -440,6 +440,36 @@ def bench_ivf1m(n=300_000, d=96, n_queries=1024, partitions=300, probe=15):
     results_pallas = index._make_results(dd_p, ii_p)
     index.scan_strategy = "masked"
 
+    # single-call timings above are transport-bound (~25 ms RTT + dispatch
+    # through the tunnel); device-side chained loops expose the actual
+    # per-batch scan cost of each strategy
+    from benchmarks.common import time_device_loop
+    from gulon_tpu.models import ivf as ivf_mod
+
+    sizes_dev = jnp.asarray(index.partition_sizes())
+
+    def mk_step(strategy):
+        def step(acc):
+            qx = q_dev + acc * 1e-30
+            gt, qn, _cd, pm = ivf_mod._rank_and_probe(
+                qx, index.centroids, sizes_dev, kind="groups", count=probe
+            )
+            if strategy == "pallas":
+                d_, i_ = index._query_pallas(qx, qn, gt, pm, 10)
+            else:
+                d_, i_ = ivf_mod._ivf_scan(
+                    qx, index.pq.codebooks, index.codes, index.row_const,
+                    index.group_ids, gt, pm, bounds=index.pq.bounds, k=10,
+                    tile_rows=index.tile_rows, precision=index.precision,
+                    topk_impl=index.topk_impl,
+                    recall_target=index.recall_target,
+                )
+            return acc + d_[0, 0] * 1e-30 + jnp.float32(i_[0, 0] % 3) * 1e-30 + 1.0
+        return step
+
+    dev_masked = time_device_loop(mk_step("masked"), float, iters=16)
+    dev_pallas = time_device_loop(mk_step("pallas"), float, iters=16)
+
     # recall vs exact over raw vectors
     _, i_ex = exact_scan(q_dev, x_dev, k=10)
     i_ex = np.asarray(i_ex)
@@ -462,6 +492,8 @@ def bench_ivf1m(n=300_000, d=96, n_queries=1024, partitions=300, probe=15):
             "ms_per_batch_arrays": round(per_batch_arrays * 1e3, 1),
             "ms_per_batch_incl_host": round(per_batch * 1e3, 1),
             "ms_per_batch_pallas": round(per_batch_pallas * 1e3, 1),
+            "device_ms_masked": round(dev_masked * 1e3, 2),
+            "device_ms_pallas": round(dev_pallas * 1e3, 2),
             "recall_at_10_pallas": round(_recall(results_pallas), 4),
             "recall_at_10_vs_exact": round(_recall(results), 4),
             "build_s": round(build_s, 1),
