@@ -251,6 +251,63 @@ def _exact_callable(index, k: int):
     return fn, (index.vectors,)
 
 
+def _ivf_pallas_callable(index, k: int):
+    """(traceable fn, operands) for the fused-kernel IVF strategy."""
+    from gulon_tpu.models.ivf import (
+        LimitGroups,
+        LimitVectors,
+        _pallas_ivf_query,
+        _rank_and_probe,
+    )
+    from gulon_tpu.ops.distance import normalize_rows
+    from gulon_tpu.ops.pallas.adc import block_layout
+
+    normalized = index.metric.normalized
+    k_eff = min(k, index.size)
+    if isinstance(index.strategy, LimitGroups):
+        kind = "groups"
+    elif isinstance(index.strategy, LimitVectors):
+        kind = "vectors"
+    else:
+        raise ValueError(f"unknown strategy {index.strategy!r}")
+    count = index.strategy.count
+    codes_t, rc_pal, blk_part, row_map, npad = index._pallas_operands()
+    m = index.pq.num_quantizers
+    mdp = -(-m * index.pq.pad_width // 8) * 8
+    k_codes = index.pq.num_clusters
+    nb = len(blk_part)
+    sizes = jnp.asarray(index.partition_sizes())
+    bounds = index.pq.bounds
+    topk_impl, rt = index.topk_impl, index.recall_target
+    interpret = jax.default_backend() != "tpu"
+
+    def fn(q, centroids, sizes, cb, codes_t, rc_pal, row_map):
+        # winner-column -> partition map: tile layout (and so the map)
+        # depends on the traced batch size; computed host-side at trace
+        # time and embedded as a small constant (NW int32s)
+        _, _, n_rt, nblk = block_layout(q.shape[0], k_codes, mdp, npad)
+        col = np.arange(n_rt * 2 * nblk, dtype=np.int64)
+        col_blk = (col // (2 * nblk)) * nblk + (col % (2 * nblk)) % nblk
+        col_part = jnp.asarray(
+            blk_part[np.minimum(col_blk, nb - 1)].astype(np.int32)
+        )
+        if normalized:
+            q = normalize_rows(q)
+        group_term, qn, _cd, pm = _rank_and_probe(
+            q, centroids, sizes, kind=kind, count=count
+        )
+        return _pallas_ivf_query(
+            q, qn, group_term, pm, cb, codes_t, rc_pal, col_part, row_map,
+            bounds=bounds, num_rows=npad, k=k_eff,
+            topk_impl=topk_impl, recall_target=rt, interpret=interpret,
+        )
+
+    return fn, (
+        index.centroids, sizes, index.pq.codebooks, codes_t, rc_pal,
+        row_map,
+    )
+
+
 def _callable_for(index, k: int):
     from gulon_tpu.models.exact import ExactIndex
     from gulon_tpu.models.flat import FlatIndex
@@ -261,6 +318,10 @@ def _callable_for(index, k: int):
     if isinstance(index, FlatIndex):
         return _flat_callable(index, k)
     if isinstance(index, IVFIndex):
+        if index.scan_strategy == "pallas" and index._pallas_eligible(
+            min(k, index.size)
+        ):
+            return _ivf_pallas_callable(index, k)
         if index.scan_strategy == "gathered":
             return _ivf_gathered_callable(index, k)
         if index.scan_strategy == "bucketed":

@@ -184,3 +184,32 @@ def test_exact_aot_roundtrip(tmp_path, data):
         np.asarray(d_aot), np.asarray(d_ref), rtol=1e-5, atol=1e-6
     )
     np.testing.assert_array_equal(np.asarray(i_aot), np.asarray(i_ref))
+
+
+def test_ivf_pallas_aot_roundtrip(tmp_path):
+    """The fused-kernel IVF strategy exports; the artifact matches the
+    jitted pallas path exactly."""
+    from generators import planted_clusters as _pc
+
+    rng = np.random.default_rng(21)
+    x, _, _ = _pc(rng, 8192, 16, 16, scale=0.3, spread=2.0)
+    keys = random_keys(rng, 8192)
+    index = build_ivf_index(
+        keys, x,
+        pq_config=PQConfig(num_clusters=16, num_quantizers=4, max_iters=6),
+        num_partitions=8,
+        strategy=LimitGroups(4),
+        coarse_max_iters=6,
+    )
+    index.scan_strategy = "pallas"
+    q = x[:32]
+    bundle = export_serving(index, shapes=[(32, 5)])
+    path = str(tmp_path / "ivfp.aot")
+    save_serving(path, bundle)
+    serving = load_serving(path, index)
+    d_ref, i_ref = index.query_arrays(5, q)
+    d_aot, i_aot = serving.query_arrays(5, q)
+    np.testing.assert_allclose(
+        np.asarray(d_aot), np.asarray(d_ref), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_array_equal(np.asarray(i_aot), np.asarray(i_ref))
