@@ -656,6 +656,7 @@ def _rank_and_probe(q, centroids, sizes, *, kind: str, count: int):
     jax.jit,
     static_argnames=(
         "bounds", "num_rows", "k", "topk_impl", "recall_target", "interpret",
+        "winners",
     ),
 )
 def _pallas_ivf_query(
@@ -675,6 +676,7 @@ def _pallas_ivf_query(
     topk_impl: str,
     recall_target: float,
     interpret: bool,
+    winners: int = 2,
 ):
     """Kernel + epilogue of the IVF ``pallas`` strategy as ONE computation.
 
@@ -692,7 +694,8 @@ def _pallas_ivf_query(
 
     bv, bi = adc_block_scan_pallas(
         q, codebooks, codes_t, rc_pal,
-        bounds=bounds, num_rows=num_rows, winners=2, interpret=interpret,
+        bounds=bounds, num_rows=num_rows, winners=winners,
+        interpret=interpret,
     )
     # winner column -> partition via the STATIC col_part vector (shared
     # across queries): a single-index-vector column gather lowers well on
@@ -765,6 +768,10 @@ class IVFIndex(Index):
     #  row_map [Np] i32) — see scan_strategy "pallas" in query_arrays
     _pallas_layout: Optional[tuple] = None
     _sizes_dev: Optional[jax.Array] = None  # partition_sizes() on device
+    # ranked candidates the fused kernel keeps per 128-row block (1..4):
+    # losing a true top-k member needs pallas_winners+1 of them in one
+    # block; higher = better recall, slightly more selection VPU work
+    pallas_winners: int = 2
 
     @property
     def key_index(self) -> GroupedKeyIndex:
@@ -877,8 +884,9 @@ class IVFIndex(Index):
             q.shape[0], self.pq.num_clusters, mdp, npad
         )
         nb = len(blk_part)
-        col = np.arange(n_rt * 2 * nblk, dtype=np.int64)
-        col_blk = (col // (2 * nblk)) * nblk + (col % (2 * nblk)) % nblk
+        w = self.pallas_winners
+        col = np.arange(n_rt * w * nblk, dtype=np.int64)
+        col_blk = (col // (w * nblk)) * nblk + (col % (w * nblk)) % nblk
         col_part = blk_part[np.minimum(col_blk, nb - 1)].astype(np.int32)
         return _pallas_ivf_query(
             q, qn, group_term, probe_mask,
@@ -890,6 +898,7 @@ class IVFIndex(Index):
             topk_impl=self.topk_impl,
             recall_target=self.recall_target,
             interpret=jax.default_backend() != "tpu",
+            winners=w,
         )
 
     def query_arrays(self, k: int, vectors):

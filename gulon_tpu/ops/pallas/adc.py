@@ -173,27 +173,24 @@ def _adc_fused_kernel(
     # select) vs ~7 for v4's monotone-int32 key-packing chain, with the
     # value exact f32 instead of 7-bit-coarsened.
     s3 = scores.reshape(nblk, _LANES, qt)
-    vmin = jnp.min(s3, axis=1)  # [NB, QT] exact f32 winner values
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (nblk, _LANES, qt), 1)
-    cand = jnp.where(s3 == vmin[:, None, :], row_iota, jnp.int32(_LANES))
-    lane = jnp.min(cand, axis=1)  # [NB, QT]
     blk_base = jax.lax.broadcasted_iota(jnp.int32, (nblk, qt), 0)
-    vals_ref[:nblk] = vmin
-    ids_ref[:nblk] = rt_idx * t + blk_base * _LANES + lane
-    if winners == 2:
-        # runner-up per block: mask the winner's row, min again. Halves
-        # the probability of losing a true top-k member to a block
-        # collision (needs THREE members in one 128-row block).
-        s3b = jnp.where(row_iota == lane[:, None, :], _BIG, s3)
-        vmin2 = jnp.min(s3b, axis=1)
-        cand2 = jnp.where(
-            s3b == vmin2[:, None, :], row_iota, jnp.int32(_LANES)
+    # ``winners`` ranked candidates per block: min, mask the winner's row,
+    # repeat. Losing a true top-k member to a block collision requires
+    # ``winners + 1`` of them in one 128-row block.
+    masked = s3
+    for w in range(winners):
+        vmin = jnp.min(masked, axis=1)  # [NB, QT] exact f32 values
+        cand = jnp.where(
+            masked == vmin[:, None, :], row_iota, jnp.int32(_LANES)
         )
-        lane2 = jnp.min(cand2, axis=1)
-        vals_ref[nblk:] = vmin2
-        ids_ref[nblk:] = rt_idx * t + blk_base * _LANES + jnp.minimum(
-            lane2, _LANES - 1
+        lane = jnp.minimum(jnp.min(cand, axis=1), _LANES - 1)
+        vals_ref[w * nblk : (w + 1) * nblk] = vmin
+        ids_ref[w * nblk : (w + 1) * nblk] = (
+            rt_idx * t + blk_base * _LANES + lane
         )
+        if w + 1 < winners:
+            masked = jnp.where(row_iota == lane[:, None, :], _BIG, masked)
 
 
 def _block_scan(
@@ -321,7 +318,7 @@ def adc_block_scan_pallas(
     tile_rows: int = 0,
     interpret: bool = False,
     num_rows: int = 0,
-    winners: int = 1,  # 1 or 2 candidates per 128-row block
+    winners: int = 1,  # ranked candidates per 128-row block (1..4)
 ) -> Tuple[jax.Array, jax.Array]:
     """Raw fused-kernel block winners for custom epilogues.
 
@@ -331,8 +328,8 @@ def adc_block_scan_pallas(
     per-(query, partition) term is block-constant under a partition-padded
     row layout and therefore commutes with the in-kernel block min.
     """
-    if winners not in (1, 2):
-        raise ValueError(f"winners must be 1 or 2, got {winners}")
+    if not 1 <= winners <= 4:
+        raise ValueError(f"winners must be in 1..4, got {winners}")
     wv, wi, _, _, _ = _block_scan(
         queries, codebooks, codes, recon_norms,
         bounds=bounds, tile_rows=tile_rows, interpret=interpret,

@@ -281,13 +281,15 @@ def _ivf_pallas_callable(index, k: int):
     topk_impl, rt = index.topk_impl, index.recall_target
     interpret = jax.default_backend() != "tpu"
 
+    w = index.pallas_winners
+
     def fn(q, centroids, sizes, cb, codes_t, rc_pal, row_map):
         # winner-column -> partition map: tile layout (and so the map)
         # depends on the traced batch size; computed host-side at trace
         # time and embedded as a small constant (NW int32s)
         _, _, n_rt, nblk = block_layout(q.shape[0], k_codes, mdp, npad)
-        col = np.arange(n_rt * 2 * nblk, dtype=np.int64)
-        col_blk = (col // (2 * nblk)) * nblk + (col % (2 * nblk)) % nblk
+        col = np.arange(n_rt * w * nblk, dtype=np.int64)
+        col_blk = (col // (w * nblk)) * nblk + (col % (w * nblk)) % nblk
         col_part = jnp.asarray(
             blk_part[np.minimum(col_blk, nb - 1)].astype(np.int32)
         )
@@ -300,6 +302,7 @@ def _ivf_pallas_callable(index, k: int):
             q, qn, group_term, pm, cb, codes_t, rc_pal, col_part, row_map,
             bounds=bounds, num_rows=npad, k=k_eff,
             topk_impl=topk_impl, recall_target=rt, interpret=interpret,
+            winners=w,
         )
 
     return fn, (
