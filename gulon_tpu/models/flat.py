@@ -178,8 +178,10 @@ class FlatIndex(Index):
                     self, scan_strategy="decode"
                 ).query_arrays(k, vectors)
             if self._pallas_codes_t is None:
-                self._pallas_codes_t = jnp.asarray(
-                    np.asarray(self.codes, np.int32).T
+                from gulon_tpu.ops.pallas.adc import pack_codes_t
+
+                self._pallas_codes_t = pack_codes_t(
+                    self.codes, self.pq.num_clusters
                 )
             dists, ids = adc_scan_pallas(
                 q,

@@ -840,6 +840,8 @@ class IVFIndex(Index):
             ).astype(np.int64)
             codes_pal = np.zeros((npad, m), np.int32)
             codes_pal[dst] = np.asarray(self.codes, np.int32)
+            # minimal-width kernel operand (m bytes/vector at K<=256)
+            from gulon_tpu.ops.pallas.adc import pack_codes_t
             rc_pal = np.full(npad, self._PALLAS_PAD_SENTINEL, np.float32)
             rc_pal[dst] = np.asarray(self.row_const, np.float32)
             row_map = np.full(npad, -1, np.int32)
@@ -848,7 +850,7 @@ class IVFIndex(Index):
                 np.arange(len(sizes), dtype=np.int32), psz // 128
             )
             self._pallas_layout = (
-                jnp.asarray(codes_pal.T),
+                pack_codes_t(codes_pal, self.pq.num_clusters),
                 jnp.asarray(rc_pal),
                 blk_part,  # host-side: the col_part map is built per (Q, k)
                 jnp.asarray(row_map),

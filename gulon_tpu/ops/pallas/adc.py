@@ -68,6 +68,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -115,6 +116,21 @@ def block_layout(
     return qt, t, n_pad // t, t // _LANES
 
 
+def pack_codes_t(codes, k_codes: int) -> jax.Array:
+    """Pretransposed kernel code operand ``[m, N]`` at minimal width.
+
+    K <= 256 stores offset-encoded int8 (``code - 128``; the kernel undoes
+    the offset on the [1, T] slice), K <= 32768 int16, else int32 — the
+    serving layout costs m bytes/vector instead of 4m.
+    """
+    c = np.asarray(codes)
+    if k_codes <= 256:
+        return jnp.asarray((c.astype(np.int16) - 128).astype(np.int8).T)
+    if k_codes <= 32768:
+        return jnp.asarray(c.astype(np.int16).T)
+    return jnp.asarray(c.astype(np.int32).T)
+
+
 def _adc_fused_kernel(
     codes_ref,   # [m, T] i32 block (transposed: rows on lanes)
     norms_ref,   # [T, 1] f32 block
@@ -144,7 +160,14 @@ def _adc_fused_kernel(
             decT_ref[:] = jnp.zeros((mdp, t), jnp.bfloat16)
         row_iota = jax.lax.broadcasted_iota(jnp.int32, (k_codes, t), 0)
         for s in range(m):
-            onehotT = (codes_ref[s, :].reshape(1, t) == row_iota).astype(
+            row = codes_ref[s, :]
+            if codes_ref.dtype == jnp.int8:
+                # offset-encoded uint8 codes (code - 128 as i8): only the
+                # [1, T] slice pays the widening, not the [K, T] compare
+                row = row.astype(jnp.int32) + 128
+            elif codes_ref.dtype != jnp.int32:
+                row = row.astype(jnp.int32)
+            onehotT = (row.reshape(1, t) == row_iota).astype(
                 jnp.bfloat16
             )  # [K, T]
             # [dsub, K] x [K, T]: streams only dsub rows through the MXU
@@ -401,6 +424,8 @@ def adc_scan_pallas(
         safe_ids = jnp.where(invalid, 0, best_ids)
         if pretransposed:
             sel = jnp.take(codes_t, safe_ids.reshape(-1), axis=1)
+            if codes_t.dtype == jnp.int8:  # undo the offset encoding
+                sel = sel.astype(jnp.int32) + 128
             sel = jnp.transpose(sel.reshape(m, num_q, kk), (1, 2, 0))
         else:
             sel = jnp.take(

@@ -50,8 +50,10 @@ def _flat_callable(index, k: int):
     k_eff = min(k, index.size)
     if index._pallas_eligible(k_eff):
         if index._pallas_codes_t is None:
-            index._pallas_codes_t = jnp.asarray(
-                np.asarray(index.codes, np.int32).T
+            from gulon_tpu.ops.pallas.adc import pack_codes_t
+
+            index._pallas_codes_t = pack_codes_t(
+                index.codes, index.pq.num_clusters
             )
         n = index.size
 

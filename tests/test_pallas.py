@@ -194,3 +194,34 @@ def test_exact_index_pallas_strategy():
         for j in range(16)
     ])
     assert overlap >= 0.95, overlap
+
+
+def test_packed_codes_t_dtypes_match(setup):
+    """i8 (offset-encoded) / i16 / i32 pretransposed operands give
+    identical results."""
+    from gulon_tpu.ops.pallas.adc import pack_codes_t
+
+    x, q, pq, codes, norms = setup
+    n = np.asarray(codes).shape[0]
+    kw = dict(bounds=pq.bounds, k=5, tile_rows=5120, interpret=True,
+              num_rows=n)
+    qd = jnp.asarray(q)
+    c8 = pack_codes_t(codes, 256)
+    c16 = pack_codes_t(codes, 1024)
+    c32 = jnp.asarray(np.asarray(codes, np.int32).T)
+    assert c8.dtype == jnp.int8 and c16.dtype == jnp.int16
+    d8, i8 = adc_scan_pallas(qd, pq.codebooks, c8, norms, **kw)
+    d16, i16 = adc_scan_pallas(qd, pq.codebooks, c16, norms, **kw)
+    d32, i32 = adc_scan_pallas(qd, pq.codebooks, c32, norms, **kw)
+    np.testing.assert_array_equal(np.asarray(i8), np.asarray(i32))
+    np.testing.assert_array_equal(np.asarray(i16), np.asarray(i32))
+    np.testing.assert_allclose(np.asarray(d8), np.asarray(d32))
+    # rescore path decodes the offset encoding too
+    dr, ir = adc_scan_pallas(
+        qd, pq.codebooks, c8, norms, rescore=True, **kw
+    )
+    dr32, ir32 = adc_scan_pallas(
+        qd, pq.codebooks, c32, norms, rescore=True, **kw
+    )
+    np.testing.assert_array_equal(np.asarray(ir), np.asarray(ir32))
+    np.testing.assert_allclose(np.asarray(dr), np.asarray(dr32), rtol=1e-6)
