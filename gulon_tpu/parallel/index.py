@@ -188,6 +188,84 @@ def _sharded_ivf_scan(
 @functools.partial(
     jax.jit,
     static_argnames=(
+        "mesh", "bounds", "k", "num_rows", "topk_impl", "recall_target",
+        "interpret", "winners",
+    ),
+)
+def _sharded_ivf_pallas(
+    queries: jax.Array,      # [Q, D] replicated
+    qn: jax.Array,           # [Q] replicated
+    codebooks: jax.Array,    # [m, K, dsub] replicated
+    codes_palT: jax.Array,   # [S, m, npad] per-shard partition-padded
+    rc_pal: jax.Array,       # [S, npad] (sentinel > _INVALID_MIN padding)
+    row_map: jax.Array,      # [S, npad] i32 padded row -> GLOBAL row (-1)
+    col_part: jax.Array,     # [S, NW] i32 winner column -> GLOBAL part id
+    group_term: jax.Array,   # [Q, P] replicated
+    probe_mask: jax.Array,   # [Q, P] replicated
+    *,
+    mesh: Mesh,
+    bounds,
+    k: int,
+    num_rows: int,
+    topk_impl: str,
+    recall_target: float,
+    interpret: bool,
+    winners: int,
+):
+    """Per-shard fused-kernel IVF scan + ICI top-k merge.
+
+    Each shard runs the partition-padded block-min kernel over its local
+    rows; the block-constant group term / probe mask apply to the local
+    winners via the shard's static column->partition map, then local
+    top-k results (already carrying global row ids) merge with one
+    all-gather.
+    """
+    from gulon_tpu.ops.pallas.adc import _INVALID_MIN, adc_block_scan_pallas
+    from gulon_tpu.ops.topk import smallest_k as _sk
+
+    def shard_fn(q, qn_, cb, ct, rc, rmap, colp, gt, pm):
+        bv, bi = adc_block_scan_pallas(
+            q, cb, ct[0], rc[0],
+            bounds=bounds, num_rows=num_rows, winners=winners,
+            interpret=interpret,
+        )
+        gtw = jnp.take(gt, colp[0], axis=1)
+        pmw = jnp.take(pm, colp[0], axis=1)
+        valid = (bv < _INVALID_MIN) & pmw
+        d = jnp.where(valid, bv + gtw + qn_[:, None], jnp.inf)
+        kk = min(k, d.shape[1])
+        best, pos = _sk(d, kk)
+        rows = jnp.take_along_axis(bi, pos, axis=1)
+        gids = jnp.where(
+            jnp.isinf(best), -1, rmap[0][jnp.maximum(rows, 0)]
+        )
+        if kk < k:
+            best = jnp.pad(
+                best, ((0, 0), (0, k - kk)), constant_values=jnp.inf
+            )
+            gids = jnp.pad(
+                gids, ((0, 0), (0, k - kk)), constant_values=-1
+            )
+        return pops._merge_over_rows(best, gids, k)
+
+    return pops.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(
+            P(), P(), P(), P(ROWS, None, None), P(ROWS, None),
+            P(ROWS, None), P(ROWS, None), P(), P(),
+        ),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )(
+        queries, qn, codebooks, codes_palT, rc_pal, row_map, col_part,
+        group_term, probe_mask,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
         "mesh", "bounds", "k", "rcap", "qcap", "kk", "chunk",
         "precision", "topk_impl", "recall_target",
     ),
@@ -276,6 +354,11 @@ class ShardedIVFIndex(Index):
     centroids_rep: jax.Array
     part_shard: np.ndarray  # [P] shard owning each partition
     local_starts: np.ndarray  # [P] start row of partition p on its shard
+    # lazy per-shard partition-padded kernel layout:
+    # (codes_palT [S, m, npad], rc_pal [S, npad], row_map [S, npad],
+    #  blk_gpid host [S, NB], npad)
+    _pallas_sh: Optional[tuple] = None
+    _colpart_cache: dict = dataclasses.field(default_factory=dict)
 
     @staticmethod
     def shard(index: IVFIndex, mesh: Mesh) -> "ShardedIVFIndex":
@@ -373,6 +456,10 @@ class ShardedIVFIndex(Index):
             raise ValueError(f"unknown strategy {strategy!r}")
 
         k_eff = min(k, self.size)
+        if self.base.scan_strategy == "pallas" and self.base._pallas_eligible(
+            k_eff
+        ):
+            return self._pallas_arrays(q, qn, group_term, probe_mask, k_eff)
         if self.base.scan_strategy in ("bucketed", "gathered"):
             # sublinear probing scales out like the masked path: gathered
             # requests also run the (strictly more general) bucketed scan
@@ -397,6 +484,101 @@ class ShardedIVFIndex(Index):
             recall_target=self.base.recall_target,
         )
         return dists, ids
+
+    def _pallas_shard_operands(self):
+        """Per-shard partition-padded kernel layouts (built once).
+
+        Mirrors ``IVFIndex._pallas_operands`` per shard, with a uniform
+        ``npad`` across shards so one shard_map covers all of them; row
+        maps carry GLOBAL row ids so merged results need no globalization.
+        """
+        if self._pallas_sh is None:
+            from jax.sharding import NamedSharding
+
+            sizes = self.base.partition_sizes().astype(np.int64)
+            num_p = len(sizes)
+            n_shards = self.mesh.shape[ROWS]
+            g_starts = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+            psz = -(-sizes // 128) * 128
+            order = np.argsort(self.local_starts, kind="stable")
+            pstart = np.zeros(num_p, np.int64)
+            fill = np.zeros(n_shards, np.int64)
+            for p in order:
+                s = int(self.part_shard[p])
+                pstart[p] = fill[s]
+                fill[s] += psz[p]
+            npad = max(int(fill.max()) if num_p else 128, 128)
+            m = self.base.pq.num_quantizers
+            codes_np = np.asarray(self.base.codes, np.int32)
+            rc_np = np.asarray(self.base.row_const, np.float32)
+            codes_pal = np.zeros((n_shards, npad, m), np.int32)
+            rc_pal = np.full((n_shards, npad), 2.0e38, np.float32)
+            rmap = np.full((n_shards, npad), -1, np.int32)
+            nb = npad // 128
+            blk_gpid = np.zeros((n_shards, nb), np.int32)
+            for p in range(num_p):
+                s, ls = int(self.part_shard[p]), int(pstart[p])
+                gs, sz = int(g_starts[p]), int(sizes[p])
+                codes_pal[s, ls : ls + sz] = codes_np[gs : gs + sz]
+                rc_pal[s, ls : ls + sz] = rc_np[gs : gs + sz]
+                rmap[s, ls : ls + sz] = np.arange(gs, gs + sz, dtype=np.int32)
+                blk_gpid[s, ls // 128 : (ls + int(psz[p])) // 128] = p
+            k_codes = self.base.pq.num_clusters
+            if k_codes <= 256:  # minimal-width operand (see pack_codes_t)
+                ctT = (codes_pal.astype(np.int16) - 128).astype(
+                    np.int8
+                ).transpose(0, 2, 1)
+            elif k_codes <= 32768:
+                ctT = codes_pal.astype(np.int16).transpose(0, 2, 1)
+            else:
+                ctT = codes_pal.transpose(0, 2, 1)
+            row3 = NamedSharding(self.mesh, P(ROWS, None, None))
+            row2 = NamedSharding(self.mesh, P(ROWS, None))
+            self._pallas_sh = (
+                jax.device_put(np.ascontiguousarray(ctT), row3),
+                jax.device_put(rc_pal, row2),
+                jax.device_put(rmap, row2),
+                blk_gpid,
+                npad,
+            )
+        return self._pallas_sh
+
+    def _pallas_arrays(self, q, qn, group_term, probe_mask, k_eff):
+        from gulon_tpu.ops.pallas.adc import block_layout
+
+        ctT, rc_pal, rmap, blk_gpid, npad = self._pallas_shard_operands()
+        num_q = q.shape[0]
+        if num_q not in self._colpart_cache:
+            from jax.sharding import NamedSharding
+
+            m = self.base.pq.num_quantizers
+            mdp = -(-m * self.base.pq.pad_width // 8) * 8
+            _, _, n_rt, nblk = block_layout(
+                num_q, self.base.pq.num_clusters, mdp, npad
+            )
+            w = self.base.pallas_winners
+            nb = blk_gpid.shape[1]
+            col = np.arange(n_rt * w * nblk, dtype=np.int64)
+            col_blk = np.minimum(
+                (col // (w * nblk)) * nblk + (col % (w * nblk)) % nblk,
+                nb - 1,
+            )
+            self._colpart_cache[num_q] = jax.device_put(
+                blk_gpid[:, col_blk].astype(np.int32),
+                NamedSharding(self.mesh, P(ROWS, None)),
+            )
+        return _sharded_ivf_pallas(
+            q, qn, self.codebooks_rep, ctT, rc_pal, rmap,
+            self._colpart_cache[num_q], group_term, probe_mask,
+            mesh=self.mesh,
+            bounds=self.base.pq.bounds,
+            k=k_eff,
+            num_rows=npad,
+            topk_impl=self.base.topk_impl,
+            recall_target=self.base.recall_target,
+            interpret=jax.default_backend() != "tpu",
+            winners=self.base.pallas_winners,
+        )
 
     def _bucketed_arrays(self, q, qn, cdist, group_term, probe_mask, k_eff):
         from gulon_tpu.models.ivf import _next_pow2, _plan_entry_schedule

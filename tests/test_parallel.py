@@ -354,3 +354,37 @@ def test_sharded_kmeans_kmeanspp_init(data):
             np.asarray(res_u.assignments)[s]))
         assert np.isfinite(o_pp)
         assert o_pp <= o_u * 1.25, (o_pp, o_u)
+
+
+def test_sharded_ivf_pallas_matches_single_chip():
+    """The per-shard fused-kernel IVF scan (interpret mode on the CPU
+    mesh) returns the single-chip pallas strategy's results."""
+    rng = np.random.default_rng(17)
+    from generators import planted_clusters as _pc
+
+    x, _, _ = _pc(rng, 4096, 16, 16, scale=0.3, spread=2.0)
+    keys = random_keys(rng, 4096)
+    index = build_ivf_index(
+        keys, x,
+        pq_config=PQConfig(num_clusters=16, num_quantizers=4, max_iters=6),
+        num_partitions=8,
+        strategy=LimitGroups(4),
+        coarse_max_iters=6,
+    )
+    index.scan_strategy = "pallas"
+    q = x[:16]
+    d1, i1 = index.query_arrays(5, q)
+    from gulon_tpu.parallel.index import shard_index
+
+    sharded = shard_index(index, make_mesh())
+    d8, i8 = sharded.query_arrays(5, q)
+    d1, d8 = np.asarray(d1), np.asarray(d8)
+    np.testing.assert_allclose(d1, d8, rtol=1e-4, atol=1e-4)
+    # ids equal wherever distances are untied
+    i1, i8 = np.asarray(i1), np.asarray(i8)
+    for r in range(len(q)):
+        tied = np.concatenate(
+            [[False], np.isclose(d1[r][1:], d1[r][:-1], atol=1e-4)]
+        )
+        tied[:-1] |= tied[1:].copy()
+        assert np.array_equal(i1[r][~tied], i8[r][~tied])
