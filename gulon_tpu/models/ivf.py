@@ -882,11 +882,11 @@ class IVFIndex(Index):
         # r*W + nblk + j (W = winners*nblk)
         m = self.pq.num_quantizers
         mdp = -(-m * self.pq.pad_width // 8) * 8
+        w = self.pallas_winners
         _, _, n_rt, nblk = block_layout(
-            q.shape[0], self.pq.num_clusters, mdp, npad
+            q.shape[0], self.pq.num_clusters, mdp, npad, winners=w
         )
         nb = len(blk_part)
-        w = self.pallas_winners
         col = np.arange(n_rt * w * nblk, dtype=np.int64)
         col_blk = (col // (w * nblk)) * nblk + (col % (w * nblk)) % nblk
         col_part = blk_part[np.minimum(col_blk, nb - 1)].astype(np.int32)

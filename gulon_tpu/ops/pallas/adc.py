@@ -85,29 +85,38 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _pick_tiles(num_q: int, k_codes: int, mdp: int) -> Tuple[int, int]:
+def _pick_tiles(
+    num_q: int, k_codes: int, mdp: int, winners: int = 1
+) -> Tuple[int, int]:
     """(query tile, row tile) with the VMEM working set comfortable.
 
-    Live buffers per step: scores + packed key [T, QT] f32/i32, dec^T
-    scratch [mdp, T] bf16, a one-hot temp [K, T] bf16, double-buffered
-    code/query blocks. Row tiles are 1024-multiples: the winner block
-    [t/128, QT] needs a sublane-multiple-of-8 leading dim.
+    Live buffers per step: the [T, QT] f32 score matrix (the block-min
+    fuses its temporaries; measured, not just estimated — t=4096 at
+    qt=512 runs where the old 2-copies estimate claimed it could not),
+    plus a second masked copy when multiple winners re-min, the dec^T
+    scratch [mdp, T] bf16, a one-hot temp [K, T] bf16, and double-
+    buffered code/query blocks. Row tiles are 1024-multiples: the winner
+    block [w*t/128, QT] needs a sublane-multiple-of-8 leading dim.
     """
-    budget = 12 * 1024 * 1024
+    budget = 14 * 1024 * 1024
     qt = min(_round_up(num_q, 16), 512)
+    score_copies = 2 if winners > 1 else 1
     for t in (4096, 2048, 1024):
-        work = 8 * qt * t + 2 * t * mdp + 2 * 2 * t * k_codes
+        work = (
+            4 * qt * t * score_copies + 2 * t * mdp + 2 * 2 * t * k_codes
+        )
         if work < budget:
             return qt, t
     return qt, 1024
 
 
 def block_layout(
-    num_q: int, k_codes: int, mdp: int, n: int, tile_rows: int = 0
+    num_q: int, k_codes: int, mdp: int, n: int, tile_rows: int = 0,
+    winners: int = 1,
 ) -> Tuple[int, int, int, int]:
     """(qt, t, n_rt, nblk) the kernel will use — for callers that need the
     winner-column layout (e.g. the IVF epilogue's column->block map)."""
-    qt, t = _pick_tiles(num_q, k_codes, mdp)
+    qt, t = _pick_tiles(num_q, k_codes, mdp, winners)
     if tile_rows:
         t = tile_rows
     if n < t:
@@ -248,7 +257,7 @@ def _block_scan(
         raise ValueError(
             f"tile_rows must be a 1024-multiple, got {tile_rows}"
         )
-    qt, t, _, _ = block_layout(num_q, k_codes, mdp, n, tile_rows)
+    qt, t, _, _ = block_layout(num_q, k_codes, mdp, n, tile_rows, winners)
 
     # queries in the padded subspace layout, zero-padded to match dec^T
     qs = split_subspaces(queries, bounds, dsub)

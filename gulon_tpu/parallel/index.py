@@ -553,10 +553,10 @@ class ShardedIVFIndex(Index):
 
             m = self.base.pq.num_quantizers
             mdp = -(-m * self.base.pq.pad_width // 8) * 8
-            _, _, n_rt, nblk = block_layout(
-                num_q, self.base.pq.num_clusters, mdp, npad
-            )
             w = self.base.pallas_winners
+            _, _, n_rt, nblk = block_layout(
+                num_q, self.base.pq.num_clusters, mdp, npad, winners=w
+            )
             nb = blk_gpid.shape[1]
             col = np.arange(n_rt * w * nblk, dtype=np.int64)
             col_blk = np.minimum(

@@ -289,7 +289,9 @@ def _ivf_pallas_callable(index, k: int):
         # winner-column -> partition map: tile layout (and so the map)
         # depends on the traced batch size; computed host-side at trace
         # time and embedded as a small constant (NW int32s)
-        _, _, n_rt, nblk = block_layout(q.shape[0], k_codes, mdp, npad)
+        _, _, n_rt, nblk = block_layout(
+            q.shape[0], k_codes, mdp, npad, winners=w
+        )
         col = np.arange(n_rt * w * nblk, dtype=np.int64)
         col_blk = (col // (w * nblk)) * nblk + (col % (w * nblk)) % nblk
         col_part = jnp.asarray(
