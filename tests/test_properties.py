@@ -207,3 +207,87 @@ def test_normalize_rows_property(rows):
     # norms are legitimately normalized (implementation branches on > 0)
     zero = norms_in == 0
     np.testing.assert_array_equal(out[zero], x[zero])
+
+
+@given(
+    num_p=st.integers(1, 12),
+    cap=st.integers(1, 50),
+    data=st.data(),
+)
+@settings(max_examples=30, deadline=None)
+def test_balanced_split_capacity_property(num_p, cap, data):
+    """_split_oversized_partitions: every output partition <= cap rows,
+    all rows kept, centroid count == partition count."""
+    from gulon_tpu.models.build import _split_oversized_partitions
+
+    rng = np.random.default_rng(data.draw(st.integers(0, 2**31)))
+    sizes = [data.draw(st.integers(0, 4 * cap)) for _ in range(num_p)]
+    n = sum(sizes)
+    if n == 0:
+        return
+    d = 4
+    x = rng.normal(0, 1, (n, d)).astype(np.float32)
+    assignments = np.repeat(np.arange(num_p), sizes)
+    cents = rng.normal(0, 1, (num_p, d)).astype(np.float32)
+    new_a, new_c = _split_oversized_partitions(
+        lambda rows: x[rows], assignments, cents, cap, seed=0
+    )
+    assert len(new_a) == n
+    counts = np.bincount(new_a, minlength=len(new_c))
+    assert counts.max() <= cap
+    assert counts.sum() == n
+    assert new_a.max() < len(new_c)
+
+
+@given(
+    k_codes=st.sampled_from([16, 256, 300, 1024, 40000]),
+    n=st.integers(1, 64),
+    m=st.integers(1, 6),
+    data=st.data(),
+)
+@settings(max_examples=30, deadline=None)
+def test_pack_codes_t_roundtrip_property(k_codes, n, m, data):
+    """pack_codes_t: minimal dtype, exact roundtrip of code values."""
+    from gulon_tpu.ops.pallas.adc import pack_codes_t
+
+    rng = np.random.default_rng(data.draw(st.integers(0, 2**31)))
+    codes = rng.integers(0, k_codes, (n, m))
+    packed = np.asarray(pack_codes_t(codes, k_codes))
+    assert packed.shape == (m, n)
+    if k_codes <= 256:
+        assert packed.dtype == np.int8
+        recovered = packed.astype(np.int32) + 128
+    elif k_codes <= 32768:
+        assert packed.dtype == np.int16
+        recovered = packed.astype(np.int32)
+    else:
+        assert packed.dtype == np.int32
+        recovered = packed
+    np.testing.assert_array_equal(recovered.T, codes)
+
+
+@given(
+    npad_blocks=st.integers(1, 40),
+    w=st.integers(1, 4),
+    num_q=st.sampled_from([1, 8, 512, 1024]),
+)
+@settings(max_examples=40, deadline=None)
+def test_winner_column_map_property(npad_blocks, w, num_q):
+    """The static winner-column -> block map matches a brute-force walk of
+    the kernel's output layout (per row tile: w groups of nblk blocks)."""
+    from gulon_tpu.ops.pallas.adc import block_layout
+
+    npad = npad_blocks * 128
+    _, t, n_rt, nblk = block_layout(num_q, 256, 104, npad, winners=w)
+    col = np.arange(n_rt * w * nblk, dtype=np.int64)
+    col_blk = (col // (w * nblk)) * nblk + (col % (w * nblk)) % nblk
+    # brute force: tile r writes w*nblk columns; rank g of block j lands
+    # at column r*(w*nblk) + g*nblk + j and refers to block r*nblk + j
+    expect = np.empty_like(col)
+    i = 0
+    for r in range(n_rt):
+        for g in range(w):
+            for j in range(nblk):
+                expect[i] = r * nblk + j
+                i += 1
+    np.testing.assert_array_equal(col_blk, expect)
