@@ -470,6 +470,16 @@ def bench_ivf1m(n=300_000, d=96, n_queries=1024, partitions=300, probe=15):
     dev_masked = time_device_loop(mk_step("masked"), float, iters=16)
     dev_pallas = time_device_loop(mk_step("pallas"), float, iters=16)
 
+    # recall with 4 ranked winners per block (collision loss needs 5 true
+    # members in one 128-row block)
+    index.scan_strategy = "pallas"
+    index.pallas_winners = 4
+    dd_p4, ii_p4 = index.query_arrays(10, q_dev)
+    results_pallas4 = index._make_results(dd_p4, ii_p4)
+    dev_pallas4 = time_device_loop(mk_step("pallas"), float, iters=16)
+    index.pallas_winners = 2
+    index.scan_strategy = "masked"
+
     # recall vs exact over raw vectors
     _, i_ex = exact_scan(q_dev, x_dev, k=10)
     i_ex = np.asarray(i_ex)
@@ -494,7 +504,9 @@ def bench_ivf1m(n=300_000, d=96, n_queries=1024, partitions=300, probe=15):
             "ms_per_batch_pallas": round(per_batch_pallas * 1e3, 1),
             "device_ms_masked": round(dev_masked * 1e3, 2),
             "device_ms_pallas": round(dev_pallas * 1e3, 2),
+            "device_ms_pallas_w4": round(dev_pallas4 * 1e3, 2),
             "recall_at_10_pallas": round(_recall(results_pallas), 4),
+            "recall_at_10_pallas_w4": round(_recall(results_pallas4), 4),
             "recall_at_10_vs_exact": round(_recall(results), 4),
             "build_s": round(build_s, 1),
             "device": str(jax.devices()[0]),

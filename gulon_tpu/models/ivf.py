@@ -215,6 +215,18 @@ def _plan_entry_schedule(
     # entries: per used partition, an nr x nq grid (row-chunk major)
     reps = nr * nq
     num_e = int(reps.sum())
+    if num_e == 0:
+        # no (query, probe) pairs at all — e.g. a shard none of whose
+        # partitions are probed by this batch: an all-padding schedule
+        # (size-0 entries, empty buckets, sentinel pair slots)
+        e_pad = 8
+        return (
+            np.zeros(e_pad, np.int32),
+            np.zeros(e_pad, np.int32),
+            np.zeros(e_pad, np.int32),
+            np.full((e_pad, qcap), -1, np.int32),
+            np.full((num_q, L), e_pad * qcap, np.int32),
+        )
     cum = np.concatenate([[0], np.cumsum(reps)[:-1]])
     e_upart = np.repeat(np.arange(len(used)), reps)
     within = np.arange(num_e) - np.repeat(cum, reps)
