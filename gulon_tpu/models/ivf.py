@@ -782,8 +782,12 @@ class IVFIndex(Index):
     _sizes_dev: Optional[jax.Array] = None  # partition_sizes() on device
     # ranked candidates the fused kernel keeps per 128-row block (1..4):
     # losing a true top-k member needs pallas_winners+1 of them in one
-    # block; higher = better recall, slightly more selection VPU work
-    pallas_winners: int = 2
+    # block; higher = better recall, more selection VPU work. At 4 the
+    # strategy beats the masked scan on BOTH latency and recall at the
+    # ivf1m config (3.5 vs 9.9 ms/batch, R@10 0.572 vs 0.565 — the masked
+    # scan's approx_min_k carries its own selection loss); 2 is the fast
+    # setting (2.2 ms, R@10 0.548)
+    pallas_winners: int = 4
 
     @property
     def key_index(self) -> GroupedKeyIndex:
