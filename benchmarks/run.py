@@ -150,12 +150,10 @@ def bench_exact(n, d, n_queries, name):
     # pretransposed bf16 operand + exact f32 rescore of 4k block winners
     use_pallas = jax.default_backend() == "tpu" and n >= 256 * 10
     if use_pallas:
-        from gulon_tpu.ops.pallas.dense import (
-            dense_scan_pallas, prepare_data_t,
-        )
+        from gulon_tpu.ops.pallas.dense import dense_scan_pallas
 
         dp = -(-d // 8) * 8
-        data_t = jnp.pad(x_dev.T, ((0, dp - d), (0, 0))).astype(jnp.bfloat16)
+        data_nat = jnp.pad(x_dev, ((0, 0), (0, dp - d))).astype(jnp.bfloat16)
         xn = sq_norms(x_dev)
 
         def run(i):
@@ -163,7 +161,7 @@ def bench_exact(n, d, n_queries, name):
                 q_dev, (i % 4) * n_queries, n_queries, 0
             )
             return dense_scan_pallas(
-                qb, data_t, xn, k=10, rescore_rows=x_dev, rescore=4
+                qb, data_nat, xn, k=10, rescore_rows=x_dev, rescore=4
             )
 
     else:

@@ -81,11 +81,11 @@ class ExactIndex(Index):
         if strategy == "pallas":
             from gulon_tpu.ops.pallas.dense import (
                 dense_scan_pallas,
-                prepare_data_t,
+                prepare_data,
             )
 
             if self._data_t is None:
-                self._data_t = prepare_data_t(self.vectors)
+                self._data_t = prepare_data(self.vectors)
             return dense_scan_pallas(
                 q,
                 self._data_t,

@@ -1,17 +1,27 @@
 """Fused Pallas dense (exact) scan: block-min over a streamed bf16 matrix.
 
 The decode-free sibling of the ADC kernel (``ops/pallas/adc.py``): per grid
-step one MXU matmul scores a row tile of a pretransposed bf16 data matrix
-against a query tile, and the same min-then-match sublane reduction emits
-one (value, row) winner per 128-row block. Serves two roles:
+step one MXU matmul scores a row tile of the bf16 data matrix against a
+query tile, and the same min-then-match sublane reduction emits one
+(value, row) winner per 128-row block. Serves two roles:
 
 - exact brute-force search over raw vectors (``ExactIndex``; the role of
   the reference's ``exactNearestNeighbours``, ``Index.scala:209-229``) —
   the XLA ``exact_scan`` materializes [Q, T] distance tiles through HBM and
   runs ~5x off the matmul bound at the fasttext shape; this kernel keeps
   the scores in VMEM;
-- scans over any precomputed reconstruction (the flat ``cached`` strategy's
-  bf16 decoded matrix).
+- scans over any precomputed reconstruction (bf16 decoded matrices).
+
+Layout (measured on v5e at 2M x 304): the data operand stays in its
+NATURAL ``[N, Dp]`` row-major layout and the *queries* are transposed to
+``[Dp, QT]`` once per batch, so the distance matmul is the canonical
+``lhs [T, K] x rhs [K, QT]`` with zero per-step relayouts — 144 TF/s
+effective vs 85 TF/s for the transposed-data formulation (``dataT [Dp, T]``
+contracted on dim 0), a 1.7x kernel speedup when the contraction depth
+exceeds one 128-wide MXU pass. (The ADC kernel keeps the transposed
+orientation: its decode stage manufactures ``dec^T`` in exactly that
+layout and its contraction depth ``m*dsub`` is typically <= 128, where the
+penalty vanishes.)
 
 Selection granularity is one winner per 128-row block (identical to the
 ADC kernel / ``approx_min_k``); the ``rescore`` option re-ranks the block
@@ -19,9 +29,8 @@ winners with exact f32 rows, making reported results exact brute force
 whenever two true top-k members rarely share a block (guaranteed exact for
 top-1).
 
-Layout: ``data_t [Dp, N] bf16`` with D padded up to a sublane multiple of
-8; queries are padded to ``Dp`` lanes with zeros. The row tile is chosen so
-the f32 score block plus operands stay inside VMEM.
+``prepare_data`` pads D up to a sublane multiple of 8 and converts to
+bf16; N pads to the row-tile multiple inside the wrapper.
 """
 
 from __future__ import annotations
@@ -48,29 +57,30 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _pick_tiles(num_q: int, dp: int) -> Tuple[int, int]:
-    """(query tile, row tile): scores [T, QT] f32 + arg temp dominate."""
-    budget = 12 * 1024 * 1024
+    """(query tile, row tile): scores [T, QT] f32 + data block dominate."""
+    budget = 14 * 1024 * 1024
     qt = min(_round_up(num_q, 16), 1024)
     for t in (4096, 2048, 1024):
-        work = 8 * qt * t + 2 * t * dp + 2 * qt * dp
+        work = 4 * qt * t + 2 * t * dp + 2 * qt * dp
         if work < budget:
             return qt, t
     return qt, 1024
 
 
-def _dense_kernel(dataT_ref, norms_ref, q_ref, vals_ref, ids_ref, *,
+def _dense_kernel(data_ref, norms_ref, qT_ref, vals_ref, ids_ref, *,
                   tile_rows: int):
     t = tile_rows
-    qt = q_ref.shape[0]
+    qt = qT_ref.shape[1]
     nblk = t // _LANES
     rt_idx = pl.program_id(0)
 
+    # canonical orientation: data block [T, Dp] x qT [Dp, QT] -> [T, QT]
     ipt = jax.lax.dot_general(
-        dataT_ref[:],
-        q_ref[:],
-        dimension_numbers=(((0,), (1,)), ((), ())),
+        data_ref[:],
+        qT_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # [T, QT]
+    )
     scores = norms_ref[:, 0].reshape(t, 1) - 2.0 * ipt
     s3 = scores.reshape(nblk, _LANES, qt)
     vmin = jnp.min(s3, axis=1)
@@ -88,7 +98,7 @@ def _dense_kernel(dataT_ref, norms_ref, q_ref, vals_ref, ids_ref, *,
 )
 def dense_scan_pallas(
     queries: jax.Array,  # [Q, D] f32
-    data_t: jax.Array,  # [Dp, N] bf16, pretransposed (Dp = round_up(D, 8))
+    data: jax.Array,  # [N', Dp] bf16 natural layout (see prepare_data)
     norms: jax.Array,  # [N] f32 = ||x||^2 per row
     *,
     k: int,
@@ -99,9 +109,11 @@ def dense_scan_pallas(
 ) -> Tuple[jax.Array, jax.Array]:
     """Fused exact scan. Returns ([Q, k] squared-L2 asc, [Q, k] row ids)."""
     num_q, d = queries.shape
-    dp, n = data_t.shape
+    n, dp = data.shape
     if dp % 8 or dp < d:
-        raise ValueError(f"data_t leading dim must be round_up(D, 8), got {dp}")
+        raise ValueError(
+            f"data trailing dim must be round_up(D, 8), got {dp}"
+        )
     kk = min(k, n)
     if kk > _LANES:
         raise ValueError(f"dense kernel supports k <= 128, got {k}")
@@ -127,18 +139,19 @@ def dense_scan_pallas(
     q_npad = (-num_q) % qt
     if q_npad:
         q_pad = jnp.pad(q_pad, ((0, q_npad), (0, 0)))
+    qT = q_pad.astype(jnp.bfloat16).T  # [Dp, Q'] one relayout per batch
 
-    dt = data_t
+    dt = data
     if n % t:
-        dt = jnp.pad(dt, ((0, 0), (0, (-n) % t)))
+        dt = jnp.pad(dt, ((0, (-n) % t), (0, 0)))
     norms_p = norms.astype(jnp.float32)
-    if norms_p.shape[0] < dt.shape[1]:
+    if norms_p.shape[0] < dt.shape[0]:
         norms_p = jnp.pad(
-            norms_p, (0, dt.shape[1] - norms_p.shape[0]),
+            norms_p, (0, dt.shape[0] - norms_p.shape[0]),
             constant_values=_BIG,
         )
-    n_rt = dt.shape[1] // t
-    n_qt = q_pad.shape[0] // qt
+    n_rt = dt.shape[0] // t
+    n_qt = qT.shape[1] // qt
     nblk = t // _LANES
 
     kernel = functools.partial(_dense_kernel, tile_rows=t)
@@ -146,11 +159,11 @@ def dense_scan_pallas(
         kernel,
         grid=(n_rt, n_qt),
         in_specs=[
-            pl.BlockSpec((dp, t), lambda r, q: (0, r),
+            pl.BlockSpec((t, dp), lambda r, q: (r, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((t, 1), lambda r, q: (r, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((qt, dp), lambda r, q: (q, 0),
+            pl.BlockSpec((dp, qt), lambda r, q: (0, q),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
@@ -160,11 +173,11 @@ def dense_scan_pallas(
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((n_rt * nblk, q_pad.shape[0]), jnp.float32),
-            jax.ShapeDtypeStruct((n_rt * nblk, q_pad.shape[0]), jnp.int32),
+            jax.ShapeDtypeStruct((n_rt * nblk, qT.shape[1]), jnp.float32),
+            jax.ShapeDtypeStruct((n_rt * nblk, qT.shape[1]), jnp.int32),
         ),
         interpret=interpret,
-    )(dt, norms_p.reshape(-1, 1), q_pad.astype(jnp.bfloat16))
+    )(dt, norms_p.reshape(-1, 1), qT)
 
     winners_v, winners_i = block_v.T[:num_q], block_i.T[:num_q]
     fetch = min(max(kk, rescore * kk if rescore else kk), _LANES)
@@ -203,11 +216,17 @@ def dense_scan_pallas(
     return best_d, best_ids
 
 
-def prepare_data_t(data) -> jax.Array:
-    """Pretransposed bf16 operand: ``[N, D] -> [round_up(D, 8), N]``."""
+def prepare_data(data) -> jax.Array:
+    """Natural-layout bf16 operand: ``[N, D] -> [N, round_up(D, 8)]``."""
     x = np.asarray(data, np.float32)
     n, d = x.shape
     dp = _round_up(max(d, 8), 8)
-    out = np.zeros((dp, n), np.float32)
-    out[:d] = x.T
+    out = np.zeros((n, dp), np.float32)
+    out[:, :d] = x
     return jnp.asarray(out, jnp.bfloat16)
+
+
+def prepare_data_t(data) -> jax.Array:  # pragma: no cover - legacy alias
+    """Deprecated: the kernel now takes the natural layout; use
+    :func:`prepare_data`."""
+    return prepare_data(data)

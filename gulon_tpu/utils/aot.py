@@ -222,11 +222,11 @@ def _exact_callable(index, k: int):
     if use_pallas:
         from gulon_tpu.ops.pallas.dense import (
             dense_scan_pallas,
-            prepare_data_t,
+            prepare_data,
         )
 
         if index._data_t is None:
-            index._data_t = prepare_data_t(index.vectors)
+            index._data_t = prepare_data(index.vectors)
         rescore = index.rescore_factor
 
         def fn(q, data_t, norms, rows):

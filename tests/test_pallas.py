@@ -147,7 +147,7 @@ def test_pallas_value_knobs_agree(setup):
 
 def test_dense_scan_matches_exact():
     """Dense fused kernel (interpret) + f32 rescore == XLA exact scan."""
-    from gulon_tpu.ops.pallas.dense import dense_scan_pallas, prepare_data_t
+    from gulon_tpu.ops.pallas.dense import dense_scan_pallas, prepare_data
     from gulon_tpu.ops.distance import sq_norms
     from gulon_tpu.ops.scan import exact_scan
 
@@ -155,7 +155,7 @@ def test_dense_scan_matches_exact():
     n, d, k = 65536, 24, 8
     x = jnp.asarray(rng.normal(0, 1, (n, d)).astype(np.float32))
     q = jnp.asarray(rng.normal(0, 1, (40, d)).astype(np.float32))
-    dt = prepare_data_t(x)
+    dt = prepare_data(x)
     d_k, i_k = dense_scan_pallas(
         q, dt, sq_norms(x), k=k, interpret=True,
         rescore_rows=x, rescore=4, tile_rows=1024,
