@@ -91,6 +91,41 @@ def idset_recall(approx_ids: np.ndarray, exact_ids: np.ndarray, k: int) -> float
     )
 
 
+def time_device_loop_args(
+    step_fn: Callable, operands: tuple, iters: int = 16
+):
+    """Like :func:`time_device_loop` but the big arrays are jit ARGUMENTS.
+
+    A closure capture would embed them as HLO constants — the remote
+    tunnel compiler then receives the whole corpus in the compile request
+    (observed: 25-minute compiles ending in HTTP 413 / broken pipe).
+    ``step_fn(acc, *operands) -> acc'`` must chain a scalar.
+    """
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, static_argnames=("n_it",))
+    def loop(n_it, *ops):
+        def body(i, acc):
+            return step_fn(acc, *ops)
+
+        return jax.lax.fori_loop(0, n_it, body, jnp.float32(0.0))
+
+    float(loop(iters, *operands))
+    float(loop(1, *operands))
+
+    def timed(n):
+        t0 = time.perf_counter()
+        float(loop(n, *operands))
+        return time.perf_counter() - t0
+
+    t_many = min(timed(iters) for _ in range(5))
+    t_one = min(timed(1) for _ in range(5))
+    return max((t_many - t_one) / (iters - 1), 1e-9)
+
+
 def time_direct(run_fn: Callable, reps: int = 8):
     """Median per-call seconds of ``run_fn(i) -> (dists, ids)`` minus the
     measured tunnel RTT. Coarser than :func:`time_device_loop` but does not

@@ -147,7 +147,10 @@ def bench_exact(n, d, n_queries, name):
     q_dev = jnp.take(x_dev, jnp.asarray(q_idx), axis=0)
 
     # serving path (ExactIndex auto on TPU): fused dense kernel over a
-    # pretransposed bf16 operand + exact f32 rescore of 4k block winners
+    # natural-layout bf16 operand + exact f32 rescore of 4k block winners.
+    # Device-loop timing with operands as jit args (see common.py).
+    from benchmarks.common import time_device_loop_args
+
     use_pallas = jax.default_backend() == "tpu" and n >= 256 * 10
     if use_pallas:
         from gulon_tpu.ops.pallas.dense import dense_scan_pallas
@@ -156,25 +159,38 @@ def bench_exact(n, d, n_queries, name):
         data_nat = jnp.pad(x_dev, ((0, 0), (0, dp - d))).astype(jnp.bfloat16)
         xn = sq_norms(x_dev)
 
-        def run(i):
+        def step(acc, qp, dn, norms, rows):
             qb = jax.lax.dynamic_slice_in_dim(
-                q_dev, (i % 4) * n_queries, n_queries, 0
+                qp, (acc.astype(jnp.int32) % 4) * n_queries, n_queries, 0
             )
-            return dense_scan_pallas(
-                qb, data_nat, xn, k=10, rescore_rows=x_dev, rescore=4
+            dd, ii = dense_scan_pallas(
+                qb + acc * 1e-30, dn, norms, k=10,
+                rescore_rows=rows, rescore=4,
+            )
+            return (
+                acc + dd[0, 0] * 1e-30 + jnp.float32(ii[0, 0] % 3) * 1e-30
+                + 1.0
             )
 
+        per_batch = time_device_loop_args(
+            step, (q_dev, data_nat, xn, x_dev)
+        )
     else:
 
-        def run(i):
+        def step(acc, qp, rows):
             qb = jax.lax.dynamic_slice_in_dim(
-                q_dev, (i % 4) * n_queries, n_queries, 0
+                qp, (acc.astype(jnp.int32) % 4) * n_queries, n_queries, 0
             )
-            return exact_scan(
-                qb, x_dev, k=10, precision="default", topk_impl="approx"
+            dd, ii = exact_scan(
+                qb + acc * 1e-30, rows, k=10, precision="default",
+                topk_impl="approx",
+            )
+            return (
+                acc + dd[0, 0] * 1e-30 + jnp.float32(ii[0, 0] % 3) * 1e-30
+                + 1.0
             )
 
-    per_batch = time_direct(run)
+        per_batch = time_device_loop_args(step, (q_dev, x_dev))
     _emit(
         {
             "benchmark": name,
@@ -187,7 +203,7 @@ def bench_exact(n, d, n_queries, name):
             "batch": n_queries,
             "us_per_query": round(per_batch / n_queries * 1e6, 3),
             "qps_per_chip": round(n_queries / per_batch, 1),
-            "timing": "direct median-of-8, RTT-subtracted",
+            "timing": "device-side chained loop, two-point",
             "device": str(jax.devices()[0]),
         }
     )
