@@ -4,8 +4,9 @@ The reference exposes exact search only internally (ground truth + coarse
 centroid ranking, ``exactNearestNeighbours`` at ``Index.scala:209-229``).
 On TPU an unquantized full scan is itself a production-grade serving path —
 one MXU matmul per row tile (the BASELINE "fastText crawl 300d exact scan"
-configuration: 2M x 300d at ~30 us/query on one v5e chip) — so it gets a
-first-class index with the same API as the PQ indices.
+configuration: 2M x 300d at ~15 us/query on one v5e chip via the fused
+dense kernel) — so it gets a first-class index with the same API as the
+PQ indices.
 
 Persistence is npz (raw vectors have no reference wire format to match).
 """
@@ -40,7 +41,7 @@ class ExactIndex(Index):
     # XLA exact_scan otherwise; "xla"/"pallas" force a path.
     scan_strategy: str = "auto"
     rescore_factor: int = 4
-    _data_t: Optional[jax.Array] = None  # lazy [Dp, N] bf16 for the kernel
+    _data_t: Optional[jax.Array] = None  # lazy [N, Dp] bf16 kernel operand
 
     @property
     def key_index(self) -> SortedKeyIndex:
