@@ -15,6 +15,11 @@ step is iterated *device-side* (fori_loop over query-pool slices, carrying a
 data dependency) and timed via the two-point (T(I) - T(1)) / (I - 1) method
 with a forced scalar readback.
 
+Build timing runs the pipeline twice: ``index_build_s`` is the warm second
+pass (programs resident), ``program_load_s`` the first-pass delta — through
+the tunnel even persistent-cache hits pay minutes of per-process program
+loading, which is transport cost, not build work.
+
 Prints ONE JSON line:
   {"metric": ..., "value": <us/query>, "unit": "us_per_query",
    "vs_baseline": <5000us / value>, ...extras}
@@ -58,20 +63,31 @@ def main():
     q_idx = np.sort(rng.choice(n, n_queries * pool_batches, replace=False))
     q_pool = jnp.take(x, jnp.asarray(q_idx), axis=0)
 
-    t_build0 = time.monotonic()
-    pq = train_product_quantizer(
-        x,
-        PQConfig(
-            num_clusters=k_codes,
-            num_quantizers=m,
-            max_iters=25,
-            train_sample=100_000,
-        ),
-    )
-    codes = pq.encode(x)
-    norms = pq.reconstruction_norms(codes)
-    _ = np.asarray(norms[:1])  # force build completion before stopping clock
-    build_s = time.monotonic() - t_build0
+    def run_build():
+        t0 = time.monotonic()
+        pq = train_product_quantizer(
+            x,
+            PQConfig(
+                num_clusters=k_codes,
+                num_quantizers=m,
+                max_iters=25,
+                train_sample=100_000,
+            ),
+        )
+        codes = pq.encode(x)
+        norms = pq.reconstruction_norms(codes)
+        _ = np.asarray(norms[:1])  # force completion before stopping clock
+        return pq, codes, norms, time.monotonic() - t0
+
+    # Two passes: the first charges XLA compilation / per-process program
+    # loading (through the remote tunnel even a persistent-cache HIT pays
+    # minutes of server-side executable rebuild); the second runs with
+    # programs resident and measures the actual build work. Reporting the
+    # first-pass number as "build time" would measure the tunnel, not the
+    # framework (round-2 lesson: 511 s reported vs 0.2 s of execution).
+    _, _, _, cold_s = run_build()
+    pq, codes, norms, build_s = run_build()
+    program_load_s = max(cold_s - build_s, 0.0)
 
     q_pool_dev = q_pool
     # the serving path: the fused Pallas kernel (FlatIndex auto strategy on
@@ -149,6 +165,14 @@ def main():
     # path is lossless given the code budget.
     sample = 256
     d_adc, i_adc = query_step(q_pool_dev[:sample])
+    _, cand = adc_scan_pallas(
+        q_pool_dev[:sample], pq.codebooks, codes_t, norms,
+        bounds=pq.bounds, k=k_scan, num_rows=n_rows,
+    )
+    _, i_rerank = rescore_exact(
+        q_pool_dev[:sample], pq.codebooks, codes, norms, cand,
+        bounds=pq.bounds, k=topk,
+    )
     d_ex, i_ex = exact_scan(q_pool_dev[:sample], x, k=topk)
     _, i_ceil = adc_scan_decode(
         q_pool_dev[:sample], pq.codebooks, codes, norms,
@@ -156,6 +180,7 @@ def main():
         precision="highest", decode_impl="gather", topk_impl="exact",
     )
     i_adc = np.asarray(i_adc)
+    i_rerank = np.asarray(i_rerank)
     i_ex = np.asarray(i_ex)
     i_ceil = np.asarray(i_ceil)
 
@@ -167,6 +192,7 @@ def main():
         )
 
     recall = _recall(i_adc)
+    recall_rerank = _recall(i_rerank)
     recall_ceiling = _recall(i_ceil)
 
     print(
@@ -184,9 +210,11 @@ def main():
                     per_batch_rerank / n_queries * 1e6, 3
                 ),
                 "recall_at_10_vs_exact": round(recall, 4),
+                "recall_at_10_rerank4": round(recall_rerank, 4),
                 "recall_at_10_pq_ceiling": round(recall_ceiling, 4),
                 "scan_efficiency": round(recall / max(recall_ceiling, 1e-9), 4),
                 "index_build_s": round(build_s, 2),
+                "program_load_s": round(program_load_s, 2),
                 "device": str(jax.devices()[0]),
             }
         )

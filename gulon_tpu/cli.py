@@ -150,8 +150,7 @@ def build_parser() -> argparse.ArgumentParser:
             default=None,
             help="device scan strategy (flat index: auto|decode|lut|cached|"
             "pallas; partitioned index: masked|pallas|gathered|bucketed; "
-            "exact "
-            "index: none)",
+            "exact index: auto|xla|pallas)",
         )
         sp.add_argument(
             "--precision",
@@ -179,6 +178,7 @@ def build_parser() -> argparse.ArgumentParser:
 
 _FLAT_STRATEGIES = ("auto", "decode", "lut", "cached", "pallas")
 _IVF_STRATEGIES = ("masked", "pallas", "gathered", "bucketed")
+_EXACT_STRATEGIES = ("auto", "xla", "pallas")
 
 
 def _load_serving_index(args, reporter):
@@ -197,6 +197,8 @@ def _load_serving_index(args, reporter):
             if isinstance(index, FlatIndex)
             else _IVF_STRATEGIES
             if isinstance(index, IVFIndex)
+            else _EXACT_STRATEGIES
+            if isinstance(index, ExactIndex)
             else ()
         )
         if strategy not in allowed:

@@ -42,6 +42,8 @@ class ExactIndex(Index):
     scan_strategy: str = "auto"
     rescore_factor: int = 4
     _data_t: Optional[jax.Array] = None  # lazy [N, Dp] bf16 kernel operand
+    _norms: Optional[jax.Array] = None  # lazy [N] f32 ||x||^2 (hoisted: a
+    # per-call sq_norms would re-stream the full f32 corpus from HBM)
 
     @property
     def key_index(self) -> SortedKeyIndex:
@@ -87,10 +89,12 @@ class ExactIndex(Index):
 
             if self._data_t is None:
                 self._data_t = prepare_data(self.vectors)
+            if self._norms is None:
+                self._norms = sq_norms(self.vectors)
             return dense_scan_pallas(
                 q,
                 self._data_t,
-                sq_norms(self.vectors),
+                self._norms,
                 k=k_eff,
                 interpret=jax.default_backend() != "tpu",
                 rescore_rows=self.vectors,

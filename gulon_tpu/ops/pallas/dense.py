@@ -86,7 +86,9 @@ def _dense_kernel(data_ref, norms_ref, qT_ref, vals_ref, ids_ref, *,
     vmin = jnp.min(s3, axis=1)
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (nblk, _LANES, qt), 1)
     cand = jnp.where(s3 == vmin[:, None, :], row_iota, jnp.int32(_LANES))
-    lane = jnp.min(cand, axis=1)
+    # clamp: NaN scores match nothing, leaving cand all-_LANES; without the
+    # clamp the emitted id would alias the first row of the next block
+    lane = jnp.minimum(jnp.min(cand, axis=1), _LANES - 1)
     blk_base = jax.lax.broadcasted_iota(jnp.int32, (nblk, qt), 0)
     vals_ref[:] = vmin
     ids_ref[:] = rt_idx * t + blk_base * _LANES + lane

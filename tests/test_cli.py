@@ -129,7 +129,12 @@ def test_exact_build_and_serving_knobs(corpus_file, tmp_path, capsys):
     # sharded serving returns the same neighbours
     assert _run(["query", "-k", "1", "--index", idx, "--mesh", "8", qfile]) == 0
     assert capsys.readouterr().out.strip().splitlines() == out
-    # exact indices have no scan strategies
+    # exact indices accept auto|xla|pallas (forcing the XLA path enables
+    # kernel-vs-XLA A/B runs from the CLI) and reject PQ-only strategies
+    assert _run([
+        "query", "-k", "1", "--index", idx, "--scan-strategy", "xla", qfile,
+    ]) == 0
+    assert capsys.readouterr().out.strip().splitlines() == out
     assert _run([
         "query", "-k", "1", "--index", idx, "--scan-strategy", "decode", qfile,
     ]) == 1
