@@ -1,0 +1,150 @@
+"""A/B kernel benchmarks for the v6 fused-scan changes, on the real TPU.
+
+Shapes mirror the BASELINE configs without paying a PQ build (random codes
+and gaussian codebooks: scan latency is shape-dependent only).
+
+  adc100   headline 400k x 100d PQ 8x256  (depth 106 -> transposed mode)
+  adc300   glove300 2.2M x 300d PQ 16x256 (depth 306 -> natural mode);
+           also times the forced-transposed variant for the A/B
+  dense    fasttext 2M x 300d exact scan: no-rescore / operand-rescore /
+           exact-f32-rescore
+
+Usage: python benchmarks/kernel_ab.py [adc100|adc300|dense] ...
+"""
+
+import sys
+
+
+def _setup():
+    import os
+
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    from gulon_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
+
+def adc_shape(n, d, m, K, num_q=1024, k=10, force_transposed=False):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from benchmarks.common import time_device_loop_args
+    from gulon_tpu.ops.pq import subspace_bounds
+    import gulon_tpu.ops.pallas.adc as A
+
+    bounds = subspace_bounds(d, m)
+    dsub = max(w for _, w in bounds)
+    key = jax.random.key(0)
+    k1, k2, k3 = jax.random.split(key, 3)
+    codebooks = jax.random.normal(k1, (m, K, dsub), jnp.float32)
+    for i, (_, w) in enumerate(bounds):
+        if w < dsub:
+            codebooks = codebooks.at[i, :, w:].set(0.0)
+    codes_np = np.random.default_rng(0).integers(
+        0, K, (n, m), dtype=np.int32
+    )
+    codes_t = A.pack_codes_t(codes_np, K)
+    norms = jax.random.uniform(k2, (n,), jnp.float32, 10.0, 50.0)
+    q_pool = jax.random.normal(k3, (num_q * 2, d), jnp.float32)
+
+    mdp = A.padded_depth(m, dsub)
+    natural = A._natural(mdp) and not force_transposed
+    if force_transposed:
+        A._natural = lambda _mdp: False
+    label = "natural" if natural else "transposed"
+    print(f"[adc n={n} d={d} m={m}] depth={mdp} mode={label}")
+
+    def step(acc, qp, ct, nrm, cb):
+        qs = jax.lax.dynamic_slice_in_dim(
+            qp, (jnp.int32(acc) % 2) * num_q, num_q, 0
+        )
+        dd, ii = A.adc_scan_pallas(
+            qs + acc * 1e-30, cb, ct, nrm, bounds=bounds, k=k, num_rows=n
+        )
+        return acc + dd[0, 0] * 1e-30 + jnp.float32(ii[0, 0]) * 1e-30 + 1.0
+
+    per = time_device_loop_args(
+        step, (q_pool, codes_t, norms, codebooks), iters=16
+    )
+    print(
+        f"  {per*1e3:9.3f} ms/batch  {per/num_q*1e6:8.3f} us/query "
+        f"({num_q/per:,.0f} QPS)"
+    )
+    return per
+
+
+def dense_shape(n=2_000_000, d=300, num_q=1024, k=10):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from benchmarks.common import time_device_loop_args
+    from gulon_tpu.ops.pallas.dense import dense_scan_pallas, padded_dim
+    from gulon_tpu.ops.distance import sq_norms
+
+    key = jax.random.key(1)
+    k1, k2 = jax.random.split(key)
+    # generate the operand directly on device in augmented layout
+    dp = padded_dim(d)
+    x = jax.random.normal(k1, (n, d), jnp.float32) * 0.3
+    norms = sq_norms(x)
+    hi = norms.astype(jnp.bfloat16)
+    lo = (norms - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    data = jnp.zeros((n, dp), jnp.bfloat16)
+    data = data.at[:, :d].set(x.astype(jnp.bfloat16))
+    data = data.at[:, dp - 2].set(hi)
+    data = data.at[:, dp - 1].set(lo)
+    q_pool = jax.random.normal(k2, (num_q * 2, d), jnp.float32) * 0.3
+
+    for name, kw in (
+        ("raw (no rescore)", dict()),
+        ("operand rescore x4", dict(rescore=4)),
+        ("f32 rescore x4", dict(rescore=4, rescore_rows=x)),
+    ):
+        ops = (q_pool, data, norms) + (
+            (x,) if "rescore_rows" in kw else ()
+        )
+        has_rows = "rescore_rows" in kw
+        rescore = kw.get("rescore", 0)
+
+        def step(acc, qp, dt, nrm, *rest):
+            qs = jax.lax.dynamic_slice_in_dim(
+                qp, (jnp.int32(acc) % 2) * num_q, num_q, 0
+            )
+            dd, ii = dense_scan_pallas(
+                qs + acc * 1e-30, dt, nrm, k=k, rescore=rescore,
+                rescore_rows=rest[0] if has_rows else None,
+            )
+            return (
+                acc + dd[0, 0] * 1e-30 + jnp.float32(ii[0, 0]) * 1e-30 + 1.0
+            )
+
+        from benchmarks.common import time_device_loop_args as tdla
+
+        per = tdla(step, ops, iters=16)
+        print(
+            f"  dense {name:20s} {per*1e3:9.3f} ms/batch "
+            f"{per/num_q*1e6:8.3f} us/query ({num_q/per:,.0f} QPS)"
+        )
+
+
+def main():
+    _setup()
+    which = sys.argv[1] if len(sys.argv) > 1 else "adc100"
+    if which == "adc100":
+        adc_shape(400_000, 100, 8, 256)
+    elif which == "adc300":
+        adc_shape(2_196_017, 300, 16, 256)
+    elif which == "adc300t":
+        adc_shape(2_196_017, 300, 16, 256, force_transposed=True)
+    elif which == "dense":
+        dense_shape()
+    else:
+        raise SystemExit(f"unknown mode {which}")
+
+
+if __name__ == "__main__":
+    main()

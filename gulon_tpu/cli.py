@@ -119,6 +119,14 @@ def build_parser() -> argparse.ArgumentParser:
         "uniform rows, default) or 'kmeans++' (D^2-weighted, usually "
         "lower quantization error at equal iterations)",
     )
+    b.add_argument(
+        "--streaming",
+        action="store_true",
+        help="stream the build: native mmap parser -> chunked device "
+        "encode with O(chunk) host memory instead of materializing the "
+        "full f32 corpus (10M x 300d is ~12 GB RSS without it); "
+        "incompatible with --exact (raw vectors ARE the index)",
+    )
     b.add_argument("-o", "--output", required=True, help="output index file")
     b.add_argument("input", help="word2vec-format text file")
 
@@ -255,8 +263,22 @@ def cmd_build_index(args, reporter) -> int:
             "error: --exact and --partitioned are mutually exclusive\n"
         )
         return 1
+    if args.exact and args.streaming:
+        reporter.out.write(
+            "error: --streaming requires a quantized build (--exact keeps "
+            "the raw vectors, which a stream cannot avoid materializing)\n"
+        )
+        return 1
 
     metric = Metric.parse(args.metric)
+    pq_config = PQConfig(
+        num_clusters=args.clusters,
+        num_quantizers=args.quantizers,
+        max_iters=args.max_iters,
+        init=args.kmeans_init,
+    )
+    if args.streaming:
+        return _build_streaming(args, reporter, metric, pq_config)
     with reporter.task(f"reading {args.input}"):
         wv = read_word2vec_path(
             args.input,
@@ -267,12 +289,6 @@ def cmd_build_index(args, reporter) -> int:
                 f"{p.lines_read} vectors, ~{format_bytes(p.size_estimate_bytes)}",
             ),
         )
-    pq_config = PQConfig(
-        num_clusters=args.clusters,
-        num_quantizers=args.quantizers,
-        max_iters=args.max_iters,
-        init=args.kmeans_init,
-    )
 
     def kmeans_progress(iteration, step_size, converged_count):
         # jax.debug.callback delivers (iteration, mean centroid step, number
@@ -321,6 +337,71 @@ def cmd_build_index(args, reporter) -> int:
                 wv.keys, wv.vectors, metric=metric, pq_config=pq_config,
                 report_fn=kmeans_progress,
             )
+    with reporter.task(f"writing {args.output}"):
+        save_index(index, args.output)
+    return 0
+
+
+def _build_streaming(args, reporter, metric, pq_config) -> int:
+    """``build-index --streaming``: native parser -> chunked device encode
+    (O(chunk) host RSS; the library surface is ``models/streaming.py``)."""
+    from gulon_tpu.models.ivf import LimitGroups, LimitVectors
+    from gulon_tpu.utils.serde import save_index
+
+    try:
+        from gulon_tpu.models.streaming import (
+            build_flat_index_streaming,
+            build_ivf_index_streaming,
+        )
+
+        def stream_progress(*a):
+            if len(a) == 1:  # StreamProgress from the encode pipeline
+                p = a[0]
+                reporter.progress(
+                    "encoding",
+                    p.rows_done / max(p.total_rows, 1),
+                    f"{p.rows_done}/{p.total_rows} rows",
+                )
+            else:  # (iteration, step_size, converged) from k-means
+                iteration, step_size, converged = a
+                reporter.progress(
+                    "k-means",
+                    float(iteration) / args.max_iters,
+                    f"iter {int(iteration)}/{args.max_iters} "
+                    f"step {float(step_size):.3e}",
+                )
+
+        if args.partitioned:
+            strategy = None
+            if args.limit_vectors:
+                strategy = LimitVectors(args.limit_vectors)
+            elif args.limit:
+                strategy = LimitGroups(args.limit)
+            with reporter.task("building partitioned index (streaming)"):
+                index = build_ivf_index_streaming(
+                    args.input,
+                    metric=metric,
+                    pq_config=pq_config,
+                    num_partitions=args.partitions,
+                    strategy=strategy,
+                    coarse_init=args.kmeans_init,
+                    max_partition_size=args.max_partition_size,
+                    report_fn=stream_progress,
+                )
+        else:
+            with reporter.task("building index (streaming)"):
+                index = build_flat_index_streaming(
+                    args.input,
+                    metric=metric,
+                    pq_config=pq_config,
+                    report_fn=stream_progress,
+                )
+    except RuntimeError as e:
+        reporter.out.write(
+            f"error: streaming build unavailable ({e}); rerun without "
+            "--streaming\n"
+        )
+        return 1
     with reporter.task(f"writing {args.output}"):
         save_index(index, args.output)
     return 0

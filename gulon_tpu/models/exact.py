@@ -37,10 +37,15 @@ class ExactIndex(Index):
     topk_impl: str = "approx"
     recall_target: float = 0.95
     # "auto" (default): fused dense kernel on TPU within its envelope
-    # (bf16-scored block winners + exact f32 rescore of 4k candidates),
+    # (bf16-scored block winners + a rescore re-rank of 4k candidates),
     # XLA exact_scan otherwise; "xla"/"pallas" force a path.
     scan_strategy: str = "auto"
     rescore_factor: int = 4
+    # False (default): rescore from the bf16 kernel operand already in
+    # HBM (half the gather bytes; reported distances carry ~2^-9 bf16
+    # rounding, same class as the kernel scores). True: gather f32 rows
+    # for exact reported distances at ~2x the rescore traffic.
+    exact_rescore: bool = False
     _data_t: Optional[jax.Array] = None  # lazy [N, Dp] bf16 kernel operand
     _norms: Optional[jax.Array] = None  # lazy [N] f32 ||x||^2 (hoisted: a
     # per-call sq_norms would re-stream the full f32 corpus from HBM)
@@ -97,7 +102,7 @@ class ExactIndex(Index):
                 self._norms,
                 k=k_eff,
                 interpret=jax.default_backend() != "tpu",
-                rescore_rows=self.vectors,
+                rescore_rows=self.vectors if self.exact_rescore else None,
                 rescore=self.rescore_factor,
             )
         if strategy != "xla":

@@ -668,7 +668,7 @@ def _rank_and_probe(q, centroids, sizes, *, kind: str, count: int):
     jax.jit,
     static_argnames=(
         "bounds", "num_rows", "k", "topk_impl", "recall_target", "interpret",
-        "winners",
+        "winners", "rescore",
     ),
 )
 def _pallas_ivf_query(
@@ -689,6 +689,7 @@ def _pallas_ivf_query(
     recall_target: float,
     interpret: bool,
     winners: int = 2,
+    rescore: int = 0,
 ):
     """Kernel + epilogue of the IVF ``pallas`` strategy as ONE computation.
 
@@ -698,6 +699,12 @@ def _pallas_ivf_query(
     fixed block — and hence partition — of the static layout
     (``col_part``), so the block-constant group term and probe mask apply
     after the in-kernel min via shared-index column gathers.
+
+    ``rescore > 0`` over-fetches ``rescore*k`` ranked candidates and
+    re-ranks them with exact f32 ADC distances (the per-partition exact
+    distances of ``Index.scala:273-281``): an f32 inner-product LUT
+    replaces the kernel's bf16 matmul term, decoupling winners-per-block
+    (latency) from final ranking fidelity.
     """
     from gulon_tpu.ops.pallas.adc import (
         _INVALID_MIN,
@@ -717,14 +724,48 @@ def _pallas_ivf_query(
     valid = (bv < _INVALID_MIN) & pm
     d = jnp.where(valid, bv + gt + qn[:, None], jnp.inf)
     kk = min(k, d.shape[1])
-    if topk_impl == "approx" and kk >= 32 and d.shape[1] >= 4 * kk:
+    fetch = min(rescore * kk, d.shape[1]) if rescore else kk
+    if topk_impl == "approx" and fetch >= 32 and d.shape[1] >= 4 * fetch:
         best, pos = jax.lax.approx_min_k(
-            d, kk, recall_target=recall_target
+            d, fetch, recall_target=recall_target
         )
         pos = pos.astype(jnp.int32)
     else:
-        best, pos = smallest_k(d, kk)
+        best, pos = smallest_k(d, fetch)
     win_rows = jnp.take_along_axis(bi, pos, axis=1)
+    if rescore:
+        num_q = q.shape[0]
+        m, _, dsub = codebooks.shape
+        invalid = jnp.isinf(best)
+        safe = jnp.where(invalid, 0, win_rows)
+        sel = jnp.take(codes_t, safe.reshape(-1), axis=1)  # [m, Q*F]
+        if codes_t.dtype == jnp.int8:  # undo the offset encoding
+            sel = sel.astype(jnp.int32) + 128
+        sel = jnp.transpose(
+            sel.reshape(m, num_q, fetch), (1, 2, 0)
+        ).astype(jnp.int32)  # [Q, F, m]
+        qs = split_subspaces(q, bounds, dsub)  # [m, Q, dsub]
+        ip_lut = jnp.einsum(
+            "mqd,mkd->qmk",
+            qs,
+            codebooks.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [Q, m, K] f32 <q_s, c>
+        ip = jnp.sum(
+            ip_lut[
+                jnp.arange(num_q, dtype=jnp.int32)[:, None, None],
+                jnp.arange(m, dtype=jnp.int32)[None, None, :],
+                sel,
+            ],
+            axis=-1,
+        )  # [Q, F]
+        gt_sel = jnp.take_along_axis(gt, pos, axis=1)
+        rc_sel = jnp.take(rc_pal, safe)
+        exact = qn[:, None] + rc_sel + gt_sel - 2.0 * ip
+        exact = jnp.where(invalid, jnp.inf, exact)
+        best, pos2 = smallest_k(exact, kk)
+        win_rows = jnp.take_along_axis(win_rows, pos2, axis=1)
     ids = jnp.where(jnp.isinf(best), -1, jnp.take(row_map, win_rows))
     if kk < k:
         pad = k - kk
@@ -788,6 +829,11 @@ class IVFIndex(Index):
     # scan's approx_min_k carries its own selection loss); 2 is the fast
     # setting (2.2 ms, R@10 0.548)
     pallas_winners: int = 4
+    # >0: the fused strategy over-fetches pallas_rescore*k block winners
+    # and re-ranks them with exact f32 ADC distances (f32 IP LUT + group
+    # term, the per-partition exact distances of Index.scala:273-281) —
+    # decouples winners-per-block (latency) from ranking fidelity
+    pallas_rescore: int = 0
 
     @property
     def key_index(self) -> GroupedKeyIndex:
@@ -889,7 +935,7 @@ class IVFIndex(Index):
         device dispatches per query batch — through a remote-TPU tunnel
         that dwarfs the 1.5 ms of actual compute.
         """
-        from gulon_tpu.ops.pallas.adc import block_layout
+        from gulon_tpu.ops.pallas.adc import block_layout, padded_depth
 
         codes_t, rc_pal, blk_part, row_map, npad = self._pallas_operands()
         # static winner-column -> partition map for this (Q, layout):
@@ -897,7 +943,7 @@ class IVFIndex(Index):
         # winner ranks of block r*nblk+j at columns r*W + j and
         # r*W + nblk + j (W = winners*nblk)
         m = self.pq.num_quantizers
-        mdp = -(-m * self.pq.pad_width // 8) * 8
+        mdp = padded_depth(m, self.pq.pad_width)
         w = self.pallas_winners
         _, _, n_rt, nblk = block_layout(
             q.shape[0], self.pq.num_clusters, mdp, npad, winners=w
@@ -917,6 +963,7 @@ class IVFIndex(Index):
             recall_target=self.recall_target,
             interpret=jax.default_backend() != "tpu",
             winners=w,
+            rescore=self.pallas_rescore,
         )
 
     def query_arrays(self, k: int, vectors):

@@ -1,5 +1,5 @@
-"""Fused Pallas ADC-scan kernel (v5: transposed decode + min-then-match
-block selection).
+"""Fused Pallas ADC-scan kernel (v6: norm-fused matmul + min-then-match
+block selection; natural-layout distance matmul for deep contractions).
 
 The XLA formulation of the ADC scan (``gulon_tpu.ops.scan.adc_scan_decode``)
 materializes a one-hot decode operand in HBM per row tile, making the scan
@@ -24,7 +24,8 @@ selects the winner's row-in-block via a second sublane min over the matched
 iota. Reductions on the sublane axis are ~0.15 VPU ops/element (vreg tree);
 the cost is the *elementwise* work, and min-then-match needs only ~2
 ops/element (eq + select) where v4's monotone-int32 key-packing chain
-needed ~7 — and the winner values come out exact f32 instead of
+needed ~7 — and the winner values come out f32 (exact up to the ~2^-17
+norm-split term, far below the bf16 operand noise) instead of
 7-bit-coarsened. The XLA epilogue runs one exact top-k over the
 ``[Q, N/128]`` block winners. This is the hardware-PartialReduce schedule
 (what ``lax.approx_min_k`` compiles to) with decode + distances fused in
@@ -34,12 +35,27 @@ packed pass, coarse values) 1.40 ms, v5 0.98 ms. ``rescore=True`` adds an
 exact f32 LUT rescore of the k winners in the epilogue (full-precision ADC
 distances, ~+1 ms/batch — the LUT gather lowers poorly on TPU).
 
+v6 removes the per-element VPU epilogue from the score assembly: queries
+are pre-scaled by -2 and dec^T carries two extra rows holding a hi/lo bf16
+split of the reconstruction norms (recovering them to ~2^-17 relative)
+against two unit query lanes — the distance matmul emits
+``norms - 2<q, dec>`` directly, deleting the ``norms - 2*ipt`` subtract+
+scale passes (2 VPU ops per score element; the kernel is VPU-bound, see
+below). When the contraction depth ``m*dsub+2`` spans more than one
+128-wide MXU pass the kernel also transposes dec^T to the natural layout
+once per row tile and runs the canonical ``[T, MDP] x [MDP, QT]`` matmul
+(the dense kernel measured 1.7x for this orientation at depth 304,
+``ops/pallas/dense.py:15-24``).
+
 Per grid step (row tile r, query tile q; query axis innermost):
       q == 0:  codes [m, T] -> per-subspace one-hot^T (VMEM, bf16)
-               -> dec^T [m*dsub, T] bf16 (MXU, persists across query tiles)
-      all q:   scores^T [T, QT] = norms - 2 * dec^T'Q (MXU, f32 accum)
+               -> dec^T [m*dsub(+2), T] bf16 (MXU, persists across query
+               tiles; rows md..md+1 = hi/lo norms; natural mode also
+               stores the [T, MDP] transposed copy)
+      all q:   scores^T [T, QT] = dec^T' Q' (MXU, f32 accum — the matmul
+               IS norms - 2<q, dec>)
                -> per-128-row-block min + eq-match (VPU, sublane reduces)
-               -> write [T/128, QT] (exact f32 value, row-id) winners.
+               -> write [T/128, QT] (f32 value, row-id) winners.
 
 HBM traffic per batch is the code bytes in plus ``Q * N/128`` winner pairs
 out — no decoded operand ever round-trips. Measured on v5e at the headline
@@ -85,6 +101,20 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def padded_depth(m: int, dsub: int) -> int:
+    """The kernel's contraction depth: ``m * dsub`` decode rows plus the
+    two norm rows (hi/lo bf16 split), sublane-aligned."""
+    return _round_up(m * dsub + 2, 8)
+
+
+def _natural(mdp: int) -> bool:
+    """Deep contractions (> one 128-wide MXU pass) run the natural-layout
+    matmul (in-kernel dec^T transpose); measured 1.7x on the dense kernel
+    (``ops/pallas/dense.py:15-24``). At depth <= 128 the transposed
+    orientation costs nothing and skips the transpose."""
+    return mdp > 128
+
+
 def _pick_tiles(
     num_q: int, k_codes: int, mdp: int, winners: int = 1
 ) -> Tuple[int, int]:
@@ -94,16 +124,20 @@ def _pick_tiles(
     fuses its temporaries; measured, not just estimated — t=4096 at
     qt=512 runs where the old 2-copies estimate claimed it could not),
     plus a second masked copy when multiple winners re-min, the dec^T
-    scratch [mdp, T] bf16, a one-hot temp [K, T] bf16, and double-
-    buffered code/query blocks. Row tiles are 1024-multiples: the winner
-    block [w*t/128, QT] needs a sublane-multiple-of-8 leading dim.
+    scratch [mdp, T] bf16 (doubled in natural mode for the transposed
+    copy), a one-hot temp [K, T] bf16, and double-buffered code/query
+    blocks. Row tiles are 1024-multiples: the winner block [w*t/128, QT]
+    needs a sublane-multiple-of-8 leading dim.
     """
     budget = 14 * 1024 * 1024
     qt = min(_round_up(num_q, 16), 512)
     score_copies = 2 if winners > 1 else 1
+    dec_copies = 2 if _natural(mdp) else 1
     for t in (4096, 2048, 1024):
         work = (
-            4 * qt * t * score_copies + 2 * t * mdp + 2 * 2 * t * k_codes
+            4 * qt * t * score_copies
+            + dec_copies * 2 * t * mdp
+            + 2 * 2 * t * k_codes
         )
         if work < budget:
             return qt, t
@@ -115,7 +149,8 @@ def block_layout(
     winners: int = 1,
 ) -> Tuple[int, int, int, int]:
     """(qt, t, n_rt, nblk) the kernel will use — for callers that need the
-    winner-column layout (e.g. the IVF epilogue's column->block map)."""
+    winner-column layout (e.g. the IVF epilogue's column->block map).
+    ``mdp`` must be :func:`padded_depth` of the quantizer config."""
     qt, t = _pick_tiles(num_q, k_codes, mdp, winners)
     if tile_rows:
         t = tile_rows
@@ -123,6 +158,21 @@ def block_layout(
         t = _round_up(n, 1024)
     n_pad = _round_up(n, t)
     return qt, t, n_pad // t, t // _LANES
+
+
+def _split_hi_lo(norms: jax.Array) -> jax.Array:
+    """``[N] f32 -> [2, N] bf16`` such that ``hi + lo ~= norms`` to
+    ~2^-17 relative — the two rows ride the fused matmul against
+    unit query lanes, injecting the row constant at MXU cost instead of
+    a full VPU pass over the score matrix.
+
+    +inf padding norms (the sharded paths pad with inf) clamp to _BIG
+    first: ``inf - inf = NaN`` would otherwise poison the split and NaN
+    fails the ``>= _INVALID_MIN`` padding check downstream."""
+    norms = jnp.minimum(norms, _BIG)
+    hi = norms.astype(jnp.bfloat16)
+    lo = (norms - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return jnp.stack([hi, lo])
 
 
 def pack_codes_t(codes, k_codes: int) -> jax.Array:
@@ -142,30 +192,34 @@ def pack_codes_t(codes, k_codes: int) -> jax.Array:
 
 def _adc_fused_kernel(
     codes_ref,   # [m, T] i32 block (transposed: rows on lanes)
-    norms_ref,   # [T, 1] f32 block
-    q_ref,       # [QT, MDP] bf16 block (zero-padded lanes)
+    norms_ref,   # [2, T] bf16 block (hi/lo split of recon norms)
+    q_ref,       # [QT, MDP] bf16 block (-2x scaled, unit norm lanes) —
+    #              natural mode: [MDP, QT] (pretransposed by the wrapper)
     cbT_ref,     # [m, dsub, K] bf16 (whole)
     vals_ref,    # out [NB, QT] f32 block (row-tile winners, transposed)
     ids_ref,     # out [NB, QT] i32 block
     decT_ref,    # scratch [MDP, T] bf16 (persists across query tiles)
-    *,
+    *scratch,    # natural mode: dec_ref [T, MDP] bf16
     m: int,
     k_codes: int,
     dsub: int,
     tile_rows: int,
     winners: int = 1,
+    natural: bool = False,
+    interpret: bool = False,
 ):
     t = tile_rows
-    qt = q_ref.shape[0]
+    qt = q_ref.shape[1] if natural else q_ref.shape[0]
     nblk = t // _LANES
     rt_idx = pl.program_id(0)
     qt_idx = pl.program_id(1)
+    md = m * dsub
 
     # --- decode (transposed), once per row tile ---
     @pl.when(qt_idx == 0)
     def _():
         mdp = decT_ref.shape[0]
-        if mdp > m * dsub:  # zero the sublane padding once
+        if mdp > md + 2:  # zero the sublane padding once
             decT_ref[:] = jnp.zeros((mdp, t), jnp.bfloat16)
         row_iota = jax.lax.broadcasted_iota(jnp.int32, (k_codes, t), 0)
         for s in range(m):
@@ -186,15 +240,32 @@ def _adc_fused_kernel(
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ).astype(jnp.bfloat16)
+        # the two norm rows: against the queries' unit lanes the fused
+        # matmul emits norms - 2<q, dec> directly — no VPU epilogue pass
+        decT_ref[md : md + 2, :] = norms_ref[:]
+        if natural:
+            scratch[0][:] = decT_ref[:].T
 
-    # --- distances, transposed (without the per-query ||q||^2 term) ---
-    ipt = jax.lax.dot_general(
-        decT_ref[:],
-        q_ref[:],
-        dimension_numbers=(((0,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [T, QT]
-    scores = norms_ref[:, 0].reshape(t, 1) - 2.0 * ipt
+    # --- distances: the matmul IS the score (norm rows + -2-scaled q) ---
+    if natural:
+        # canonical [T, MDP] x [MDP, QT]: zero relayouts per step; worth
+        # the one per-row-tile transpose when depth spans >1 MXU pass
+        lhs, rhs = scratch[0][:], q_ref[:]
+        if interpret:  # XLA:CPU's DotThunk lacks canonical bf16 x bf16
+            lhs, rhs = lhs.astype(jnp.float32), rhs.astype(jnp.float32)
+        scores = jax.lax.dot_general(
+            lhs,
+            rhs,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [T, QT]
+    else:
+        scores = jax.lax.dot_general(
+            decT_ref[:],
+            q_ref[:],
+            dimension_numbers=(((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [T, QT]
 
     # --- (min, argmin) per 128-row block via min-then-match: one sublane
     # block-min of the raw f32 scores is the exact winner value; comparing
@@ -252,18 +323,25 @@ def _block_scan(
             f"pallas ADC kernel supports K <= 1024, got {k_codes}"
         )
 
-    mdp = _round_up(m * dsub, 8)  # sublane-aligned dec^T leading dim
+    mdp = padded_depth(m, dsub)  # decode rows + 2 norm rows, aligned
+    natural = _natural(mdp)
     if tile_rows and tile_rows % 1024:
         raise ValueError(
             f"tile_rows must be a 1024-multiple, got {tile_rows}"
         )
     qt, t, _, _ = block_layout(num_q, k_codes, mdp, n, tile_rows, winners)
 
-    # queries in the padded subspace layout, zero-padded to match dec^T
+    # queries in the padded subspace layout, scaled by -2 so the fused
+    # matmul emits norm - 2<q, dec> directly, with two unit lanes facing
+    # the norm rows of dec^T; zero-padded to mdp
+    md = m * dsub
     qs = split_subspaces(queries, bounds, dsub)
-    q_pad = jnp.transpose(qs, (1, 0, 2)).reshape(num_q, m * dsub)
-    if mdp > m * dsub:
-        q_pad = jnp.pad(q_pad, ((0, 0), (0, mdp - m * dsub)))
+    q_pad = jnp.transpose(qs, (1, 0, 2)).reshape(num_q, md) * -2.0
+    q_pad = jnp.concatenate(
+        [q_pad, jnp.ones((num_q, 2), q_pad.dtype)], axis=1
+    )
+    if mdp > md + 2:
+        q_pad = jnp.pad(q_pad, ((0, 0), (0, mdp - md - 2)))
     q_npad = (-num_q) % qt
     if q_npad:
         q_pad = jnp.pad(q_pad, ((0, q_npad), (0, 0)))
@@ -291,17 +369,28 @@ def _block_scan(
 
     kernel = functools.partial(
         _adc_fused_kernel, m=m, k_codes=k_codes, dsub=dsub, tile_rows=t,
-        winners=winners,
+        winners=winners, natural=natural, interpret=interpret,
     )
+    q_op = q_pad.astype(jnp.bfloat16)
+    if natural:
+        q_op = q_op.T  # [mdp, Q'] once per batch; canonical rhs in-kernel
+        q_spec = pl.BlockSpec(
+            (mdp, qt), lambda r, q: (0, q), memory_space=pltpu.VMEM
+        )
+    else:
+        q_spec = pl.BlockSpec(
+            (qt, mdp), lambda r, q: (q, 0), memory_space=pltpu.VMEM
+        )
+    scratch_shapes = [pltpu.VMEM((mdp, t), jnp.bfloat16)]
+    if natural:
+        scratch_shapes.append(pltpu.VMEM((t, mdp), jnp.bfloat16))
     block_v, block_i = pl.pallas_call(
         kernel,
         grid=(n_rt, n_qt),  # query axis innermost: decode reused across it
         in_specs=[
             pl.BlockSpec((m, t), lambda r, q: (0, r), memory_space=pltpu.VMEM),
-            pl.BlockSpec((t, 1), lambda r, q: (r, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (qt, mdp), lambda r, q: (q, 0), memory_space=pltpu.VMEM
-            ),
+            pl.BlockSpec((2, t), lambda r, q: (0, r), memory_space=pltpu.VMEM),
+            q_spec,
             pl.BlockSpec(memory_space=pltpu.VMEM),  # codebooks^T (whole)
         ],
         out_specs=(
@@ -322,12 +411,12 @@ def _block_scan(
                 (n_rt * winners * nblk, q_pad.shape[0]), jnp.int32
             ),
         ),
-        scratch_shapes=[pltpu.VMEM((mdp, t), jnp.bfloat16)],
+        scratch_shapes=scratch_shapes,
         interpret=interpret,
     )(
         codes_t,
-        norms.reshape(-1, 1),
-        q_pad.astype(jnp.bfloat16),
+        _split_hi_lo(norms),
+        q_op,
         jnp.transpose(codebooks, (0, 2, 1)).astype(jnp.bfloat16),
     )
 

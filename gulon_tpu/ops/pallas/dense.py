@@ -18,19 +18,29 @@ NATURAL ``[N, Dp]`` row-major layout and the *queries* are transposed to
 ``lhs [T, K] x rhs [K, QT]`` with zero per-step relayouts — 144 TF/s
 effective vs 85 TF/s for the transposed-data formulation (``dataT [Dp, T]``
 contracted on dim 0), a 1.7x kernel speedup when the contraction depth
-exceeds one 128-wide MXU pass. (The ADC kernel keeps the transposed
-orientation: its decode stage manufactures ``dec^T`` in exactly that
-layout and its contraction depth ``m*dsub`` is typically <= 128, where the
-penalty vanishes.)
+exceeds one 128-wide MXU pass. (The ADC kernel adopts the same orientation
+for deep contractions via an in-kernel dec^T transpose.)
+
+v2 fuses the score epilogue into the matmul: ``prepare_data`` appends two
+lanes holding a hi/lo bf16 split of each row's ``||x||^2`` (recovered to
+~2^-17 relative by the f32 accumulator) and the query operand is scaled by
+-2 with unit entries facing the norm lanes — the matmul emits
+``||x||^2 - 2<x, q>`` directly, deleting the per-element ``norms - 2*ipt``
+VPU passes that bounded v1 alongside the selection.
 
 Selection granularity is one winner per 128-row block (identical to the
-ADC kernel / ``approx_min_k``); the ``rescore`` option re-ranks the block
-winners with exact f32 rows, making reported results exact brute force
-whenever two true top-k members rarely share a block (guaranteed exact for
-top-1).
+ADC kernel / ``approx_min_k``); the ``rescore`` option re-ranks an
+over-fetched candidate set. By default candidates are re-ranked from the
+bf16 operand already in HBM via ``norms + ||q||^2 - 2<x, q>`` (one gather
++ one small MXU contraction — no ``[Q, F, D]`` f32 broadcast-subtract
+round-trips, no second f32 copy of the corpus); passing ``rescore_rows``
+upgrades the re-rank to exact f32 rows. Block-collision repair (the reason
+rescore exists) is identical in both; the f32 path additionally removes
+the ~2^-9 bf16 operand rounding from reported distances.
 
-``prepare_data`` pads D up to a sublane multiple of 8 and converts to
-bf16; N pads to the row-tile multiple inside the wrapper.
+``prepare_data`` pads D+2 up to a sublane multiple of 8 and converts to
+bf16; N pads to the row-tile multiple inside the wrapper (padding rows
+carry a huge norm so they can never win).
 """
 
 from __future__ import annotations
@@ -56,6 +66,12 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def padded_dim(d: int) -> int:
+    """Lane count of the kernel operand: D data lanes + 2 norm lanes,
+    sublane-aligned. The norm hi/lo pair lives in the LAST two lanes."""
+    return _round_up(d + 2, 8)
+
+
 def _pick_tiles(num_q: int, dp: int) -> Tuple[int, int]:
     """(query tile, row tile): scores [T, QT] f32 + data block dominate."""
     budget = 14 * 1024 * 1024
@@ -67,21 +83,20 @@ def _pick_tiles(num_q: int, dp: int) -> Tuple[int, int]:
     return qt, 1024
 
 
-def _dense_kernel(data_ref, norms_ref, qT_ref, vals_ref, ids_ref, *,
-                  tile_rows: int):
+def _dense_kernel(data_ref, qT_ref, vals_ref, ids_ref, *, tile_rows: int):
     t = tile_rows
     qt = qT_ref.shape[1]
     nblk = t // _LANES
     rt_idx = pl.program_id(0)
 
-    # canonical orientation: data block [T, Dp] x qT [Dp, QT] -> [T, QT]
-    ipt = jax.lax.dot_general(
+    # canonical [T, Dp] x [Dp, QT]: the matmul IS ||x||^2 - 2<x, q> (the
+    # norm lanes of data against the unit lanes of the -2-scaled queries)
+    scores = jax.lax.dot_general(
         data_ref[:],
         qT_ref[:],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    scores = norms_ref[:, 0].reshape(t, 1) - 2.0 * ipt
     s3 = scores.reshape(nblk, _LANES, qt)
     vmin = jnp.min(s3, axis=1)
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (nblk, _LANES, qt), 1)
@@ -101,20 +116,21 @@ def _dense_kernel(data_ref, norms_ref, qT_ref, vals_ref, ids_ref, *,
 def dense_scan_pallas(
     queries: jax.Array,  # [Q, D] f32
     data: jax.Array,  # [N', Dp] bf16 natural layout (see prepare_data)
-    norms: jax.Array,  # [N] f32 = ||x||^2 per row
+    norms: jax.Array,  # [N] f32 = ||x||^2 per row (rescore re-rank term)
     *,
     k: int,
     tile_rows: int = 0,
     interpret: bool = False,
-    rescore_rows: Optional[jax.Array] = None,  # [N, D] f32 for exact rescore
-    rescore: int = 0,  # >0: over-fetch rescore*k block winners, re-rank f32
+    rescore_rows: Optional[jax.Array] = None,  # [N, D] f32: exact rescore
+    rescore: int = 0,  # >0: over-fetch rescore*k block winners, re-rank
 ) -> Tuple[jax.Array, jax.Array]:
     """Fused exact scan. Returns ([Q, k] squared-L2 asc, [Q, k] row ids)."""
     num_q, d = queries.shape
     n, dp = data.shape
-    if dp % 8 or dp < d:
+    if dp != padded_dim(d):
         raise ValueError(
-            f"data trailing dim must be round_up(D, 8), got {dp}"
+            f"data trailing dim must be padded_dim(D) = {padded_dim(d)} "
+            f"(D data lanes + 2 norm lanes, 8-aligned), got {dp}"
         )
     kk = min(k, n)
     if kk > _LANES:
@@ -135,9 +151,16 @@ def dense_scan_pallas(
     if n < t:
         t = _round_up(n, 1024)
 
-    q_pad = queries
-    if dp > d:
-        q_pad = jnp.pad(q_pad, ((0, 0), (0, dp - d)))
+    # augmented query operand: -2-scaled data lanes, unit norm lanes
+    q_aug = jnp.concatenate(
+        [
+            -2.0 * queries,
+            jnp.zeros((num_q, dp - d - 2), queries.dtype),
+            jnp.ones((num_q, 2), queries.dtype),
+        ],
+        axis=1,
+    )
+    q_pad = q_aug
     q_npad = (-num_q) % qt
     if q_npad:
         q_pad = jnp.pad(q_pad, ((0, q_npad), (0, 0)))
@@ -145,13 +168,11 @@ def dense_scan_pallas(
 
     dt = data
     if n % t:
-        dt = jnp.pad(dt, ((0, (-n) % t), (0, 0)))
-    norms_p = norms.astype(jnp.float32)
-    if norms_p.shape[0] < dt.shape[0]:
-        norms_p = jnp.pad(
-            norms_p, (0, dt.shape[0] - norms_p.shape[0]),
-            constant_values=_BIG,
-        )
+        # padding rows: zero data lanes but a huge norm lane, so their
+        # score is ~_BIG and they can never win a block
+        pad = jnp.zeros(((-n) % t, dp), data.dtype)
+        pad = pad.at[:, dp - 2].set(jnp.asarray(_BIG, data.dtype))
+        dt = jnp.concatenate([dt, pad], axis=0)
     n_rt = dt.shape[0] // t
     n_qt = qT.shape[1] // qt
     nblk = t // _LANES
@@ -162,8 +183,6 @@ def dense_scan_pallas(
         grid=(n_rt, n_qt),
         in_specs=[
             pl.BlockSpec((t, dp), lambda r, q: (r, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((t, 1), lambda r, q: (r, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((dp, qt), lambda r, q: (0, q),
                          memory_space=pltpu.VMEM),
@@ -179,7 +198,7 @@ def dense_scan_pallas(
             jax.ShapeDtypeStruct((n_rt * nblk, qT.shape[1]), jnp.int32),
         ),
         interpret=interpret,
-    )(dt, norms_p.reshape(-1, 1), qT)
+    )(dt, qT)
 
     winners_v, winners_i = block_v.T[:num_q], block_i.T[:num_q]
     fetch = min(max(kk, rescore * kk if rescore else kk), _LANES)
@@ -195,10 +214,32 @@ def dense_scan_pallas(
     invalid = best_v >= _INVALID_MIN
 
     qn = sq_norms(queries)
-    if rescore and rescore_rows is not None:
+    if rescore:
         safe = jnp.where(invalid, 0, best_ids)
-        rows = rescore_rows[safe]  # [Q, fetch, D] f32 gather
-        exact = jnp.sum((rows - queries[:, None, :]) ** 2, axis=-1)
+        if rescore_rows is not None:
+            # exact f32 re-rank: ||x||^2 + ||q||^2 - 2<x, q> with f32 rows
+            # and full-precision contraction — no [Q, F, D] broadcast-
+            # subtract materialization (the v1 formulation's real cost)
+            rows = rescore_rows[safe]  # [Q, F, D] f32 gather
+            ip = jax.lax.dot_general(
+                rows,
+                queries,
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )  # [Q, F]
+            exact = norms[safe] + qn[:, None] - 2.0 * ip
+        else:
+            # re-rank from the bf16 operand already in HBM (half the gather
+            # bytes, no f32 corpus copy): rows carry their own hi/lo norm
+            # lanes, so rows . q_aug = ||x||^2 - 2<x, q> directly
+            rows = jnp.take(data, safe, axis=0)  # [Q, F, Dp] bf16
+            exact = jax.lax.dot_general(
+                rows,
+                q_aug.astype(jnp.bfloat16),
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ) + qn[:, None]
         exact = jnp.where(invalid, jnp.inf, exact)
         best_d, pos2 = smallest_k(exact, kk)
         best_ids = jnp.take_along_axis(
@@ -219,13 +260,23 @@ def dense_scan_pallas(
 
 
 def prepare_data(data) -> jax.Array:
-    """Natural-layout bf16 operand: ``[N, D] -> [N, round_up(D, 8)]``."""
+    """Augmented natural-layout bf16 operand: ``[N, D] ->
+    [N, padded_dim(D)]`` with a hi/lo bf16 split of each row's ``||x||^2``
+    in the last two lanes (see the module docstring)."""
     x = np.asarray(data, np.float32)
     n, d = x.shape
-    dp = _round_up(max(d, 8), 8)
+    dp = padded_dim(d)
+    norms = np.einsum("nd,nd->n", x, x, dtype=np.float64).astype(np.float32)
     out = np.zeros((n, dp), np.float32)
     out[:, :d] = x
-    return jnp.asarray(out, jnp.bfloat16)
+    hi_b = jnp.asarray(norms).astype(jnp.bfloat16)
+    lo_b = (jnp.asarray(norms) - hi_b.astype(jnp.float32)).astype(
+        jnp.bfloat16
+    )
+    out_b = jnp.asarray(out, jnp.bfloat16)
+    out_b = out_b.at[:, dp - 2].set(hi_b)
+    out_b = out_b.at[:, dp - 1].set(lo_b)
+    return out_b
 
 
 def prepare_data_t(data) -> jax.Array:  # pragma: no cover - legacy alias

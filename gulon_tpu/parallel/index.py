@@ -35,7 +35,12 @@ from gulon_tpu.ops import scan as scan_ops
 from gulon_tpu.ops.distance import normalize_rows, sq_norms
 from gulon_tpu.ops.pq import split_subspaces
 from gulon_tpu.parallel import ops as pops
-from gulon_tpu.parallel.mesh import ROWS, replicate, shard_rows
+from gulon_tpu.parallel.mesh import (
+    ROWS,
+    pad_rows_to_shards,
+    replicate,
+    shard_rows,
+)
 
 
 @dataclasses.dataclass
@@ -53,6 +58,11 @@ class ShardedFlatIndex(Index):
     norms_sharded: jax.Array  # [N'] padded with +inf, row-sharded
     codebooks_rep: jax.Array  # [m, K, dsub] replicated
     cache_sharded: Optional[jax.Array] = None  # [N', m*dsub] row-sharded
+    # pretransposed minimal-width kernel operand [m, N'], sharded on dim 1
+    # (built on TPU at shard time, like FlatIndex._pallas_codes_t): the
+    # fused per-shard scan reads it directly instead of relaying out
+    # [n_loc, m] -> [m, n_loc] i32 every query batch
+    codes_t_sharded: Optional[jax.Array] = None
 
     @staticmethod
     def shard(index: FlatIndex, mesh: Mesh) -> "ShardedFlatIndex":
@@ -61,10 +71,21 @@ class ShardedFlatIndex(Index):
         codes = (
             index._unpacked_codes() if index.packed_width else index.codes
         )
+        codes_np = np.asarray(codes)
+        codes_t_sharded = None
+        if jax.default_backend() == "tpu":
+            from jax.sharding import NamedSharding
+            from gulon_tpu.ops.pallas.adc import pack_codes_t
+
+            padded, _ = pad_rows_to_shards(codes_np, mesh, 0)
+            codes_t_sharded = jax.device_put(
+                pack_codes_t(padded, index.pq.num_clusters),
+                NamedSharding(mesh, P(None, ROWS)),
+            )
         return ShardedFlatIndex(
             base=index,
             mesh=mesh,
-            codes_sharded=shard_rows(np.asarray(codes), mesh, 0),
+            codes_sharded=shard_rows(codes_np, mesh, 0),
             norms_sharded=shard_rows(
                 np.asarray(index.recon_norms), mesh, np.inf
             ),
@@ -74,6 +95,7 @@ class ShardedFlatIndex(Index):
                 if index.decoded_cache is not None
                 else None
             ),
+            codes_t_sharded=codes_t_sharded,
         )
 
     @property
@@ -117,6 +139,7 @@ class ShardedFlatIndex(Index):
             self.codebooks_rep,
             self.codes_sharded,
             self.norms_sharded,
+            self.codes_t_sharded,
             mesh=self.mesh,
             bounds=self.base.pq.bounds,
             k=k_eff,
@@ -544,7 +567,7 @@ class ShardedIVFIndex(Index):
         return self._pallas_sh
 
     def _pallas_arrays(self, q, qn, group_term, probe_mask, k_eff):
-        from gulon_tpu.ops.pallas.adc import block_layout
+        from gulon_tpu.ops.pallas.adc import block_layout, padded_depth
 
         ctT, rc_pal, rmap, blk_gpid, npad = self._pallas_shard_operands()
         num_q = q.shape[0]
@@ -552,7 +575,7 @@ class ShardedIVFIndex(Index):
             from jax.sharding import NamedSharding
 
             m = self.base.pq.num_quantizers
-            mdp = -(-m * self.base.pq.pad_width // 8) * 8
+            mdp = padded_depth(m, self.base.pq.pad_width)
             w = self.base.pallas_winners
             _, _, n_rt, nblk = block_layout(
                 num_q, self.base.pq.num_clusters, mdp, npad, winners=w

@@ -58,6 +58,9 @@ def sharded_adc_scan(
     codebooks: jax.Array,  # [m, K, dsub] replicated
     codes: jax.Array,  # [N', m] row-sharded (padded to shard multiple)
     recon_norms: jax.Array,  # [N'] row-sharded, +inf on padding
+    codes_t: Optional[jax.Array] = None,  # [m, N'] minimal-width
+    #   pretransposed kernel operand, sharded on dim 1 (pack_codes_t per
+    #   shard) — skips the per-call [n_loc, m] -> [m, n_loc] i32 relayout
     *,
     mesh: Mesh,
     bounds,
@@ -80,6 +83,24 @@ def sharded_adc_scan(
         and k_codes <= 1024
         and local_n >= 256 * k
     )
+
+    if use_pallas and codes_t is not None:
+        from gulon_tpu.ops.pallas.adc import adc_scan_pallas
+
+        def shard_fn_t(q, cb, ct_loc, norms_loc):
+            d, ids = adc_scan_pallas(
+                q, cb, ct_loc, norms_loc, bounds=bounds, k=k,
+                num_rows=local_n,
+            )
+            return _merge_over_rows(d, _globalize_ids(ids, local_n), k)
+
+        return shard_map(
+            shard_fn_t,
+            mesh=mesh,
+            in_specs=(P(), P(), P(None, ROWS), P(ROWS)),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )(queries, codebooks, codes_t, recon_norms)
 
     def shard_fn(q, cb, codes_loc, norms_loc):
         if use_pallas:

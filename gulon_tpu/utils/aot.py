@@ -229,15 +229,29 @@ def _exact_callable(index, k: int):
             index._data_t = prepare_data(index.vectors)
         rescore = index.rescore_factor
 
-        def fn(q, data_t, norms, rows):
+        if index.exact_rescore:
+
+            def fn(q, data_t, norms, rows):
+                if normalized:
+                    q = normalize_rows(q)
+                return dense_scan_pallas(
+                    q, data_t, norms, k=k_eff,
+                    rescore_rows=rows, rescore=rescore,
+                )
+
+            return fn, (
+                index._data_t, sq_norms(index.vectors), index.vectors
+            )
+
+        # operand rescore: the f32 corpus never ships into the bundle
+        def fn(q, data_t, norms):
             if normalized:
                 q = normalize_rows(q)
             return dense_scan_pallas(
-                q, data_t, norms, k=k_eff,
-                rescore_rows=rows, rescore=rescore,
+                q, data_t, norms, k=k_eff, rescore=rescore,
             )
 
-        return fn, (index._data_t, sq_norms(index.vectors), index.vectors)
+        return fn, (index._data_t, sq_norms(index.vectors))
 
     tile_rows, precision = index.tile_rows, index.precision
     topk_impl, rt = index.topk_impl, index.recall_target
@@ -262,7 +276,7 @@ def _ivf_pallas_callable(index, k: int):
         _rank_and_probe,
     )
     from gulon_tpu.ops.distance import normalize_rows
-    from gulon_tpu.ops.pallas.adc import block_layout
+    from gulon_tpu.ops.pallas.adc import block_layout, padded_depth
 
     normalized = index.metric.normalized
     k_eff = min(k, index.size)
@@ -275,7 +289,7 @@ def _ivf_pallas_callable(index, k: int):
     count = index.strategy.count
     codes_t, rc_pal, blk_part, row_map, npad = index._pallas_operands()
     m = index.pq.num_quantizers
-    mdp = -(-m * index.pq.pad_width // 8) * 8
+    mdp = padded_depth(m, index.pq.pad_width)
     k_codes = index.pq.num_clusters
     nb = len(blk_part)
     sizes = jnp.asarray(index.partition_sizes())
@@ -306,7 +320,7 @@ def _ivf_pallas_callable(index, k: int):
             q, qn, group_term, pm, cb, codes_t, rc_pal, col_part, row_map,
             bounds=bounds, num_rows=npad, k=k_eff,
             topk_impl=topk_impl, recall_target=rt, interpret=interpret,
-            winners=w,
+            winners=w, rescore=index.pallas_rescore,
         )
 
     return fn, (

@@ -225,3 +225,44 @@ def test_max_partition_size_flag(corpus_file, tmp_path, capsys):
 
     index = load_index(idx)
     assert index.partition_sizes().max() <= 120
+
+
+def test_streaming_build_flag(corpus_file, tmp_path, capsys):
+    """--streaming builds flat and partitioned indices through the native
+    chunked parser with results equivalent to the in-memory build."""
+    pytest.importorskip("ctypes")
+    from gulon_tpu.utils import native
+
+    if native._load() is None:
+        pytest.skip("native IO library unavailable")
+    vecs, keys, x = corpus_file
+    idx_s = str(tmp_path / "s.idx")
+    idx_m = str(tmp_path / "m.idx")
+    base = ["build-index", "--metric", "l2", "-k", "16", "-m", "4",
+            "-n", "10"]
+    assert _run(base + ["--streaming", "-o", idx_s, vecs]) == 0
+    assert _run(base + ["-o", idx_m, vecs]) == 0
+    qfile = str(tmp_path / "q.txt")
+    with open(qfile, "w") as f:
+        write_word2vec(WordVectors(keys[:5], x[:5]), f, header=False)
+
+    def lines(idx):
+        capsys.readouterr()
+        assert _run(["query", "-k", "3", "--index", idx, qfile]) == 0
+        return capsys.readouterr().out.strip().splitlines()
+
+    # same PQ seeds + same sorted corpus -> identical neighbours
+    assert lines(idx_s) == lines(idx_m)
+    # partitioned streaming build serves end-to-end
+    idx_p = str(tmp_path / "p.idx")
+    assert _run(base + [
+        "--streaming", "-p", "--partitions", "6", "--limit", "3",
+        "-o", idx_p, vecs,
+    ]) == 0
+    out = lines(idx_p)
+    assert [ln.split(":")[0] for ln in out] == list(keys[:5])
+    # --exact is incompatible
+    assert _run([
+        "build-index", "--metric", "l2", "--exact", "--streaming",
+        "-o", str(tmp_path / "x.idx"), vecs,
+    ]) == 1

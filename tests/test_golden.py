@@ -142,3 +142,135 @@ def test_grouped_index_wire_golden():
     # width-2 packing of the code column [0, 3, 2, 1]: 0 | 3<<2 | 2<<4 | 1<<6
     exp = bytes([0b01_10_11_00])
     assert bytes(g.vector_index.data.encodings[0]) == exp
+
+
+def _read_varint(buf, pos):
+    val, shift = 0, 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        val |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return val, pos
+        shift += 7
+
+
+def _top_level_fields(buf):
+    """Minimal proto2 wire walk (independent of the protobuf library):
+    yields (field_number, wire_type, payload_bytes_or_int) at one level."""
+    pos, out = 0, []
+    while pos < len(buf):
+        tag, pos = _read_varint(buf, pos)
+        field, wt = tag >> 3, tag & 7
+        if wt == 0:
+            val, pos = _read_varint(buf, pos)
+        elif wt == 2:
+            ln, pos = _read_varint(buf, pos)
+            val = buf[pos : pos + ln]
+            pos += ln
+        elif wt == 5:
+            val = buf[pos : pos + 4]
+            pos += 4
+        else:
+            raise AssertionError(f"unexpected wire type {wt}")
+        out.append((field, wt, val))
+    return out
+
+
+def _golden_path(name):
+    import os
+
+    return os.path.join(os.path.dirname(__file__), "golden", name)
+
+
+def test_full_index_blob_golden_sorted_w10(tmp_path):
+    """The COMPLETE serialized SortedIndex (10-bit byte-plus width) is
+    pinned byte-for-byte: save_index must reproduce tests/golden/
+    sorted_w10.pb exactly, the blob must walk as spec-conforming proto2
+    wire (hand decoder, no protobuf import), and load_index must serve it.
+    Swap the fixture for a JVM-written file when one becomes available
+    (tests/golden/make_golden.py documents the escape hatch)."""
+    import sys
+    import os
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "golden"))
+    import make_golden
+
+    from gulon_tpu.utils.serde import load_index, save_index
+
+    golden = open(_golden_path("sorted_w10.pb"), "rb").read()
+    out = str(tmp_path / "s.pb")
+    save_index(make_golden.sorted_w10(), out)
+    assert open(out, "rb").read() == golden
+
+    # hand wire walk: Index.sorted (field 1, length-delimited) wrapping a
+    # SortedIndex whose fields are words (1), vector_index (2), metric (3)
+    top = _top_level_fields(golden)
+    assert [(f, w) for f, w, _ in top] == [(1, 2)]
+    inner = _top_level_fields(top[0][2])
+    assert [(f, w) for f, w, _ in inner[:3]] == [(1, 2), (1, 2), (1, 2)]
+    assert [bytes(v) for _, _, v in inner[:3]] == [b"a", b"b", b"c"]
+    assert [(f, w) for f, w, _ in inner[3:]] == [(2, 2), (3, 0)]
+    assert inner[4][2] == 0  # Metric.L2
+    # PQIndex { product_quantizer = 1, data = 2 }; EncodedMatrix fields
+    pqi = _top_level_fields(inner[3][2])
+    assert [(f, w) for f, w, _ in pqi] == [(1, 2), (2, 2)]
+    enc = _top_level_fields(pqi[1][2])
+    assert (enc[0][0], enc[0][2]) == (1, 10)  # code_width = 10
+    assert (enc[1][0], enc[1][2]) == (2, 3)  # length = 3 rows
+    # 10-bit byte-plus: MSB plane then 2-bit LSB plane (Coder.scala:142-168)
+    # subspace 0 codes [5, 599, 123]: msb [1, 149, 30], lsb [1, 3, 3]
+    assert bytes(enc[2][2]) == bytes([1, 149, 30, 0b00_11_11_01])
+    # subspace 1 codes [300, 0, 456]: msb [75, 0, 114], lsb [0, 0, 0]
+    assert bytes(enc[3][2]) == bytes([75, 0, 114, 0])
+
+    idx = load_index(_golden_path("sorted_w10.pb"))
+    assert list(idx.key_index.keys) == ["a", "b", "c"]
+    assert idx.pq.num_clusters == 600
+    np.testing.assert_array_equal(
+        np.asarray(idx.codes), [[5, 300], [599, 0], [123, 456]]
+    )
+
+
+def test_full_index_blob_golden_grouped_w12(tmp_path):
+    """Complete GroupedIndex blob (12-bit width, LIMIT_VECTORS strategy)
+    pinned byte-for-byte and re-servable."""
+    import sys
+    import os
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "golden"))
+    import make_golden
+
+    from gulon_tpu.models.ivf import LimitVectors
+    from gulon_tpu.utils.serde import load_index, save_index
+
+    golden = open(_golden_path("grouped_w12.pb"), "rb").read()
+    out = str(tmp_path / "g.pb")
+    save_index(make_golden.grouped_w12(), out)
+    assert open(out, "rb").read() == golden
+
+    top = _top_level_fields(golden)
+    assert [(f, w) for f, w, _ in top] == [(2, 2)]  # Index.grouped
+    inner = _top_level_fields(top[0][2])
+    fields = [(f, w) for f, w, _ in inner]
+    # words x4, vector_index, metric, centroids x2, offsets, strategy, limit
+    assert fields == [
+        (1, 2), (1, 2), (1, 2), (1, 2), (2, 2), (3, 0),
+        (4, 2), (4, 2), (5, 0), (6, 0), (7, 0),
+    ]
+    assert inner[5][2] == 1  # Metric.COSINE
+    assert inner[8][2] == 2  # offsets == [2]
+    assert inner[9][2] == 2  # Strategy.LIMIT_VECTORS enum value
+    assert inner[10][2] == 2  # limit
+    enc = _top_level_fields(_top_level_fields(inner[4][2])[1][2])
+    assert (enc[0][0], enc[0][2]) == (1, 12)
+    # 12-bit byte-plus over [0, 2499, 4, 1234]: msb = idx >> 4,
+    # lsb nibbles packed low-first (Coder4 order)
+    assert bytes(enc[2][2]) == bytes(
+        [0, 156, 0, 77, 0x30, 0x24]
+    )
+
+    idx = load_index(_golden_path("grouped_w12.pb"))
+    assert isinstance(idx.strategy, LimitVectors) and idx.strategy.count == 2
+    assert list(idx.key_index.keys) == ["a", "b", "x", "y"]
+    np.testing.assert_array_equal(np.asarray(idx.group_ids), [0, 0, 1, 1])

@@ -417,3 +417,54 @@ def test_pallas_strategy_falls_back_small_corpus(ivf):
     d_p, i_p = idx_p.query_arrays(4, x[:8])
     assert np.array_equal(np.asarray(i_m), np.asarray(i_p))
     assert np.allclose(np.asarray(d_m), np.asarray(d_p))
+
+
+def test_pallas_rescore_exact_distances():
+    """pallas_rescore re-ranks block winners with exact f32 ADC
+    distances: agreeing ids report the masked scan's exact distances, and
+    recall does not drop vs the raw fused epilogue."""
+    rng = np.random.default_rng(17)
+    x, _, _ = planted_clusters(rng, 8192, 16, 32, scale=0.3, spread=2.0)
+    keys = random_keys(rng, 8192)
+    index = build_ivf_index(
+        keys, x,
+        pq_config=PQConfig(num_clusters=16, num_quantizers=4, max_iters=8),
+        num_partitions=8,
+        strategy=LimitGroups(4),
+        coarse_max_iters=8,
+    )
+    q = x[:32]
+    # masked scan at highest precision = the exact reference distances
+    index.precision = "highest"
+    d_m, i_m = index.query_arrays(5, q)
+    index.precision = "default"
+    index.scan_strategy = "pallas"
+    index.pallas_winners = 1
+    d_raw, i_raw = index.query_arrays(5, q)
+    index.pallas_rescore = 4
+    d_rs, i_rs = index.query_arrays(5, q)
+    d_m, i_m, d_rs, i_rs = map(np.asarray, (d_m, i_m, d_rs, i_rs))
+    d_raw = np.asarray(d_raw)
+    # PQ collapses same-cluster rows into exact distance ties, so ids are
+    # tie-arbitrary; the rescored DISTANCES must equal the masked scan's
+    # exact f32 distances (raw bf16 block values differ by ~1e-2). The
+    # probed global min is always its block's winner -> top-1 parity;
+    # deeper slots can miss at one-winner-per-block granularity.
+    np.testing.assert_allclose(d_rs[:, 0], d_m[:, 0], rtol=1e-4, atol=1e-4)
+    close = np.isclose(d_rs, d_m, rtol=1e-4, atol=1e-4)
+    assert close.mean() >= 0.9, close.mean()
+    # and each returned id's independently reconstructed distance equals
+    # the reported one: decode residual + add back the coarse centroid
+    dec = np.asarray(index.pq.decode(index.codes))
+    full = dec + np.asarray(index.centroids)[np.asarray(index.group_ids)]
+    for j in range(len(q)):
+        ids = i_rs[j][i_rs[j] >= 0]
+        truth = ((full[ids] - q[j][None]) ** 2).sum(-1)
+        np.testing.assert_allclose(
+            d_rs[j][: len(ids)], truth, rtol=1e-4, atol=1e-4
+        )
+    # distance-protocol recall can only improve vs the raw fused epilogue
+    cutoff = d_m[:, -1] * (1 + 1e-6)
+    assert (d_rs <= cutoff[:, None]).mean() >= (
+        d_raw <= cutoff[:, None]
+    ).mean() - 1e-9

@@ -225,3 +225,81 @@ def test_packed_codes_t_dtypes_match(setup):
     )
     np.testing.assert_array_equal(np.asarray(ir), np.asarray(ir32))
     np.testing.assert_allclose(np.asarray(dr), np.asarray(dr32), rtol=1e-6)
+
+
+def test_pallas_natural_mode_matches():
+    """Deep contractions (m*dsub+2 > 128) run the natural-layout matmul
+    (in-kernel dec^T transpose); results match the XLA reference scan."""
+    from gulon_tpu.ops.pallas.adc import padded_depth, _natural
+
+    rng = np.random.default_rng(9)
+    n, d, m = 5000, 128, 16
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    q = (x[:8] + rng.normal(0, 0.01, (8, d))).astype(np.float32)
+    pq = train_product_quantizer(
+        x, PQConfig(num_clusters=16, num_quantizers=m, max_iters=5)
+    )
+    assert _natural(padded_depth(m, pq.codebooks.shape[2]))
+    codes = pq.encode(x)
+    norms = pq.reconstruction_norms(codes)
+    d_ref, i_ref = adc_scan_decode(
+        jnp.asarray(q), pq.codebooks, codes, norms,
+        bounds=pq.bounds, k=10,
+        precision="highest", decode_impl="gather", topk_impl="exact",
+    )
+    d_pl, i_pl = adc_scan_pallas(
+        jnp.asarray(q), pq.codebooks, codes, norms,
+        bounds=pq.bounds, k=10, tile_rows=5120, interpret=True,
+    )
+    i_ref, i_pl = np.asarray(i_ref), np.asarray(i_pl)
+    recall = np.mean(
+        [len(set(i_pl[j]) & set(i_ref[j])) / 10 for j in range(len(q))]
+    )
+    assert recall >= 0.85, recall
+    np.testing.assert_allclose(
+        np.asarray(d_pl)[:, 0], np.asarray(d_ref)[:, 0], rtol=5e-2, atol=5e-2
+    )
+
+
+def test_dense_operand_rescore_matches_f32():
+    """Default rescore (bf16 operand + norm lanes) picks the same
+    neighbours as the exact-f32 rescore; distances agree to bf16 class."""
+    from gulon_tpu.ops.pallas.dense import dense_scan_pallas, prepare_data
+    from gulon_tpu.ops.distance import sq_norms
+
+    rng = np.random.default_rng(11)
+    n, d, k = 65536, 24, 8
+    x = jnp.asarray(rng.normal(0, 1, (n, d)).astype(np.float32))
+    q = jnp.asarray(rng.normal(0, 1, (40, d)).astype(np.float32))
+    dt = prepare_data(x)
+    kw = dict(k=k, interpret=True, rescore=4, tile_rows=1024)
+    d_f, i_f = dense_scan_pallas(q, dt, sq_norms(x), rescore_rows=x, **kw)
+    d_o, i_o = dense_scan_pallas(q, dt, sq_norms(x), **kw)
+    i_f, i_o = np.asarray(i_f), np.asarray(i_o)
+    overlap = np.mean(
+        [len(set(i_f[j]) & set(i_o[j])) / k for j in range(len(q))]
+    )
+    assert overlap >= 0.95, overlap
+    agree = i_f == i_o
+    np.testing.assert_allclose(
+        np.asarray(d_o)[agree], np.asarray(d_f)[agree], rtol=2e-2, atol=2e-1
+    )
+
+
+def test_pallas_inf_norms_are_inert(setup):
+    """+inf reconstruction norms (the sharded paths' row padding) must
+    never win a block or leak NaN distances (regression: the v6 hi/lo
+    norm split turned inf into NaN via inf - inf)."""
+    x, q, pq, codes, norms = setup
+    n = np.asarray(codes).shape[0]
+    bad = jnp.asarray(
+        np.where(np.arange(n) >= n - 200, np.inf, np.asarray(norms))
+    )
+    d_pl, i_pl = adc_scan_pallas(
+        jnp.asarray(q), pq.codebooks, codes, bad,
+        bounds=pq.bounds, k=10, tile_rows=5120, interpret=True,
+    )
+    d_pl, i_pl = np.asarray(d_pl), np.asarray(i_pl)
+    assert np.all(np.isfinite(d_pl) | (i_pl == -1))
+    assert not np.any(np.isnan(d_pl))
+    assert np.all((i_pl < n - 200) | (i_pl == -1))
