@@ -219,8 +219,9 @@ def _adc_fused_kernel(
     @pl.when(qt_idx == 0)
     def _():
         mdp = decT_ref.shape[0]
-        if mdp > md + 2:  # zero the sublane padding once
-            decT_ref[:] = jnp.zeros((mdp, t), jnp.bfloat16)
+        if mdp > md + 2:  # zero ONLY the pad rows (a whole-scratch zero
+            # is ~1 MB/row-tile of pure VMEM traffic at t=4096)
+            decT_ref[md + 2 :, :] = jnp.zeros((mdp - md - 2, t), jnp.bfloat16)
         row_iota = jax.lax.broadcasted_iota(jnp.int32, (k_codes, t), 0)
         for s in range(m):
             row = codes_ref[s, :]

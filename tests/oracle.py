@@ -32,8 +32,12 @@ def subspace_bounds_reference(d: int, m: int):
 
 
 def lloyd_reference(
-    x: np.ndarray, k: int, max_iters: int, seed: int
+    x: np.ndarray, k: int, max_iters: int, seed: int, tie: str = "random"
 ) -> np.ndarray:
+    """``tie="random"`` reproduces ``KMeans.scala:47``'s seeded coin-flip
+    on exact-equal distances; ``tie="first"`` is the deterministic
+    smallest-index rule the TPU rebuild uses (``ops/distance.py``) — the
+    A/B measures whether that semantic difference is observable."""
     rng = np.random.default_rng(seed)
     x = np.asarray(x, np.float32)
     cents = x[rng.integers(0, len(x), size=k)].copy()
@@ -41,6 +45,8 @@ def lloyd_reference(
     def assign(c):
         offs = (c.astype(np.float64) ** 2).sum(1).astype(np.float32)
         d = offs[None, :] - 2.0 * (x @ c.T)
+        if tie == "first":
+            return d.argmin(axis=1).astype(np.int32)
         mins = d.min(axis=1, keepdims=True)
         tie_w = np.where(d == mins, rng.random(d.shape), np.inf)
         return tie_w.argmin(axis=1).astype(np.int32)
@@ -63,7 +69,9 @@ def lloyd_reference(
     return cents
 
 
-def train_pq_reference(x: np.ndarray, m: int, k: int, max_iters: int):
+def train_pq_reference(
+    x: np.ndarray, m: int, k: int, max_iters: int, tie: str = "random"
+):
     """Per-subspace codebooks + codes, reference-style. Returns the
     decoded reconstruction of every row."""
     x = np.asarray(x, np.float32)
@@ -71,7 +79,7 @@ def train_pq_reference(x: np.ndarray, m: int, k: int, max_iters: int):
     recon = np.empty_like(x)
     for i, (start, width) in enumerate(bounds):
         sub = x[:, start : start + width]
-        cents = lloyd_reference(sub, k, max_iters, seed=i)
+        cents = lloyd_reference(sub, k, max_iters, seed=i, tie=tie)
         d = ((cents**2).sum(1))[None, :] - 2.0 * (sub @ cents.T)
         codes = d.argmin(axis=1)
         recon[:, start : start + width] = cents[codes]

@@ -1,0 +1,128 @@
+"""Two-process ``jax.distributed`` smoke test on localhost CPU.
+
+The mesh layer claims multi-host transparency (``parallel/mesh.py``:
+``distributed_init`` + ``make_mesh`` over ``jax.devices()``); everything
+else in the suite runs single-process. This test actually executes the
+multi-process path: two local processes join one JAX runtime over a
+localhost coordinator, build a global 2x(4-device) mesh, and run the
+sharded scans' core collective — per-shard top-k + all-gather merge with
+globalized row ids (``parallel/ops._merge_over_rows`` semantics) — on a
+globally row-sharded array assembled from process-local shards.
+
+Full sharded-index classes stay single-process here: ``shard_rows`` uses
+``jax.device_put`` with a global sharding, which requires every device to
+be addressable (true on a real multi-host TPU slice where each host
+device_puts its addressable shard; the cross-host assembly below uses
+``jax.make_array_from_single_device_arrays``, the same mechanism
+``jax.device_put`` decomposes into there).
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+_WORKER = r"""
+import os, sys
+import numpy as np
+
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+proc_id = int(sys.argv[1])
+port = sys.argv[2]
+
+from gulon_tpu.parallel.mesh import distributed_init, make_mesh, ROWS
+
+distributed_init(
+    coordinator_address=f"127.0.0.1:{port}",
+    num_processes=2,
+    process_id=proc_id,
+)
+assert jax.process_count() == 2, jax.process_count()
+devs = jax.devices()
+assert len(devs) == 8, len(devs)  # 4 local x 2 processes
+
+mesh = make_mesh()
+assert mesh.shape[ROWS] == 8
+
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+# global [80, 4] array, rows sharded over all 8 devices: each process
+# assembles its 4 addressable shards from process-local data
+n, d, k = 80, 4, 5
+full = np.arange(n * d, dtype=np.float32).reshape(n, d)
+sharding = NamedSharding(mesh, P(ROWS, None))
+flat = list(mesh.devices.flatten())
+shards = []
+for r, dv in enumerate(flat):  # row-shard r lives on mesh position r
+    if dv.process_index == jax.process_index():
+        shards.append(jax.device_put(full[r * 10 : (r + 1) * 10], dv))
+x = jax.make_array_from_single_device_arrays((n, d), sharding, shards)
+
+# per-shard top-k of a toy score + all-gather merge with global ids —
+# the exact collective the sharded scans run per query batch
+def shard_fn(x_loc):
+    score = jnp.sum((x_loc - 3.0) ** 2, axis=1)  # [10]
+    v, i = jax.lax.top_k(-score, k)
+    gid = jax.lax.axis_index(ROWS).astype(jnp.int32) * 10 + i
+    vals = jax.lax.all_gather(-v[None], ROWS, axis=1, tiled=True)
+    ids = jax.lax.all_gather(gid[None], ROWS, axis=1, tiled=True)
+    best, pos = jax.lax.top_k(-vals, k)
+    return -best, jnp.take_along_axis(ids, pos, axis=1)
+
+out_v, out_i = jax.jit(
+    jax.shard_map(
+        shard_fn, mesh=mesh, in_specs=P(ROWS, None), out_specs=(P(), P()),
+        check_vma=False,
+    )
+)(x)
+out_v, out_i = np.asarray(out_v)[0], np.asarray(out_i)[0]
+
+truth = np.sum((full - 3.0) ** 2, axis=1)
+want = np.argsort(truth, kind="stable")[:k]
+assert set(out_i) == set(want), (out_i, want)
+np.testing.assert_allclose(np.sort(out_v), np.sort(truth[want]), rtol=1e-6)
+print(f"proc {proc_id} OK")
+"""
+
+
+@pytest.mark.slow
+def test_two_process_distributed_mesh(tmp_path):
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    script = tmp_path / "worker.py"
+    script.write_text(_WORKER)
+    env = dict(
+        os.environ,
+        XLA_FLAGS="--xla_force_host_platform_device_count=4",
+        PYTHONPATH=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        JAX_PLATFORMS="cpu",
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(i), str(port)],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("distributed workers timed out")
+        outs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i} failed:\n{out}"
+        assert f"proc {i} OK" in out

@@ -8,6 +8,7 @@ with-replacement init, empty->zero, assignment-fixpoint convergence).
 """
 
 import numpy as np
+import pytest
 
 from generators import planted_clusters, random_keys
 from oracle import recall_at_k, train_pq_reference
@@ -60,3 +61,64 @@ def test_oracle_sane_on_spread_data():
     recon = train_pq_reference(x, 8, 64, max_iters=30)
     r = recall_at_k(x[:100], x, recon, k=5)
     assert r > 0.6, r
+
+
+@pytest.mark.slow
+def test_recall_ratio_vs_oracle_at_scale():
+    """The >= 0.95x BASELINE ratio at a production-class shape: 100k x
+    100d, PQ 8x256 (the glove100 configuration scaled to what a CPU run
+    tolerates). Round-2 verdict: the ratio was previously asserted only
+    at a 6k x 32d toy."""
+    rng = np.random.default_rng(1234)
+    n, d, m, k_codes = 100_000, 100, 8, 256
+    x, _, _ = planted_clusters(rng, n, d, 64, scale=1.0)
+    q_ids = rng.choice(n, 256, replace=False)
+    queries = x[q_ids]
+
+    recon_ref = train_pq_reference(x, m, k_codes, max_iters=15)
+    r_oracle = recall_at_k(queries, x, recon_ref, k=10)
+
+    keys = random_keys(rng, n)
+    index = build_flat_index(
+        keys, x,
+        pq_config=PQConfig(
+            num_clusters=k_codes, num_quantizers=m, max_iters=15,
+            precision="highest",
+        ),
+    )
+    order = np.argsort(keys, kind="stable")
+    recon_ours_sorted = np.asarray(index.pq.decode(index.codes))
+    recon_ours = np.empty_like(recon_ours_sorted)
+    recon_ours[order] = recon_ours_sorted
+    r_ours = recall_at_k(queries, x, recon_ours, k=10)
+
+    # absolute recall at 8 bytes/vector over a 100d near-uniform corpus is
+    # genuinely low (~0.15 here, ~0.19 on the glove100 bench corpus) — the
+    # BASELINE bar is the RATIO at equal code bytes, not the absolute
+    assert r_oracle > 0.05, f"oracle degenerate: {r_oracle}"
+    ratio = r_ours / r_oracle
+    assert ratio >= 0.95, (
+        f"recall ratio {ratio:.3f} (ours {r_ours:.3f} vs oracle "
+        f"{r_oracle:.3f}) below the 0.95x BASELINE bar at 100k x 100d"
+    )
+
+
+@pytest.mark.slow
+def test_tie_break_rule_is_immaterial_at_scale():
+    """KMeans.scala:47 breaks exact-equal assignment ties with a seeded
+    coin flip; the rebuild picks the smallest index (ops/distance.py).
+    The oracle itself run both ways at 100k x 100d shows the recall
+    difference is far below the 0.95x bar's resolution — the recorded
+    null result for the one reference semantic the rebuild does not
+    reproduce (measured: random 0.1551 vs first 0.1578, |delta| =
+    0.0027 absolute; see benchmarks/RESULTS.md)."""
+    rng = np.random.default_rng(99)
+    n, d, m, k_codes = 100_000, 100, 8, 256
+    x, _, _ = planted_clusters(rng, n, d, 64, scale=1.0)
+    queries = x[rng.choice(n, 256, replace=False)]
+
+    recon_rand = train_pq_reference(x, m, k_codes, max_iters=15)
+    recon_first = train_pq_reference(x, m, k_codes, max_iters=15, tie="first")
+    r_rand = recall_at_k(queries, x, recon_rand, k=10)
+    r_first = recall_at_k(queries, x, recon_first, k=10)
+    assert abs(r_rand - r_first) < 0.01, (r_rand, r_first)
