@@ -91,8 +91,10 @@ def main():
 
     q_pool_dev = q_pool
     # the serving path: the fused Pallas kernel (FlatIndex auto strategy on
-    # TPU); codes pretransposed once, like FlatIndex caches them
-    codes_t = jnp.asarray(np.asarray(codes, np.int32).T)
+    # TPU); codes pretransposed once at minimal width, like FlatIndex
+    from gulon_tpu.ops.pallas.adc import pack_codes_t
+
+    codes_t = pack_codes_t(np.asarray(codes), k_codes)
     n_rows = int(codes.shape[0])
 
     k_scan = 4 * topk  # over-fetch width for the optional rerank extra

@@ -103,6 +103,45 @@ def bench_adc(n, d, m, k_codes, n_queries, name, max_iters=25):
         return acc + dd[0, 0] + jnp.float32(ii[0, 0] % 7)
 
     per_batch = time_device_loop(step, float)
+
+    # the cached serving mode (FlatIndex.enable_cache + "cached" strategy
+    # -> fused dense kernel on TPU): trades 2*m*dsub bytes/vector of HBM
+    # for a matmul-bound scan — at deep m*dsub the code-resident kernel is
+    # decode-bound and this is the latency winner
+    per_batch_cached = None
+    if use_pallas:
+        from gulon_tpu.models.flat import _augment_cache
+        from gulon_tpu.ops.pallas.dense import dense_scan_pallas
+        from gulon_tpu.ops.pq import split_subspaces
+        from gulon_tpu.ops.scan import decode_tile
+
+        dsub = pq.pad_width
+        parts = []
+        for s0 in range(0, n, 1 << 18):
+            ci = jnp.asarray(np.asarray(codes)[s0 : s0 + (1 << 18)],
+                             jnp.int32)
+            parts.append(
+                decode_tile(pq.codebooks, ci, "auto").astype(jnp.bfloat16)
+            )
+        cache_aug = _augment_cache(jnp.concatenate(parts), norms)
+        del parts
+
+        def q_pad_of(qb):
+            qs = split_subspaces(qb, pq.bounds, dsub)
+            return jnp.transpose(qs, (1, 0, 2)).reshape(
+                qb.shape[0], m * dsub
+            )
+
+        def step_cached(acc):
+            start = (acc.astype(jnp.int32) % 4) * n_queries
+            qb = jax.lax.dynamic_slice_in_dim(q_dev, start, n_queries, 0)
+            dd, ii = dense_scan_pallas(
+                q_pad_of(qb + acc * 1e-30), cache_aug, norms, k=10
+            )
+            return acc + dd[0, 0] + jnp.float32(ii[0, 0] % 7)
+
+        per_batch_cached = time_device_loop(step_cached, float)
+
     # recall vs exact, plus the PQ ceiling (exact NN over decoded vectors):
     # scan_efficiency ~ 1.0 means the query path is lossless for the codes
     sample = min(256, n_queries)
@@ -125,6 +164,16 @@ def bench_adc(n, d, m, k_codes, n_queries, name, max_iters=25):
             "batch": n_queries,
             "us_per_query": round(per_batch / n_queries * 1e6, 3),
             "qps_per_chip": round(n_queries / per_batch, 1),
+            **(
+                {
+                    "us_per_query_cached_dense": round(
+                        per_batch_cached / n_queries * 1e6, 3
+                    ),
+                    "cached_bytes_per_vector": 2 * m * pq.pad_width,
+                }
+                if per_batch_cached is not None
+                else {}
+            ),
             "recall_at_10_vs_exact": round(recall, 4),
             "recall_at_10_pq_ceiling": round(ceiling, 4),
             "scan_efficiency": round(recall / max(ceiling, 1e-9), 4),
@@ -493,7 +542,15 @@ def bench_ivf1m(n=300_000, d=96, n_queries=1024, partitions=300, probe=15):
     dd_p4, ii_p4 = index.query_arrays(10, q_dev)
     results_pallas4 = index._make_results(dd_p4, ii_p4)
     dev_pallas4 = time_device_loop(mk_step("pallas"), float, iters=16)
+
+    # 2 winners + exact f32 ADC rescore of 4k over-fetched candidates:
+    # decouples in-kernel selection width (latency) from ranking fidelity
     index.pallas_winners = 2
+    index.pallas_rescore = 4
+    dd_pr, ii_pr = index.query_arrays(10, q_dev)
+    results_pallas_rs = index._make_results(dd_pr, ii_pr)
+    dev_pallas_rs = time_device_loop(mk_step("pallas"), float, iters=16)
+    index.pallas_rescore = 0
     index.scan_strategy = "masked"
 
     # recall vs exact over raw vectors
@@ -521,8 +578,12 @@ def bench_ivf1m(n=300_000, d=96, n_queries=1024, partitions=300, probe=15):
             "device_ms_masked": round(dev_masked * 1e3, 2),
             "device_ms_pallas": round(dev_pallas * 1e3, 2),
             "device_ms_pallas_w4": round(dev_pallas4 * 1e3, 2),
+            "device_ms_pallas_w2_rescore4": round(dev_pallas_rs * 1e3, 2),
             "recall_at_10_pallas": round(_recall(results_pallas), 4),
             "recall_at_10_pallas_w4": round(_recall(results_pallas4), 4),
+            "recall_at_10_pallas_w2_rescore4": round(
+                _recall(results_pallas_rs), 4
+            ),
             "recall_at_10_vs_exact": round(_recall(results), 4),
             "build_s": round(build_s, 1),
             "device": str(jax.devices()[0]),

@@ -14,7 +14,10 @@ Scan strategies (see ``gulon_tpu.ops.scan`` / ``gulon_tpu.ops.pallas.adc``):
 - ``"cached"``: scan a cached (bf16) decode of the code matrix — pure MXU
   matmul per batch, the throughput ceiling, at ``2*m*dsub`` bytes/vector of
   HBM (call :meth:`enable_cache` or just use the strategy; the cache builds
-  lazily);
+  lazily). On TPU this routes through the fused dense kernel
+  (``ops/pallas/dense.py``) so score tiles never round-trip HBM — at deep
+  ``m*dsub`` (e.g. glove300's 304) the code-resident pallas scan is
+  decode-bound and the cached kernel is the latency winner;
 - ``"auto"`` (default): tiny batches -> lut; a built cache -> cached; TPU
   within kernel limits -> pallas; otherwise decode.
 """
@@ -37,6 +40,24 @@ from gulon_tpu.ops.pq import ProductQuantizer
 
 # Below this many queries the LUT scan moves less data than decode.
 _AUTO_LUT_MAX_QUERIES = 4
+
+
+def _augment_cache(cache: jax.Array, norms: jax.Array) -> jax.Array:
+    """Dense-kernel operand over a decoded cache: ``[N, D] -> [N,
+    padded_dim(D)]`` bf16 with hi/lo norm lanes (see
+    ``ops/pallas/dense.prepare_data``; here the source is already bf16 on
+    device, so the augmentation happens device-side)."""
+    from gulon_tpu.ops.pallas.dense import padded_dim
+
+    n, d = cache.shape
+    dp = padded_dim(d)
+    hi = norms.astype(jnp.bfloat16)
+    lo = (norms - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    out = jnp.zeros((n, dp), jnp.bfloat16)
+    out = out.at[:, :d].set(cache.astype(jnp.bfloat16))
+    out = out.at[:, dp - 2].set(hi)
+    out = out.at[:, dp - 1].set(lo)
+    return out
 
 
 @dataclasses.dataclass
@@ -65,6 +86,11 @@ class FlatIndex(Index):
     packed_width: int = 0
     # query-invariant [m, N] i32 relayout for the pallas kernel, built lazily
     _pallas_codes_t: Optional[jax.Array] = None
+    # lazy dense-kernel operand over the decoded cache (norm lanes
+    # appended): on TPU the cached strategy runs the fused dense kernel
+    # instead of the XLA tile scan — at deep m*dsub the scan is
+    # matmul-bound and the kernel keeps scores in VMEM
+    _cache_aug: Optional[jax.Array] = None
 
     @property
     def key_index(self) -> SortedKeyIndex:
@@ -153,15 +179,36 @@ class FlatIndex(Index):
             if self.decoded_cache is None:
                 self.enable_cache()
             q_pad = self._q_pad(q)
-            dists, ids = scan_ops.cached_scan(
-                q_pad,
-                self.decoded_cache,
-                self.recon_norms,
-                k=k_scan,
-                tile_rows=self.tile_rows,
-                topk_impl=self.topk_impl,
-                recall_target=self.recall_target,
-            )
+            if (
+                jax.default_backend() == "tpu"
+                and k_scan <= 128
+                and self.size >= 256 * k_scan
+            ):
+                # fused dense kernel over the cached reconstruction: the
+                # scores never round-trip HBM (at glove300 the XLA tile
+                # scan is bound by the [Q, T] tiles it materializes)
+                from gulon_tpu.ops.pallas.dense import dense_scan_pallas
+
+                if self._cache_aug is None:
+                    self._cache_aug = _augment_cache(
+                        self.decoded_cache, self.recon_norms
+                    )
+                dists, ids = dense_scan_pallas(
+                    q_pad,
+                    self._cache_aug,
+                    self.recon_norms,
+                    k=k_scan,
+                )
+            else:
+                dists, ids = scan_ops.cached_scan(
+                    q_pad,
+                    self.decoded_cache,
+                    self.recon_norms,
+                    k=k_scan,
+                    tile_rows=self.tile_rows,
+                    topk_impl=self.topk_impl,
+                    recall_target=self.recall_target,
+                )
         elif strategy == "pallas":
             from gulon_tpu.ops.pallas.adc import adc_scan_pallas
 
@@ -254,6 +301,7 @@ class FlatIndex(Index):
             if parts
             else jnp.zeros((0, m * dsub), dtype)
         )
+        self._cache_aug = None  # dense-kernel operand rebuilds lazily
 
     def pack_memory(self) -> None:
         """Pack sub-byte codes in HBM (width 2/4 only): 2-4x less memory,

@@ -18,16 +18,17 @@ pipeline in VMEM, and its layout is chosen around two measured Mosaic facts
    lands ``dec^T [m*dsub, T]`` in exactly the layout the transposed distance
    matmul wants.
 
-Selection is min-then-match: one sublane block-min of the raw f32 scores
-(the exact winner value), then an eq-compare against the broadcast minimum
-selects the winner's row-in-block via a second sublane min over the matched
-iota. Reductions on the sublane axis are ~0.15 VPU ops/element (vreg tree);
-the cost is the *elementwise* work, and min-then-match needs only ~2
-ops/element (eq + select) where v4's monotone-int32 key-packing chain
-needed ~7 — and the winner values come out f32 (exact up to the ~2^-17
-norm-split term, far below the bf16 operand noise) instead of
-7-bit-coarsened. The XLA epilogue runs one exact top-k over the
-``[Q, N/128]`` block winners. This is the hardware-PartialReduce schedule
+Selection (v7) packs the row-in-block into the 7 low mantissa bits of the
+f32 score (``(bits & ~127) | lane``): float ordering still matches score
+ordering within a <=2^-16 coarsening (far below the ~2^-8 bf16 operand
+noise), so ONE sublane float-min per 128-row block yields a
+self-identifying winner — no eq/where re-match, no second reduction, no
+separate ids array in HBM (half the winner bytes out). Unlike v4's
+monotone-int32 keys (~7 ops/element for sign handling), float-min needs no
+monotone transform: pack costs 2 VPU ops/element and the reductions ride
+the sublane axis of a contiguous view. The XLA epilogue runs one top-k
+over the packed ``[Q, N/128]`` winners and decodes ids from column + lane
+bits. This is the hardware-PartialReduce schedule
 (what ``lax.approx_min_k`` compiles to) with decode + distances fused in
 front. At the headline shape the kernel is VPU-selection-bound: v3
 (packed key + exact-value second pass) ran 1.63 ms/batch, v4 (single
@@ -108,11 +109,19 @@ def padded_depth(m: int, dsub: int) -> int:
 
 
 def _natural(mdp: int) -> bool:
-    """Deep contractions (> one 128-wide MXU pass) run the natural-layout
-    matmul (in-kernel dec^T transpose); measured 1.7x on the dense kernel
-    (``ops/pallas/dense.py:15-24``). At depth <= 128 the transposed
-    orientation costs nothing and skips the transpose."""
-    return mdp > 128
+    """Whether to transpose dec^T in-kernel and run the canonical
+    natural-layout distance matmul. Measured at glove300 (depth 312,
+    2.2M rows): natural 13.90 ms vs transposed 13.51 ms per 1024-batch —
+    a null result, because the ADC kernel at deep shapes is bound by the
+    one-hot decode (VPU), not the distance matmul, unlike the dense
+    kernel where the same layout change bought 1.7x. Default OFF; set
+    ``GULON_ADC_NATURAL=1`` to enable for deep-contraction experiments
+    (the path stays correctness-tested in interpret mode)."""
+    import os
+
+    if os.environ.get("GULON_ADC_NATURAL", "") not in ("", "0"):
+        return mdp > 128
+    return False
 
 
 def _pick_tiles(
@@ -196,8 +205,7 @@ def _adc_fused_kernel(
     q_ref,       # [QT, MDP] bf16 block (-2x scaled, unit norm lanes) —
     #              natural mode: [MDP, QT] (pretransposed by the wrapper)
     cbT_ref,     # [m, dsub, K] bf16 (whole)
-    vals_ref,    # out [NB, QT] f32 block (row-tile winners, transposed)
-    ids_ref,     # out [NB, QT] i32 block
+    packed_ref,  # out [W*NB, QT] f32 block: (score & ~127) | row-in-block
     decT_ref,    # scratch [MDP, T] bf16 (persists across query tiles)
     *scratch,    # natural mode: dec_ref [T, MDP] bf16
     m: int,
@@ -211,7 +219,6 @@ def _adc_fused_kernel(
     t = tile_rows
     qt = q_ref.shape[1] if natural else q_ref.shape[0]
     nblk = t // _LANES
-    rt_idx = pl.program_id(0)
     qt_idx = pl.program_id(1)
     md = m * dsub
 
@@ -268,33 +275,36 @@ def _adc_fused_kernel(
             preferred_element_type=jnp.float32,
         )  # [T, QT]
 
-    # --- (min, argmin) per 128-row block via min-then-match: one sublane
-    # block-min of the raw f32 scores is the exact winner value; comparing
-    # the scores against the broadcast minimum re-finds its row (ties pick
-    # the smallest row-in-block, same as v4's packed key). Both reductions
-    # ride the *sublane* axis of a contiguous view — no lane relayout — and
-    # the elementwise work is ~2 VPU ops per score element (the eq and the
-    # select) vs ~7 for v4's monotone-int32 key-packing chain, with the
-    # value exact f32 instead of 7-bit-coarsened.
+    # --- (min, argmin) per 128-row block via lane-packed float min (v7):
+    # the row-in-block fits the 7 low mantissa bits, so
+    # ``(bits & ~127) | lane`` is a float whose ORDERING matches the score
+    # (within a <=2^-16 coarsening, far under the bf16 operand noise) and
+    # whose argmin is self-identifying. One sublane min over a contiguous
+    # view — no eq/where/second-min pass (v6's min-then-match cost ~2.3
+    # VPU ops per score element; this is ~2.15 with half the output bytes
+    # and no ids array in HBM at all). Ties pick the smallest row-in-block
+    # for positive scores (largest for negative — harmless).
     s3 = scores.reshape(nblk, _LANES, qt)
-    row_iota = jax.lax.broadcasted_iota(jnp.int32, (nblk, _LANES, qt), 1)
-    blk_base = jax.lax.broadcasted_iota(jnp.int32, (nblk, qt), 0)
-    # ``winners`` ranked candidates per block: min, mask the winner's row,
-    # repeat. Losing a true top-k member to a block collision requires
-    # ``winners + 1`` of them in one 128-row block.
-    masked = s3
-    for w in range(winners):
-        vmin = jnp.min(masked, axis=1)  # [NB, QT] exact f32 values
-        cand = jnp.where(
-            masked == vmin[:, None, :], row_iota, jnp.int32(_LANES)
-        )
-        lane = jnp.minimum(jnp.min(cand, axis=1), _LANES - 1)
-        vals_ref[w * nblk : (w + 1) * nblk] = vmin
-        ids_ref[w * nblk : (w + 1) * nblk] = (
-            rt_idx * t + blk_base * _LANES + lane
-        )
-        if w + 1 < winners:
-            masked = jnp.where(row_iota == lane[:, None, :], _BIG, masked)
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (nblk, _LANES, qt), 1)
+    packed3 = jax.lax.bitcast_convert_type(
+        (jax.lax.bitcast_convert_type(s3, jnp.int32) & jnp.int32(~127))
+        | lane_iota,
+        jnp.float32,
+    )
+    if winners == 1:
+        packed_ref[:] = jnp.min(packed3, axis=1)
+    else:
+        # ranked candidates per block: min, mask the winner (its packed
+        # bits are unique in the block — lanes differ), repeat. Losing a
+        # true top-k member needs ``winners + 1`` of them in one block.
+        masked = packed3
+        for w in range(winners):
+            vmin = jnp.min(masked, axis=1)  # [NB, QT] packed
+            packed_ref[w * nblk : (w + 1) * nblk] = vmin
+            if w + 1 < winners:
+                masked = jnp.where(
+                    masked == vmin[:, None, :], _BIG, masked
+                )
 
 
 def _block_scan(
@@ -311,9 +321,14 @@ def _block_scan(
 ):
     """Launch the fused kernel; returns per-128-row-block winners.
 
-    ``(winners_v [Q, NB], winners_i [Q, NB], qs, codes_t, pretransposed)``
-    where winner values are ``recon_norms[row] - 2<q, dec(row)>`` (no
-    ``||q||^2`` term) and values ``>= _INVALID_MIN`` mark padding blocks.
+    ``(packed [Q, NW], base_cols [NW] i32, qs, codes_t, pretransposed)``
+    where ``packed`` holds lane-packed winner floats — value bits
+    ``recon_norms[row] - 2<q, dec(row)>`` (no ``||q||^2`` term, low 7
+    mantissa bits replaced by the row-in-block) and ``base_cols[c]`` is
+    the first row of winner column ``c``'s block, so
+    ``row = base_cols[c] + (bitcast_i32(packed) & 127)``. Values
+    ``>= _INVALID_MIN`` (after masking the lane bits) mark padding.
+    Use :func:`unpack_block_winners`.
     """
     num_q, _ = queries.shape
     m, k_codes, dsub = codebooks.shape
@@ -385,7 +400,7 @@ def _block_scan(
     scratch_shapes = [pltpu.VMEM((mdp, t), jnp.bfloat16)]
     if natural:
         scratch_shapes.append(pltpu.VMEM((t, mdp), jnp.bfloat16))
-    block_v, block_i = pl.pallas_call(
+    block_p = pl.pallas_call(
         kernel,
         grid=(n_rt, n_qt),  # query axis innermost: decode reused across it
         in_specs=[
@@ -394,23 +409,12 @@ def _block_scan(
             q_spec,
             pl.BlockSpec(memory_space=pltpu.VMEM),  # codebooks^T (whole)
         ],
-        out_specs=(
-            pl.BlockSpec(
-                (winners * nblk, qt), lambda r, q: (r, q),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (winners * nblk, qt), lambda r, q: (r, q),
-                memory_space=pltpu.VMEM,
-            ),
+        out_specs=pl.BlockSpec(
+            (winners * nblk, qt), lambda r, q: (r, q),
+            memory_space=pltpu.VMEM,
         ),
-        out_shape=(
-            jax.ShapeDtypeStruct(
-                (n_rt * winners * nblk, q_pad.shape[0]), jnp.float32
-            ),
-            jax.ShapeDtypeStruct(
-                (n_rt * winners * nblk, q_pad.shape[0]), jnp.int32
-            ),
+        out_shape=jax.ShapeDtypeStruct(
+            (n_rt * winners * nblk, q_pad.shape[0]), jnp.float32
         ),
         scratch_shapes=scratch_shapes,
         interpret=interpret,
@@ -421,7 +425,35 @@ def _block_scan(
         jnp.transpose(codebooks, (0, 2, 1)).astype(jnp.bfloat16),
     )
 
-    return block_v.T[:num_q], block_i.T[:num_q], qs, codes_t, pretransposed
+    # winner column c -> first row of its block (rank-major within a tile:
+    # rank w of block j sits at column r*W*nblk + w*nblk + j)
+    wn = winners * nblk
+    cols = np.arange(n_rt * wn, dtype=np.int64)
+    base_cols = ((cols // wn) * t + (cols % wn) % nblk * _LANES).astype(
+        np.int32
+    )
+    return (
+        block_p.T[:num_q],
+        jnp.asarray(base_cols),
+        qs,
+        codes_t,
+        pretransposed,
+    )
+
+
+def unpack_block_winners(
+    packed: jax.Array, base_cols: jax.Array
+) -> Tuple[jax.Array, jax.Array]:
+    """Lane-packed block winners -> ``([Q, NW] values, [Q, NW] row ids)``.
+
+    Values carry the <=2^-16 lane-packing coarseness (their low 7 mantissa
+    bits read as zero)."""
+    bits = jax.lax.bitcast_convert_type(packed, jnp.int32)
+    vals = jax.lax.bitcast_convert_type(
+        bits & jnp.int32(~127), jnp.float32
+    )
+    ids = base_cols[None, :] + (bits & 127)
+    return vals, ids
 
 
 @functools.partial(
@@ -445,19 +477,20 @@ def adc_block_scan_pallas(
     """Raw fused-kernel block winners for custom epilogues.
 
     Returns ``([Q, NB] values, [Q, NB] row ids)``: per 128-row block, the
-    min of ``recon_norms[row] - 2<q, dec(row)>`` and its row. Values
-    ``>= _INVALID_MIN`` are padding. Used by the IVF pallas strategy, whose
-    per-(query, partition) term is block-constant under a partition-padded
-    row layout and therefore commutes with the in-kernel block min.
+    min of ``recon_norms[row] - 2<q, dec(row)>`` and its row (values carry
+    the <=2^-16 lane-packing coarseness). Values ``>= _INVALID_MIN`` are
+    padding. Used by the IVF pallas strategy, whose per-(query, partition)
+    term is block-constant under a partition-padded row layout and
+    therefore commutes with the in-kernel block min.
     """
     if not 1 <= winners <= 4:
         raise ValueError(f"winners must be in 1..4, got {winners}")
-    wv, wi, _, _, _ = _block_scan(
+    packed, base_cols, _, _, _ = _block_scan(
         queries, codebooks, codes, recon_norms,
         bounds=bounds, tile_rows=tile_rows, interpret=interpret,
         num_rows=num_rows, winners=winners,
     )
-    return wv, wi
+    return unpack_block_winners(packed, base_cols)
 
 
 @functools.partial(
@@ -495,23 +528,30 @@ def adc_scan_pallas(
             f"pallas ADC kernel needs corpus >= 256*k rows (n={n}, k={kk}); "
             "use the XLA scan for small corpora"
         )
-    winners_v, winners_i, qs, codes_t, pretransposed = _block_scan(
+    packed, base_cols, qs, codes_t, pretransposed = _block_scan(
         queries, codebooks, codes, recon_norms,
         bounds=bounds, tile_rows=tile_rows, interpret=interpret,
         num_rows=num_rows,
     )
 
-    # XLA epilogue over the N/128 block winners: exact top-k for small k;
-    # for over-fetch calls (k >= 32, caller rescores exactly afterwards)
-    # the hardware PartialReduce is ~10x cheaper and only coverage matters
-    if kk >= 32 and winners_v.shape[1] >= 4 * kk:
-        best_v, pos = jax.lax.approx_min_k(
-            winners_v, kk, recall_target=0.95
+    # XLA epilogue over the N/128 block winners, ranking the lane-packed
+    # floats DIRECTLY (float order == score order within the 2^-16 packing
+    # coarseness): exact top-k for small k; for over-fetch calls (k >= 32,
+    # caller rescores exactly afterwards) the hardware PartialReduce is
+    # ~10x cheaper and only coverage matters. Ids decode from the selected
+    # columns + lane bits — no [Q, NB] ids array ever exists.
+    if kk >= 32 and packed.shape[1] >= 4 * kk:
+        best_p, pos = jax.lax.approx_min_k(
+            packed, kk, recall_target=0.95
         )
         pos = pos.astype(jnp.int32)
     else:
-        best_v, pos = smallest_k(winners_v, kk)
-    best_ids = jnp.take_along_axis(winners_i, pos, axis=1)
+        best_p, pos = smallest_k(packed, kk)
+    bits = jax.lax.bitcast_convert_type(best_p, jnp.int32)
+    best_v = jax.lax.bitcast_convert_type(
+        bits & jnp.int32(~127), jnp.float32
+    )
+    best_ids = jnp.take(base_cols, pos) + (bits & 127)
     invalid = best_v >= _INVALID_MIN
 
     if rescore:
@@ -543,9 +583,10 @@ def adc_scan_pallas(
         best_d, pos2 = smallest_k(exact, kk)
         best_ids = jnp.take_along_axis(best_ids, pos2, axis=1)
     else:
-        # exact f32 kernel values + the per-query ||q||^2 term; the only
-        # noise left is the ~2^-8 bf16 operand rounding every strategy's
-        # matmul scores carry (rescore=True removes that too)
+        # kernel values (f32 coarsened <=2^-16 by the lane packing) + the
+        # per-query ||q||^2 term; the dominant noise is the ~2^-8 bf16
+        # operand rounding every strategy's matmul scores carry
+        # (rescore=True removes both)
         qn = sq_norms(queries)
         best_d = jnp.where(invalid, jnp.inf, best_v + qn[:, None])
         best_ids = jnp.where(invalid, -1, best_ids)

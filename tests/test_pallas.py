@@ -230,6 +230,8 @@ def test_packed_codes_t_dtypes_match(setup):
 def test_pallas_natural_mode_matches():
     """Deep contractions (m*dsub+2 > 128) run the natural-layout matmul
     (in-kernel dec^T transpose); results match the XLA reference scan."""
+    import os
+
     from gulon_tpu.ops.pallas.adc import padded_depth, _natural
 
     rng = np.random.default_rng(9)
@@ -239,26 +241,31 @@ def test_pallas_natural_mode_matches():
     pq = train_product_quantizer(
         x, PQConfig(num_clusters=16, num_quantizers=m, max_iters=5)
     )
-    assert _natural(padded_depth(m, pq.codebooks.shape[2]))
-    codes = pq.encode(x)
-    norms = pq.reconstruction_norms(codes)
-    d_ref, i_ref = adc_scan_decode(
-        jnp.asarray(q), pq.codebooks, codes, norms,
-        bounds=pq.bounds, k=10,
-        precision="highest", decode_impl="gather", topk_impl="exact",
-    )
-    d_pl, i_pl = adc_scan_pallas(
-        jnp.asarray(q), pq.codebooks, codes, norms,
-        bounds=pq.bounds, k=10, tile_rows=5120, interpret=True,
-    )
-    i_ref, i_pl = np.asarray(i_ref), np.asarray(i_pl)
-    recall = np.mean(
-        [len(set(i_pl[j]) & set(i_ref[j])) / 10 for j in range(len(q))]
-    )
-    assert recall >= 0.85, recall
-    np.testing.assert_allclose(
-        np.asarray(d_pl)[:, 0], np.asarray(d_ref)[:, 0], rtol=5e-2, atol=5e-2
-    )
+    os.environ["GULON_ADC_NATURAL"] = "1"
+    try:
+        assert _natural(padded_depth(m, pq.codebooks.shape[2]))
+        codes = pq.encode(x)
+        norms = pq.reconstruction_norms(codes)
+        d_ref, i_ref = adc_scan_decode(
+            jnp.asarray(q), pq.codebooks, codes, norms,
+            bounds=pq.bounds, k=10,
+            precision="highest", decode_impl="gather", topk_impl="exact",
+        )
+        d_pl, i_pl = adc_scan_pallas(
+            jnp.asarray(q), pq.codebooks, codes, norms,
+            bounds=pq.bounds, k=10, tile_rows=5120, interpret=True,
+        )
+        i_ref, i_pl = np.asarray(i_ref), np.asarray(i_pl)
+        recall = np.mean(
+            [len(set(i_pl[j]) & set(i_ref[j])) / 10 for j in range(len(q))]
+        )
+        assert recall >= 0.85, recall
+        np.testing.assert_allclose(
+            np.asarray(d_pl)[:, 0], np.asarray(d_ref)[:, 0],
+            rtol=5e-2, atol=5e-2,
+        )
+    finally:
+        del os.environ["GULON_ADC_NATURAL"]
 
 
 def test_dense_operand_rescore_matches_f32():
