@@ -79,9 +79,9 @@ def bench_adc(n, d, m, k_codes, n_queries, name, max_iters=25):
         and k_codes <= 1024
     )
     if use_pallas:
-        from gulon_tpu.ops.pallas.adc import adc_scan_pallas
+        from gulon_tpu.ops.pallas.adc import adc_scan_pallas, pack_codes_t
 
-        codes_t = jnp.asarray(np.asarray(codes, np.int32).T)
+        codes_t = pack_codes_t(np.asarray(codes), k_codes)
 
         def scan(qb):
             return adc_scan_pallas(
@@ -132,15 +132,21 @@ def bench_adc(n, d, m, k_codes, n_queries, name, max_iters=25):
                 qb.shape[0], m * dsub
             )
 
-        def step_cached(acc):
-            start = (acc.astype(jnp.int32) % 4) * n_queries
-            qb = jax.lax.dynamic_slice_in_dim(q_dev, start, n_queries, 0)
-            dd, ii = dense_scan_pallas(
-                q_pad_of(qb + acc * 1e-30), cache_aug, norms, k=10
-            )
-            return acc + dd[0, 0] + jnp.float32(ii[0, 0] % 7)
+        # args-passed: a 1.4 GB closure capture ships by value in the
+        # remote compile request (broken pipe / HTTP 413)
+        from benchmarks.common import time_device_loop_args
 
-        per_batch_cached = time_device_loop(step_cached, float)
+        def step_cached(acc, qp, ca, nr):
+            start = (jnp.int32(acc) % 4) * n_queries
+            qb = jax.lax.dynamic_slice_in_dim(qp, start, n_queries, 0)
+            dd, ii = dense_scan_pallas(
+                q_pad_of(qb + acc * 1e-30), ca, nr, k=10
+            )
+            return acc + dd[0, 0] * 1e-30 + jnp.float32(ii[0, 0] % 7) * 1e-30 + 1.0
+
+        per_batch_cached = time_device_loop_args(
+            step_cached, (q_dev, cache_aug, norms)
+        )
 
     # recall vs exact, plus the PQ ceiling (exact NN over decoded vectors):
     # scan_efficiency ~ 1.0 means the query path is lossless for the codes

@@ -30,23 +30,27 @@ the sublane axis of a contiguous view. The XLA epilogue runs one top-k
 over the packed ``[Q, N/128]`` winners and decodes ids from column + lane
 bits. This is the hardware-PartialReduce schedule
 (what ``lax.approx_min_k`` compiles to) with decode + distances fused in
-front. At the headline shape the kernel is VPU-selection-bound: v3
-(packed key + exact-value second pass) ran 1.63 ms/batch, v4 (single
-packed pass, coarse values) 1.40 ms, v5 0.98 ms. ``rescore=True`` adds an
-exact f32 LUT rescore of the k winners in the epilogue (full-precision ADC
-distances, ~+1 ms/batch — the LUT gather lowers poorly on TPU).
+front. Version history at the headline shape (400k x 100d, PQ 8x256,
+batch 1024 on v5e): v3 (packed key + exact-value second pass)
+1.63 ms/batch, v4 (monotone-int single pass) 1.40, v5 (min-then-match)
+1.17-1.28, v7 (lane-packed float min) **1.10 ms** (1.08 us/query).
+``rescore=True`` adds an exact f32 LUT rescore of the k winners in the
+epilogue (full-precision ADC distances).
 
 v6 removes the per-element VPU epilogue from the score assembly: queries
 are pre-scaled by -2 and dec^T carries two extra rows holding a hi/lo bf16
 split of the reconstruction norms (recovering them to ~2^-17 relative)
 against two unit query lanes — the distance matmul emits
-``norms - 2<q, dec>`` directly, deleting the ``norms - 2*ipt`` subtract+
-scale passes (2 VPU ops per score element; the kernel is VPU-bound, see
-below). When the contraction depth ``m*dsub+2`` spans more than one
-128-wide MXU pass the kernel also transposes dec^T to the natural layout
-once per row tile and runs the canonical ``[T, MDP] x [MDP, QT]`` matmul
-(the dense kernel measured 1.7x for this orientation at depth 304,
-``ops/pallas/dense.py:15-24``).
+``norms - 2<q, dec>`` directly (a latency null result in isolation — the
+kernel's VPU budget is dominated by decode + selection — kept for the
+cleaner score pipeline). The stage budget measured by
+``benchmarks/kernel_probe.py`` deltas + ``floor_probe.py``: launch+IO
+~0.04 ms, one-hot decode ~0.3, distance matmul ~0.27 (MXU bound 0.23),
+selection ~0.4 (v5) -> v7's packing cuts it, epilogue ~0.2. Deep shapes
+(glove300, m=16) are DECODE-bound: the natural-layout matmul variant
+measured a null result there (13.9 vs 13.5 ms/batch) and sits behind
+``GULON_ADC_NATURAL=1``; an i8 one-hot + i8-MXU decode measured slower
+(2.07 vs 1.54 ms) and was rejected.
 
 Per grid step (row tile r, query tile q; query axis innermost):
       q == 0:  codes [m, T] -> per-subspace one-hot^T (VMEM, bf16)
@@ -55,8 +59,8 @@ Per grid step (row tile r, query tile q; query axis innermost):
                stores the [T, MDP] transposed copy)
       all q:   scores^T [T, QT] = dec^T' Q' (MXU, f32 accum — the matmul
                IS norms - 2<q, dec>)
-               -> per-128-row-block min + eq-match (VPU, sublane reduces)
-               -> write [T/128, QT] (f32 value, row-id) winners.
+               -> per-128-row-block lane-packed float min (VPU, sublane)
+               -> write [T/128, QT] packed (value | row-in-block) winners.
 
 HBM traffic per batch is the code bytes in plus ``Q * N/128`` winner pairs
 out — no decoded operand ever round-trips. Measured on v5e at the headline

@@ -310,3 +310,45 @@ def test_pallas_inf_norms_are_inert(setup):
     assert np.all(np.isfinite(d_pl) | (i_pl == -1))
     assert not np.any(np.isnan(d_pl))
     assert np.all((i_pl < n - 200) | (i_pl == -1))
+
+
+def test_cached_dense_route_matches_cached_scan():
+    """The TPU cached strategy's dense-kernel route (_augment_cache +
+    dense_scan_pallas over the decoded cache) returns the XLA
+    cached_scan's results (interpret mode)."""
+    from gulon_tpu.models.build import build_flat_index
+    from gulon_tpu.models.flat import _augment_cache
+    from gulon_tpu.ops.pallas.dense import dense_scan_pallas
+    from gulon_tpu.ops.scan import cached_scan
+
+    rng = np.random.default_rng(23)
+    n, d, k = 40960, 16, 5
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    keys = np.array([f"w{i:06d}" for i in range(n)], dtype=object)
+    index = build_flat_index(
+        keys, x,
+        pq_config=PQConfig(num_clusters=16, num_quantizers=4, max_iters=6),
+    )
+    index.enable_cache(dtype=jnp.bfloat16)
+    q = jnp.asarray(x[:16])
+    q_pad = index._q_pad(q)
+    d_x, i_x = cached_scan(
+        q_pad.astype(index.decoded_cache.dtype), index.decoded_cache,
+        index.recon_norms, k=k, topk_impl="exact",
+    )
+    aug = _augment_cache(index.decoded_cache, index.recon_norms)
+    d_p, i_p = dense_scan_pallas(
+        q_pad, aug, index.recon_norms, k=k, interpret=True,
+        tile_rows=1024,
+    )
+    i_x, i_p = np.asarray(i_x), np.asarray(i_p)
+    # same top-1 block winner; deeper slots at block-min granularity
+    assert np.array_equal(i_x[:, 0], i_p[:, 0])
+    overlap = np.mean(
+        [len(set(i_x[j]) & set(i_p[j])) / k for j in range(16)]
+    )
+    assert overlap >= 0.9, overlap
+    agree = i_x == i_p
+    np.testing.assert_allclose(
+        np.asarray(d_x)[agree], np.asarray(d_p)[agree], rtol=2e-2, atol=2e-1
+    )
