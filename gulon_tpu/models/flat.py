@@ -44,20 +44,10 @@ _AUTO_LUT_MAX_QUERIES = 4
 
 def _augment_cache(cache: jax.Array, norms: jax.Array) -> jax.Array:
     """Dense-kernel operand over a decoded cache: ``[N, D] -> [N,
-    padded_dim(D)]`` bf16 with hi/lo norm lanes (see
-    ``ops/pallas/dense.prepare_data``; here the source is already bf16 on
-    device, so the augmentation happens device-side)."""
-    from gulon_tpu.ops.pallas.dense import padded_dim
+    padded_dim(D)]`` bf16 with hi/lo norm lanes; device-side."""
+    from gulon_tpu.ops.pallas.dense import prepare_data
 
-    n, d = cache.shape
-    dp = padded_dim(d)
-    hi = norms.astype(jnp.bfloat16)
-    lo = (norms - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    out = jnp.zeros((n, dp), jnp.bfloat16)
-    out = out.at[:, :d].set(cache.astype(jnp.bfloat16))
-    out = out.at[:, dp - 2].set(hi)
-    out = out.at[:, dp - 1].set(lo)
-    return out
+    return prepare_data(cache, norms)
 
 
 @dataclasses.dataclass

@@ -29,8 +29,11 @@ lanes holding a hi/lo bf16 split of each row's ``||x||^2`` (recovered to
 VPU passes that bounded v1 alongside the selection.
 
 Selection granularity is one winner per 128-row block (identical to the
-ADC kernel / ``approx_min_k``); the ``rescore`` option re-ranks an
-over-fetched candidate set. By default candidates are re-ranked from the
+ADC kernel / ``approx_min_k``), found by the same lane-packed float min
+as the v7 ADC kernel (row-in-block in the 7 low mantissa bits; one
+sublane min, one packed output array, ids decoded from column + lane in
+the epilogue). The ``rescore`` option re-ranks an over-fetched candidate
+set. By default candidates are re-ranked from the
 bf16 operand already in HBM via ``norms + ||q||^2 - 2<x, q>`` (one gather
 + one small MXU contraction — no ``[Q, F, D]`` f32 broadcast-subtract
 round-trips, no second f32 copy of the corpus); passing ``rescore_rows``
@@ -83,11 +86,10 @@ def _pick_tiles(num_q: int, dp: int) -> Tuple[int, int]:
     return qt, 1024
 
 
-def _dense_kernel(data_ref, qT_ref, vals_ref, ids_ref, *, tile_rows: int):
+def _dense_kernel(data_ref, qT_ref, packed_ref, *, tile_rows: int):
     t = tile_rows
     qt = qT_ref.shape[1]
     nblk = t // _LANES
-    rt_idx = pl.program_id(0)
 
     # canonical [T, Dp] x [Dp, QT]: the matmul IS ||x||^2 - 2<x, q> (the
     # norm lanes of data against the unit lanes of the -2-scaled queries)
@@ -97,16 +99,20 @@ def _dense_kernel(data_ref, qT_ref, vals_ref, ids_ref, *, tile_rows: int):
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
+    # lane-packed selection (see ops/pallas/adc.py): the row-in-block
+    # rides the 7 low mantissa bits, one sublane float-min per block —
+    # no eq/where re-match and half the winner bytes out. A NaN score
+    # keeps its quiet bit through the masking, propagates through the
+    # min, and fails the >= _INVALID_MIN check downstream like any
+    # garbage-in value; its lane bits stay in-block (no id aliasing).
     s3 = scores.reshape(nblk, _LANES, qt)
-    vmin = jnp.min(s3, axis=1)
-    row_iota = jax.lax.broadcasted_iota(jnp.int32, (nblk, _LANES, qt), 1)
-    cand = jnp.where(s3 == vmin[:, None, :], row_iota, jnp.int32(_LANES))
-    # clamp: NaN scores match nothing, leaving cand all-_LANES; without the
-    # clamp the emitted id would alias the first row of the next block
-    lane = jnp.minimum(jnp.min(cand, axis=1), _LANES - 1)
-    blk_base = jax.lax.broadcasted_iota(jnp.int32, (nblk, qt), 0)
-    vals_ref[:] = vmin
-    ids_ref[:] = rt_idx * t + blk_base * _LANES + lane
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (nblk, _LANES, qt), 1)
+    packed3 = jax.lax.bitcast_convert_type(
+        (jax.lax.bitcast_convert_type(s3, jnp.int32) & jnp.int32(~127))
+        | lane_iota,
+        jnp.float32,
+    )
+    packed_ref[:] = jnp.min(packed3, axis=1)
 
 
 @functools.partial(
@@ -178,7 +184,7 @@ def dense_scan_pallas(
     nblk = t // _LANES
 
     kernel = functools.partial(_dense_kernel, tile_rows=t)
-    block_v, block_i = pl.pallas_call(
+    block_p = pl.pallas_call(
         kernel,
         grid=(n_rt, n_qt),
         in_specs=[
@@ -187,30 +193,31 @@ def dense_scan_pallas(
             pl.BlockSpec((dp, qt), lambda r, q: (0, q),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=(
-            pl.BlockSpec((nblk, qt), lambda r, q: (r, q),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((nblk, qt), lambda r, q: (r, q),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((n_rt * nblk, qT.shape[1]), jnp.float32),
-            jax.ShapeDtypeStruct((n_rt * nblk, qT.shape[1]), jnp.int32),
+        out_specs=pl.BlockSpec((nblk, qt), lambda r, q: (r, q),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(
+            (n_rt * nblk, qT.shape[1]), jnp.float32
         ),
         interpret=interpret,
     )(dt, qT)
 
-    winners_v, winners_i = block_v.T[:num_q], block_i.T[:num_q]
+    packed = block_p.T[:num_q]
     fetch = min(max(kk, rescore * kk if rescore else kk), _LANES)
-    fetch = min(fetch, winners_v.shape[1])
-    if fetch >= 32 and winners_v.shape[1] >= 4 * fetch:
-        best_v, pos = jax.lax.approx_min_k(
-            winners_v, fetch, recall_target=0.95
+    fetch = min(fetch, packed.shape[1])
+    # rank the packed floats directly (order == score order within the
+    # 2^-16 lane-packing coarseness); ids decode from column + lane bits
+    if fetch >= 32 and packed.shape[1] >= 4 * fetch:
+        best_p, pos = jax.lax.approx_min_k(
+            packed, fetch, recall_target=0.95
         )
         pos = pos.astype(jnp.int32)
     else:
-        best_v, pos = smallest_k(winners_v, fetch)
-    best_ids = jnp.take_along_axis(winners_i, pos, axis=1)
+        best_p, pos = smallest_k(packed, fetch)
+    bits = jax.lax.bitcast_convert_type(best_p, jnp.int32)
+    best_v = jax.lax.bitcast_convert_type(
+        bits & jnp.int32(~127), jnp.float32
+    )
+    best_ids = pos * _LANES + (bits & 127)  # column c covers rows c*128..
     invalid = best_v >= _INVALID_MIN
 
     qn = sq_norms(queries)
@@ -259,24 +266,31 @@ def dense_scan_pallas(
     return best_d, best_ids
 
 
-def prepare_data(data) -> jax.Array:
+def prepare_data(data, norms: Optional[jax.Array] = None) -> jax.Array:
     """Augmented natural-layout bf16 operand: ``[N, D] ->
     [N, padded_dim(D)]`` with a hi/lo bf16 split of each row's ``||x||^2``
-    in the last two lanes (see the module docstring)."""
-    x = np.asarray(data, np.float32)
+    in the last two lanes (see the module docstring).
+
+    Runs entirely device-side: ``data`` may be a device array (a host
+    round-trip of a multi-GB corpus through a remote-TPU transport costs
+    minutes). Pass ``norms`` to reuse precomputed ``||x||^2``."""
+    x = jnp.asarray(data)
     n, d = x.shape
     dp = padded_dim(d)
-    norms = np.einsum("nd,nd->n", x, x, dtype=np.float64).astype(np.float32)
-    out = np.zeros((n, dp), np.float32)
-    out[:, :d] = x
-    hi_b = jnp.asarray(norms).astype(jnp.bfloat16)
-    lo_b = (jnp.asarray(norms) - hi_b.astype(jnp.float32)).astype(
-        jnp.bfloat16
-    )
-    out_b = jnp.asarray(out, jnp.bfloat16)
-    out_b = out_b.at[:, dp - 2].set(hi_b)
-    out_b = out_b.at[:, dp - 1].set(lo_b)
-    return out_b
+    if norms is None:
+        xf = x.astype(jnp.float32)
+        norms = jnp.einsum(
+            "nd,nd->n", xf, xf,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    hi = norms.astype(jnp.bfloat16)
+    lo = (norms - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    out = jnp.zeros((n, dp), jnp.bfloat16)
+    out = out.at[:, :d].set(x.astype(jnp.bfloat16))
+    out = out.at[:, dp - 2].set(hi)
+    out = out.at[:, dp - 1].set(lo)
+    return out
 
 
 def prepare_data_t(data) -> jax.Array:  # pragma: no cover - legacy alias

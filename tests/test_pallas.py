@@ -342,13 +342,15 @@ def test_cached_dense_route_matches_cached_scan():
         tile_rows=1024,
     )
     i_x, i_p = np.asarray(i_x), np.asarray(i_p)
-    # same top-1 block winner; deeper slots at block-min granularity
-    assert np.array_equal(i_x[:, 0], i_p[:, 0])
-    overlap = np.mean(
-        [len(set(i_x[j]) & set(i_p[j])) / k for j in range(16)]
-    )
-    assert overlap >= 0.9, overlap
-    agree = i_x == i_p
-    np.testing.assert_allclose(
-        np.asarray(d_x)[agree], np.asarray(d_p)[agree], rtol=2e-2, atol=2e-1
-    )
+    d_x, d_p = np.asarray(d_x), np.asarray(d_p)
+    # tiny-K PQ collapses many rows onto identical codes -> exact
+    # distance ties, where the packed tie-break picks a different (equally
+    # valid) representative than the exact scan: compare DISTANCES
+    np.testing.assert_allclose(d_p[:, 0], d_x[:, 0], rtol=2e-2, atol=2e-1)
+    close = np.isclose(d_p, d_x, rtol=2e-2, atol=2e-1)
+    assert close.mean() >= 0.9, close.mean()
+    # and every returned id's distance matches its reported value
+    dec = np.asarray(index.decoded_cache, np.float32)
+    for j in range(16):
+        truth = ((dec[i_p[j]] - np.asarray(q_pad)[j][None]) ** 2).sum(-1)
+        np.testing.assert_allclose(d_p[j], truth, rtol=2e-2, atol=2e-1)
