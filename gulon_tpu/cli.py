@@ -290,15 +290,20 @@ def cmd_build_index(args, reporter) -> int:
             ),
         )
 
-    def kmeans_progress(iteration, step_size, converged_count):
-        # jax.debug.callback delivers (iteration, mean centroid step, number
-        # of converged subspaces) per Lloyd iteration — the reference's
-        # KMeans.ProgressReport (KMeans.scala:119-127)
+    def kmeans_progress(
+        iteration, step_size, converged_count,
+        step_std=0.0, step_min=0.0, step_max=0.0,
+    ):
+        # jax.debug.callback delivers (iteration, centroid-step mean/std/
+        # min/max, converged count) per Lloyd iteration — the reference's
+        # KMeans.ProgressReport with its SummaryStats of step sizes
+        # (KMeans.scala:119-127,160-168)
         reporter.progress(
             "k-means",
             float(iteration) / args.max_iters,
             f"iter {int(iteration)}/{args.max_iters} "
-            f"step {float(step_size):.3e} ({int(converged_count)} done)",
+            f"step {float(step_size):.3e} +/- {float(step_std):.1e} "
+            f"({int(converged_count)} done)",
         )
     if args.exact:
         from gulon_tpu.models.exact import build_exact_index
@@ -362,13 +367,15 @@ def _build_streaming(args, reporter, metric, pq_config) -> int:
                     p.rows_done / max(p.total_rows, 1),
                     f"{p.rows_done}/{p.total_rows} rows",
                 )
-            else:  # (iteration, step_size, converged) from k-means
-                iteration, step_size, converged = a
+            else:  # (iteration, step stats..., converged) from k-means
+                iteration, step_size = a[0], a[1]
+                step_std = a[3] if len(a) > 3 else 0.0
                 reporter.progress(
                     "k-means",
                     float(iteration) / args.max_iters,
                     f"iter {int(iteration)}/{args.max_iters} "
-                    f"step {float(step_size):.3e}",
+                    f"step {float(step_size):.3e} "
+                    f"+/- {float(step_std):.1e}",
                 )
 
         if args.partitioned:

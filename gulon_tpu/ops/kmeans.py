@@ -54,9 +54,32 @@ def _release_report_slot(slot: int) -> None:
         _REPORT_SLOTS.pop(slot, None)
 
 
-def _report_trampoline(slot, iteration, step_size, converged_count):
+def _report_trampoline(
+    slot, iteration, step_size, converged_count, step_std, step_min,
+    step_max,
+):
+    """Deliver a progress report. The reference's ``KMeans.ProgressReport``
+    carries a ``SummaryStats`` of per-centroid movement
+    (``KMeans.scala:119-127,160-168``); callbacks taking six positionals
+    (or ``*args``) receive the full (mean, std, min, max) distribution,
+    three-positional callbacks get the legacy (iteration, mean, converged)
+    form."""
     fn = _REPORT_SLOTS.get(int(slot))
-    if fn is not None:
+    if fn is None:
+        return
+    import inspect
+
+    try:
+        params = inspect.signature(fn).parameters.values()
+        wants_stats = any(
+            p.kind == inspect.Parameter.VAR_POSITIONAL for p in params
+        ) or len(params) >= 6
+    except (TypeError, ValueError):  # builtins/partials without signature
+        wants_stats = False
+    if wants_stats:
+        fn(iteration, step_size, converged_count, step_std, step_min,
+           step_max)
+    else:
         fn(iteration, step_size, converged_count)
 
 
@@ -284,14 +307,17 @@ def _fit_stacked(
         new_a = assign_all(x, new_c)
         new_a = jnp.where(st.done[:, None], st.assignments, new_a)
         done = st.done | jnp.all(new_a == st.assignments, axis=1)
-        step = jnp.mean(
-            jnp.sqrt(jnp.sum((new_c - st.centroids) ** 2, axis=-1))
-        )
+        # per-centroid movement distribution across every (subspace,
+        # centroid): the reference's SummaryStats of step sizes
+        # (KMeans.scala:160-168), computed as one vectorized pass
+        moved = jnp.sqrt(jnp.sum((new_c - st.centroids) ** 2, axis=-1))
+        step = jnp.mean(moved)
         it = st.iteration + 1
         if report_slot is not None:
             jax.debug.callback(
                 functools.partial(_report_trampoline, report_slot),
                 it, step, jnp.sum(done),
+                jnp.std(moved), jnp.min(moved), jnp.max(moved),
             )
         return _LoopState(new_c, new_a, it, done, step)
 

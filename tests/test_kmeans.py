@@ -170,3 +170,32 @@ def test_unknown_init_raises():
 
     with _pytest.raises(ValueError):
         fit_kmeans(x, KMeansConfig(k=4, max_iters=2, init="bogus"))
+
+
+def test_report_carries_step_distribution():
+    """The per-iteration report delivers the centroid-movement
+    DISTRIBUTION (mean/std/min/max — the reference's SummaryStats,
+    KMeans.scala:119-127,160-168) to 6-arg/varargs callbacks, and the
+    legacy 3-positional form to older callbacks."""
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(800, 8)).astype(np.float32)
+
+    full, legacy = [], []
+
+    def full_cb(it, mean, conv, std, mn, mx):
+        full.append((float(it), float(mean), float(std), float(mn),
+                     float(mx)))
+
+    def legacy_cb(it, mean, conv):
+        legacy.append(float(mean))
+
+    from gulon_tpu.ops.kmeans import KMeansConfig, fit_kmeans
+
+    fit_kmeans(x, KMeansConfig(k=8, max_iters=6), report_fn=full_cb)
+    fit_kmeans(x, KMeansConfig(k=8, max_iters=6), report_fn=legacy_cb)
+    assert len(full) >= 1 and len(legacy) >= 1
+    for it, mean, std, mn, mx in full:
+        assert mn <= mean <= mx
+        assert std >= 0
+    # before convergence the centroids genuinely spread in movement
+    assert any(s > 0 for _, _, s, _, _ in full[:2])
