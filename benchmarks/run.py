@@ -244,9 +244,24 @@ def bench_exact(n, d, n_queries, name):
         xn = sq_norms(x_dev)
         data_nat = prepare_data(x_dev, xn)  # device-side, norm lanes in
 
-        # serving default: bf16-operand rescore (ExactIndex.exact_rescore
-        # off) — measured +0.40 ms/batch vs +0.81 for the f32 rows path
-        def step(acc, qp, dn, norms):
+        # serving default: exact f32 rescore (ExactIndex.exact_rescore=True)
+        def step(acc, qp, dn, norms, rows):
+            qb = jax.lax.dynamic_slice_in_dim(
+                qp, (acc.astype(jnp.int32) % 4) * n_queries, n_queries, 0
+            )
+            dd, ii = dense_scan_pallas(
+                qb + acc * 1e-30, dn, norms, k=10, rescore=4,
+                rescore_rows=rows,
+            )
+            return (
+                acc + dd[0, 0] * 1e-30 + jnp.float32(ii[0, 0] % 3) * 1e-30
+                + 1.0
+            )
+
+        per_batch = time_device_loop_args(step, (q_dev, data_nat, xn, x_dev))
+
+        # max-throughput variant: bf16-operand rescore (exact_rescore=False)
+        def step_op(acc, qp, dn, norms):
             qb = jax.lax.dynamic_slice_in_dim(
                 qp, (acc.astype(jnp.int32) % 4) * n_queries, n_queries, 0
             )
@@ -258,11 +273,11 @@ def bench_exact(n, d, n_queries, name):
                 + 1.0
             )
 
-        per_batch = time_device_loop_args(step, (q_dev, data_nat, xn))
+        per_batch_op = time_device_loop_args(step_op, (q_dev, data_nat, xn))
 
         # correctness probe: dense-kernel results vs the exact scan
         d_k, i_k = dense_scan_pallas(q_dev[:256], data_nat, xn, k=10,
-                                     rescore=4)
+                                     rescore=4, rescore_rows=x_dev)
         _, i_e = exact_scan(
             q_dev[:256], x_dev, k=10, precision="highest",
             topk_impl="exact",
@@ -285,12 +300,13 @@ def bench_exact(n, d, n_queries, name):
 
         per_batch = time_device_loop_args(step, (q_dev, x_dev))
         kernel_recall = None
+        per_batch_op = None
     _emit(
         {
             "benchmark": name,
             "corpus": f"{n}x{d}",
             "mode": (
-                "exact brute force (fused dense kernel + operand rescore)"
+                "exact brute force (fused dense kernel + f32 rescore)"
                 if use_pallas
                 else "exact brute force (matmul + top-k)"
             ),
@@ -298,7 +314,12 @@ def bench_exact(n, d, n_queries, name):
             "us_per_query": round(per_batch / n_queries * 1e6, 3),
             "qps_per_chip": round(n_queries / per_batch, 1),
             **(
-                {"recall_at_10_vs_exact": round(kernel_recall, 4)}
+                {
+                    "recall_at_10_vs_exact": round(kernel_recall, 4),
+                    "us_per_query_operand_rescore": round(
+                        per_batch_op / n_queries * 1e6, 3
+                    ),
+                }
                 if kernel_recall is not None
                 else {}
             ),

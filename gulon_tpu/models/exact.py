@@ -41,11 +41,13 @@ class ExactIndex(Index):
     # XLA exact_scan otherwise; "xla"/"pallas" force a path.
     scan_strategy: str = "auto"
     rescore_factor: int = 4
-    # False (default): rescore from the bf16 kernel operand already in
-    # HBM (half the gather bytes; reported distances carry ~2^-9 bf16
-    # rounding, same class as the kernel scores). True: gather f32 rows
-    # for exact reported distances at ~2x the rescore traffic.
-    exact_rescore: bool = False
+    # True (default): gather f32 rows and re-rank at full precision —
+    # an index named Exact keeps exact reported distances (the
+    # restructured rescore costs +0.81 ms/1024-batch at 2M x 300d).
+    # False: rescore from the bf16 kernel operand already in HBM (half
+    # the gather bytes, +0.40 ms; distances carry ~2^-9 bf16 rounding) —
+    # the max-throughput setting.
+    exact_rescore: bool = True
     _data_t: Optional[jax.Array] = None  # lazy [N, Dp] bf16 kernel operand
     _norms: Optional[jax.Array] = None  # lazy [N] f32 ||x||^2 (hoisted: a
     # per-call sq_norms would re-stream the full f32 corpus from HBM)
@@ -92,10 +94,12 @@ class ExactIndex(Index):
                 prepare_data,
             )
 
-            if self._data_t is None:
-                self._data_t = prepare_data(self.vectors)
             if self._norms is None:
                 self._norms = sq_norms(self.vectors)
+            if self._data_t is None:
+                # pass the norms in: prepare_data would otherwise run its
+                # own einsum — a second full pass over the f32 corpus
+                self._data_t = prepare_data(self.vectors, self._norms)
             return dense_scan_pallas(
                 q,
                 self._data_t,

@@ -117,7 +117,7 @@ class FlatIndex(Index):
             if small and not self.packed_width:
                 # lut needs unpacked codes; packed indices stay on decode
                 strategy = "lut"
-            elif self.decoded_cache is not None:
+            elif self._has_cache():
                 strategy = "cached"
             elif self._pallas_eligible(k_eff):
                 strategy = "pallas"
@@ -161,35 +161,46 @@ class FlatIndex(Index):
                 recall_target=self.recall_target,
             )
         elif strategy == "cached":
-            if self.packed_width and self.decoded_cache is None:
+            if self.packed_width and not self._has_cache():
                 raise ValueError(
                     "cached strategy needs unpacked codes; build the cache "
                     "before pack_memory()"
                 )
-            if self.decoded_cache is None:
-                self.enable_cache()
             q_pad = self._q_pad(q)
             if (
                 jax.default_backend() == "tpu"
+                and self.topk_impl != "exact"  # block-min granularity;
+                # "exact" keeps the every-row XLA ranking below
                 and k_scan <= 128
                 and self.size >= 256 * k_scan
             ):
                 # fused dense kernel over the cached reconstruction: the
                 # scores never round-trip HBM (at glove300 the XLA tile
-                # scan is bound by the [Q, T] tiles it materializes)
+                # scan is bound by the [Q, T] tiles it materializes).
+                # Operand rescore (x4 over-fetch) repairs 128-row block
+                # collisions; the operand IS the cache, so the re-rank
+                # matches cached_scan's bf16 distance class.
                 from gulon_tpu.ops.pallas.dense import dense_scan_pallas
 
                 if self._cache_aug is None:
+                    if self.decoded_cache is None:
+                        self.enable_cache()
                     self._cache_aug = _augment_cache(
                         self.decoded_cache, self.recon_norms
                     )
+                    # don't hold two ~2*m*dsub B/row copies: the aug IS
+                    # the cache now; the XLA fallback rebuilds from codes
+                    self.decoded_cache = None
                 dists, ids = dense_scan_pallas(
                     q_pad,
                     self._cache_aug,
                     self.recon_norms,
                     k=k_scan,
+                    rescore=max(self.rerank_factor, 4),
                 )
             else:
+                if self.decoded_cache is None:
+                    self.enable_cache()
                 dists, ids = scan_ops.cached_scan(
                     q_pad,
                     self.decoded_cache,
@@ -244,6 +255,11 @@ class FlatIndex(Index):
                 packed_width=self.packed_width,
             )
         return dists, ids
+
+    def _has_cache(self) -> bool:
+        """Either cache representation counts: the raw decoded matrix or
+        the dense-kernel augmented operand it converts into on TPU."""
+        return self.decoded_cache is not None or self._cache_aug is not None
 
     def _kernel_bounds_ok(self, k_eff: int) -> bool:
         return (

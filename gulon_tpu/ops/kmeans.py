@@ -71,9 +71,17 @@ def _report_trampoline(
 
     try:
         params = inspect.signature(fn).parameters.values()
+        positional = sum(
+            p.kind
+            in (
+                inspect.Parameter.POSITIONAL_ONLY,
+                inspect.Parameter.POSITIONAL_OR_KEYWORD,
+            )
+            for p in params
+        )
         wants_stats = any(
             p.kind == inspect.Parameter.VAR_POSITIONAL for p in params
-        ) or len(params) >= 6
+        ) or positional >= 6
     except (TypeError, ValueError):  # builtins/partials without signature
         wants_stats = False
     if wants_stats:

@@ -72,6 +72,10 @@ class ShardedFlatIndex(Index):
             index._unpacked_codes() if index.packed_width else index.codes
         )
         codes_np = np.asarray(codes)
+        if index.decoded_cache is None and index._cache_aug is not None:
+            # the single-chip dense route converted the cache into its
+            # augmented operand; rebuild the raw decode for sharding
+            index.enable_cache()
         codes_t_sharded = None
         if jax.default_backend() == "tpu":
             from jax.sharding import NamedSharding
@@ -212,7 +216,7 @@ def _sharded_ivf_scan(
     jax.jit,
     static_argnames=(
         "mesh", "bounds", "k", "num_rows", "topk_impl", "recall_target",
-        "interpret", "winners",
+        "interpret", "winners", "rescore",
     ),
 )
 def _sharded_ivf_pallas(
@@ -234,6 +238,7 @@ def _sharded_ivf_pallas(
     recall_target: float,
     interpret: bool,
     winners: int,
+    rescore: int = 0,
 ):
     """Per-shard fused-kernel IVF scan + ICI top-k merge.
 
@@ -241,10 +246,16 @@ def _sharded_ivf_pallas(
     rows; the block-constant group term / probe mask apply to the local
     winners via the shard's static column->partition map, then local
     top-k results (already carrying global row ids) merge with one
-    all-gather.
+    all-gather. ``rescore > 0`` re-ranks each shard's over-fetched
+    winners with exact f32 ADC distances before the merge (the sharded
+    counterpart of ``IVFIndex.pallas_rescore`` — exact local values make
+    the merged global top-k exact too).
     """
     from gulon_tpu.ops.pallas.adc import _INVALID_MIN, adc_block_scan_pallas
     from gulon_tpu.ops.topk import smallest_k as _sk
+
+    m, _, dsub = codebooks.shape
+    num_q = queries.shape[0]
 
     def shard_fn(q, qn_, cb, ct, rc, rmap, colp, gt, pm):
         bv, bi = adc_block_scan_pallas(
@@ -257,8 +268,32 @@ def _sharded_ivf_pallas(
         valid = (bv < _INVALID_MIN) & pmw
         d = jnp.where(valid, bv + gtw + qn_[:, None], jnp.inf)
         kk = min(k, d.shape[1])
-        best, pos = _sk(d, kk)
+        fetch = min(rescore * kk, d.shape[1]) if rescore else kk
+        best, pos = _sk(d, fetch)
         rows = jnp.take_along_axis(bi, pos, axis=1)
+        if rescore:
+            invalid = jnp.isinf(best)
+            safe = jnp.where(invalid, 0, rows)
+            sel = jnp.take(ct[0], safe.reshape(-1), axis=1)  # [m, Q*F]
+            if ct.dtype == jnp.int8:  # undo the offset encoding
+                sel = sel.astype(jnp.int32) + 128
+            sel = jnp.transpose(sel.astype(jnp.int32), (1, 0))
+            dec = scan_ops.decode_tile(
+                cb.astype(jnp.float32), sel, "auto", "highest"
+            ).reshape(num_q, fetch, m * dsub)
+            qs = split_subspaces(q, bounds, dsub)
+            q_pad = jnp.transpose(qs, (1, 0, 2)).reshape(num_q, m * dsub)
+            ip = jnp.einsum(
+                "qd,qfd->qf", q_pad, dec,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            gts = jnp.take_along_axis(gtw, pos, axis=1)
+            rcs = jnp.take(rc[0], safe)
+            exact = qn_[:, None] + rcs + gts - 2.0 * ip
+            exact = jnp.where(invalid, jnp.inf, exact)
+            best, pos2 = _sk(exact, kk)
+            rows = jnp.take_along_axis(rows, pos2, axis=1)
         gids = jnp.where(
             jnp.isinf(best), -1, rmap[0][jnp.maximum(rows, 0)]
         )
@@ -601,6 +636,7 @@ class ShardedIVFIndex(Index):
             recall_target=self.base.recall_target,
             interpret=jax.default_backend() != "tpu",
             winners=self.base.pallas_winners,
+            rescore=self.base.pallas_rescore,
         )
 
     def _bucketed_arrays(self, q, qn, cdist, group_term, probe_mask, k_eff):

@@ -388,3 +388,35 @@ def test_sharded_ivf_pallas_matches_single_chip():
         )
         tied[:-1] |= tied[1:].copy()
         assert np.array_equal(i1[r][~tied], i8[r][~tied])
+
+
+def test_sharded_ivf_pallas_rescore_matches_single_chip():
+    """pallas_rescore survives sharding: per-shard exact f32 re-rank +
+    ICI merge returns the single-chip rescored distances (the attribute
+    was previously dropped by the sharded path)."""
+    rng = np.random.default_rng(19)
+    from generators import planted_clusters as _pc
+
+    x, _, _ = _pc(rng, 4096, 16, 16, scale=0.3, spread=2.0)
+    keys = random_keys(rng, 4096)
+    index = build_ivf_index(
+        keys, x,
+        pq_config=PQConfig(num_clusters=16, num_quantizers=4, max_iters=6),
+        num_partitions=8,
+        strategy=LimitGroups(4),
+        coarse_max_iters=6,
+    )
+    index.scan_strategy = "pallas"
+    index.pallas_winners = 1
+    index.pallas_rescore = 4
+    q = x[:16]
+    d1, _ = index.query_arrays(5, q)
+    from gulon_tpu.parallel.index import shard_index
+
+    sharded = shard_index(index, make_mesh())
+    d8, _ = sharded.query_arrays(5, q)
+    # exact rescored distances on both sides: sharding only changes which
+    # shard evaluates a row, not its exact ADC distance
+    np.testing.assert_allclose(
+        np.asarray(d1), np.asarray(d8), rtol=1e-4, atol=1e-4
+    )
