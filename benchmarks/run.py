@@ -83,10 +83,10 @@ def bench_adc(n, d, m, k_codes, n_queries, name, max_iters=25):
 
         codes_t = pack_codes_t(np.asarray(codes), k_codes)
 
-        def scan(qb):
+        def scan(qb, winners=1):
             return adc_scan_pallas(
                 qb, pq.codebooks, codes_t, norms,
-                bounds=pq.bounds, k=10, num_rows=n,
+                bounds=pq.bounds, k=10, num_rows=n, winners=winners,
             )
 
     else:
@@ -96,13 +96,18 @@ def bench_adc(n, d, m, k_codes, n_queries, name, max_iters=25):
                 qb, pq.codebooks, codes, norms, bounds=pq.bounds, k=10
             )
 
-    def step(acc):
-        start = (acc.astype(jnp.int32) % 4) * n_queries
-        qb = jax.lax.dynamic_slice_in_dim(q_dev, start, n_queries, 0)
-        dd, ii = scan(qb + acc * 1e-30)
-        return acc + dd[0, 0] + jnp.float32(ii[0, 0] % 7)
+    def mk_step(winners):
+        def step(acc):
+            start = (acc.astype(jnp.int32) % 4) * n_queries
+            qb = jax.lax.dynamic_slice_in_dim(q_dev, start, n_queries, 0)
+            dd, ii = scan(qb + acc * 1e-30, winners)
+            return acc + dd[0, 0] + jnp.float32(ii[0, 0] % 7)
+        return step
 
-    per_batch = time_device_loop(step, float)
+    per_batch = time_device_loop(mk_step(1), float)
+    per_batch_w2 = (
+        time_device_loop(mk_step(2), float) if use_pallas else None
+    )
 
     # the cached serving mode (FlatIndex.enable_cache + "cached" strategy
     # -> fused dense kernel on TPU): trades 2*m*dsub bytes/vector of HBM
@@ -183,6 +188,10 @@ def bench_adc(n, d, m, k_codes, n_queries, name, max_iters=25):
 
     recall_dist = _dist_recall(i_adc)
     ceiling_dist = _dist_recall(i_ceil)
+    recall_dist_w2 = None
+    if use_pallas:
+        _, i_w2 = scan(q_dev[:sample], 2)
+        recall_dist_w2 = _dist_recall(i_w2)
 
     _emit(
         {
@@ -210,6 +219,16 @@ def bench_adc(n, d, m, k_codes, n_queries, name, max_iters=25):
             "dist_recall_at_10_ceiling": round(ceiling_dist, 4),
             "dist_scan_efficiency": round(
                 recall_dist / max(ceiling_dist, 1e-9), 4
+            ),
+            **(
+                {
+                    "us_per_query_w2": round(
+                        per_batch_w2 / n_queries * 1e6, 3
+                    ),
+                    "dist_recall_at_10_w2": round(recall_dist_w2, 4),
+                }
+                if per_batch_w2 is not None
+                else {}
             ),
             "build_s": round(build_s, 2),
             "device": str(jax.devices()[0]),

@@ -71,6 +71,13 @@ class FlatIndex(Index):
     # this is off by default; enable (e.g. 4) for recall-critical serving —
     # measured +~1% scan efficiency for +~1.3 ms/1024-batch on v5e.
     rerank_factor: int = 1
+    # ranked candidates the fused kernel keeps per 128-row block (1..4).
+    # 1 (default) is the throughput setting; low-intrinsic corpora whose
+    # rows collapse onto few distinct codes put several true top-k
+    # members in one block, where 2-4 recovers recall toward the PQ
+    # ceiling at ~one extra VPU min+mask pass each (composes with
+    # rerank_factor, which widens coverage ACROSS blocks).
+    pallas_winners: int = 1
     decoded_cache: Optional[jax.Array] = None  # [N, m*dsub], see enable_cache
     # 0 = codes are [N, m] uint; 2/4 = row-packed uint8 (see pack_memory)
     packed_width: int = 0
@@ -240,6 +247,7 @@ class FlatIndex(Index):
                 k=k_scan,
                 num_rows=self.size,
                 interpret=jax.default_backend() != "tpu",
+                winners=self.pallas_winners,
             )
         else:
             raise ValueError(f"unknown scan strategy {strategy!r}")

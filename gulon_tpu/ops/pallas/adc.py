@@ -501,6 +501,7 @@ def adc_block_scan_pallas(
     jax.jit,
     static_argnames=(
         "bounds", "k", "tile_rows", "interpret", "num_rows", "rescore",
+        "winners",
     ),
 )
 def adc_scan_pallas(
@@ -517,8 +518,14 @@ def adc_scan_pallas(
     interpret: bool = False,
     num_rows: int = 0,  # >0: codes is pretransposed [m, num_rows] i32
     rescore: bool = False,  # exact f32 LUT rescore of the k winners
+    winners: int = 1,  # ranked candidates per 128-row block (1..4):
+    #   >1 recovers recall in tie-heavy regimes where several of the
+    #   true top-k share a block (low-intrinsic corpora collapse onto
+    #   few distinct codes), at one extra min+mask pass per extra winner
 ) -> Tuple[jax.Array, jax.Array]:
     """Fused-kernel ADC scan. Returns ([Q, k] dists asc, [Q, k] ids)."""
+    if not 1 <= winners <= 4:
+        raise ValueError(f"winners must be in 1..4, got {winners}")
     num_q, _ = queries.shape
     m, k_codes, dsub = codebooks.shape
     n = num_rows if num_rows > 0 else codes.shape[0]
@@ -535,7 +542,7 @@ def adc_scan_pallas(
     packed, base_cols, qs, codes_t, pretransposed = _block_scan(
         queries, codebooks, codes, recon_norms,
         bounds=bounds, tile_rows=tile_rows, interpret=interpret,
-        num_rows=num_rows,
+        num_rows=num_rows, winners=winners,
     )
 
     # XLA epilogue over the N/128 block winners, ranking the lane-packed

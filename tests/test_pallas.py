@@ -354,3 +354,43 @@ def test_cached_dense_route_matches_cached_scan():
     for j in range(16):
         truth = ((dec[i_p[j]] - np.asarray(q_pad)[j][None]) ** 2).sum(-1)
         np.testing.assert_allclose(d_p[j], truth, rtol=2e-2, atol=2e-1)
+
+
+def test_flat_winners_recover_tie_heavy_recall():
+    """winners>1 on the flat kernel path: a tie-heavy corpus (few
+    distinct codes) puts several true top-k members in one 128-row
+    block; extra ranked winners recover them. winners=2 recall vs the
+    exact decode reference must be >= winners=1."""
+    rng = np.random.default_rng(31)
+    n, d, k = 60000, 16, 10
+    # low-intrinsic: rows collapse onto few code words
+    f = rng.normal(size=(4, d)).astype(np.float32)
+    x = (rng.normal(size=(n, 4)) @ f + 0.02 * rng.normal(size=(n, d))
+         ).astype(np.float32)
+    q = jnp.asarray(x[:8])
+    pq = train_product_quantizer(
+        x, PQConfig(num_clusters=16, num_quantizers=4, max_iters=6)
+    )
+    codes = pq.encode(x)
+    norms = pq.reconstruction_norms(codes)
+    d_ref, i_ref = adc_scan_decode(
+        q, pq.codebooks, codes, norms, bounds=pq.bounds, k=k,
+        precision="highest", decode_impl="gather", topk_impl="exact",
+    )
+    kw = dict(
+        bounds=pq.bounds, k=k, tile_rows=1024, interpret=True,
+        rescore=True,  # exact f32 reported distances: the cutoff compare
+        # must not be polluted by bf16 matmul noise
+    )
+    res = {}
+    for w in (1, 2):
+        d_w, i_w = adc_scan_pallas(
+            q, pq.codebooks, codes, norms, winners=w, **kw
+        )
+        # compare by DISTANCE against the reference's kth distance: id
+        # sets are arbitrary under massive code ties
+        cut = np.asarray(d_ref)[:, -1] * (1 + 1e-4) + 1e-5
+        d_w = np.asarray(d_w)
+        res[w] = float((d_w <= cut[:, None]).mean())
+    assert res[2] >= res[1] - 1e-9, res
+    assert res[2] >= 0.9, res  # near-reference coverage with 2 winners
