@@ -66,13 +66,25 @@ def adc_shape(n, d, m, K, num_q=1024, k=10, force_transposed=False):
         )
         return acc + dd[0, 0] * 1e-30 + jnp.float32(ii[0, 0]) * 1e-30 + 1.0
 
-    per = time_device_loop_args(
-        step, (q_pool, codes_t, norms, codebooks), iters=16
-    )
-    print(
-        f"  {per*1e3:9.3f} ms/batch  {per/num_q*1e6:8.3f} us/query "
-        f"({num_q/per:,.0f} QPS)"
-    )
+    def step_raw(acc, qp, ct, nrm, cb):
+        # kernel + winner unpack only, no top-k epilogue: the delta vs
+        # ``step`` is what the XLA top_k over [Q, N/128] winners costs
+        qs = jax.lax.dynamic_slice_in_dim(
+            qp, (jnp.int32(acc) % 2) * num_q, num_q, 0
+        )
+        dd, ii = A.adc_block_scan_pallas(
+            qs + acc * 1e-30, cb, ct, nrm, bounds=bounds, num_rows=n
+        )
+        return acc + dd[0, 0] * 1e-30 + jnp.float32(ii[0, 0]) * 1e-30 + 1.0
+
+    for name, fn in (("full", step), ("kernel-only", step_raw)):
+        per = time_device_loop_args(
+            fn, (q_pool, codes_t, norms, codebooks), iters=16
+        )
+        print(
+            f"  {name:12s} {per*1e3:9.3f} ms/batch  "
+            f"{per/num_q*1e6:8.3f} us/query ({num_q/per:,.0f} QPS)"
+        )
     return per
 
 

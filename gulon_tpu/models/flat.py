@@ -72,11 +72,14 @@ class FlatIndex(Index):
     # measured +~1% scan efficiency for +~1.3 ms/1024-batch on v5e.
     rerank_factor: int = 1
     # ranked candidates the fused kernel keeps per 128-row block (1..4).
-    # 1 (default) is the throughput setting; low-intrinsic corpora whose
-    # rows collapse onto few distinct codes put several true top-k
-    # members in one block, where 2-4 recovers recall toward the PQ
-    # ceiling at ~one extra VPU min+mask pass each (composes with
-    # rerank_factor, which widens coverage ACROSS blocks).
+    # 1 (default) is the throughput setting; 2-4 repairs the case where
+    # several true top-k members share one 128-row block (pinned by the
+    # constructed-tie test in tests/test_pallas.py). On degenerate
+    # corpora that collapse onto few distinct codes the measured loss
+    # mechanism is CROSS-block candidate coverage instead — there
+    # rerank_factor is the knob (benchmarks/g300_quality.py: winners=2
+    # null, fetch=120 + exact rerank recovers ~70% of the gap; bf16
+    # score noise measured null on the same corpus).
     pallas_winners: int = 1
     decoded_cache: Optional[jax.Array] = None  # [N, m*dsub], see enable_cache
     # 0 = codes are [N, m] uint; 2/4 = row-packed uint8 (see pack_memory)
