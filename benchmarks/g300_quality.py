@@ -74,15 +74,18 @@ def main():
         num_rows=n,
     )
     print(f"fused kernel raw:             {dist_recall(i_k1):.4f}")
-    for fetch in (40, 120):
+    for fetch, winners in ((40, 1), (120, 1), (120, 2), (120, 4)):
         _, cand = adc_scan_pallas(
             q, pq.codebooks, codes_t, norms, bounds=pq.bounds, k=fetch,
-            num_rows=n,
+            num_rows=n, winners=winners,
         )
         _, i_rr = rescore_exact(
             q, pq.codebooks, codes, norms, cand, bounds=pq.bounds, k=10,
         )
-        print(f"fused + f32 rerank({fetch:3d}):     {dist_recall(i_rr):.4f}")
+        print(
+            f"fused + f32 rerank({fetch:3d}) w{winners}:  "
+            f"{dist_recall(i_rr):.4f}"
+        )
 
 
 if __name__ == "__main__":

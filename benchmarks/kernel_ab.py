@@ -152,6 +152,12 @@ def main():
         adc_shape(2_196_017, 300, 16, 256)
     elif which == "adc300t":
         adc_shape(2_196_017, 300, 16, 256, force_transposed=True)
+    elif which == "adc300batch":
+        # the one-hot decode is a fixed per-batch cost (once per row
+        # tile regardless of the query-tile count), so larger batches
+        # amortize it: the serving-throughput configuration
+        for nq in (1024, 2048, 4096):
+            adc_shape(2_196_017, 300, 16, 256, num_q=nq)
     elif which == "dense":
         dense_shape()
     else:
