@@ -394,6 +394,54 @@ def bench_deep10m(n_devices, n=10_000_000, d=96, n_queries=1024):
         )
         _ = np.asarray(dd[:1, :1])
         ts.append(time.perf_counter() - t0)
+
+    # single-chip cached serving mode (FlatIndex.enable_cache -> fused
+    # dense kernel): decode the codes into a bf16 corpus (2*m*dsub B/row,
+    # ~2 GB at this shape) and scan decode-free on the MXU. The
+    # code-resident ADC kernel is decode-bound here (m*K*N one-hot
+    # compares dominate at 10M rows); the matmul-bound dense path trades
+    # HBM capacity for latency.
+    per_batch_cached = None
+    if jax.default_backend() == "tpu":
+        from benchmarks.common import time_device_loop_args
+        from gulon_tpu.models.flat import _augment_cache
+        from gulon_tpu.ops.pallas.dense import dense_scan_pallas
+        from gulon_tpu.ops.pq import split_subspaces
+        from gulon_tpu.ops.scan import decode_tile
+
+        x = None  # free the 3.8 GB f32 corpus before building the cache
+        norms_dev = jnp.asarray(norms)
+        dsub = pq.pad_width
+        parts = []
+        for s0 in range(0, n, 1 << 18):
+            ci = jnp.asarray(codes[s0 : s0 + (1 << 18)], jnp.int32)
+            parts.append(
+                decode_tile(pq.codebooks, ci, "auto").astype(jnp.bfloat16)
+            )
+        cache_aug = _augment_cache(jnp.concatenate(parts), norms_dev)
+        del parts
+
+        def q_pad_of(qb):
+            qs = split_subspaces(qb, pq.bounds, dsub)
+            return jnp.transpose(qs, (1, 0, 2)).reshape(
+                qb.shape[0], pq.num_quantizers * dsub
+            )
+
+        def step_cached(acc, qp, ca, nr):
+            dd2, ii2 = dense_scan_pallas(
+                q_pad_of(qp + acc * 1e-30), ca, nr, k=10
+            )
+            return (
+                acc
+                + dd2[0, 0] * 1e-30
+                + jnp.float32(ii2[0, 0] % 7) * 1e-30
+                + 1.0
+            )
+
+        per_batch_cached = time_device_loop_args(
+            step_cached, (q_dev, cache_aug, norms_dev), iters=8
+        )
+
     _emit(
         {
             "benchmark": "deep10m",
@@ -403,6 +451,21 @@ def bench_deep10m(n_devices, n=10_000_000, d=96, n_queries=1024):
             "ms_per_batch_incl_rtt": round(float(np.median(ts)) * 1e3, 2),
             "first_call_s": round(first, 2),
             "build_s": round(build_s, 2),
+            **(
+                {
+                    "ms_per_batch_cached_dense": round(
+                        per_batch_cached * 1e3, 2
+                    ),
+                    "us_per_query_cached_dense": round(
+                        per_batch_cached / n_queries * 1e6, 3
+                    ),
+                    "cached_bytes_per_vector": (
+                        2 * pq.num_quantizers * pq.pad_width
+                    ),
+                }
+                if per_batch_cached is not None
+                else {}
+            ),
             "device": str(jax.devices()[0]),
         }
     )
