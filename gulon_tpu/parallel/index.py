@@ -63,6 +63,12 @@ class ShardedFlatIndex(Index):
     # fused per-shard scan reads it directly instead of relaying out
     # [n_loc, m] -> [m, n_loc] i32 every query batch
     codes_t_sharded: Optional[jax.Array] = None
+    # lazy [N', Dp] bf16 dense-kernel operand over the sharded cache
+    # (built from cache_sharded on first dense cached query)
+    cache_aug_sharded: Optional[jax.Array] = None
+    # cached-strategy scan: None = auto (fused dense kernel per shard on
+    # TPU within its envelope, XLA tile scan otherwise); True/False force
+    dense_cached: Optional[bool] = None
 
     @staticmethod
     def shard(index: FlatIndex, mesh: Mesh) -> "ShardedFlatIndex":
@@ -126,6 +132,32 @@ class ShardedFlatIndex(Index):
                     "sharded cached strategy needs enable_cache() before "
                     "shard_index()"
                 )
+            local_n = self.cache_sharded.shape[0] // self.mesh.shape[ROWS]
+            use_dense = (
+                self.dense_cached
+                if self.dense_cached is not None
+                else (
+                    jax.default_backend() == "tpu"
+                    and self.base.topk_impl != "exact"  # block-min
+                    # granularity; "exact" keeps the every-row XLA rank
+                    and k_eff <= 128
+                    and local_n >= 256 * k_eff
+                )
+            )
+            if use_dense:
+                # per-shard fused dense kernel; its internal over-fetch
+                # rescore (bf16-operand re-rank) plays the rerank_factor
+                # role within each shard, so distances stay in the bf16
+                # class here (the single-chip path's exact-f32 rescore
+                # needs the global code matrix)
+                return pops.sharded_dense_scan(
+                    self.base._q_pad(q),
+                    self._dense_cache_operand(),
+                    self.norms_sharded,
+                    mesh=self.mesh,
+                    k=k_eff,
+                    rescore=max(self.base.rerank_factor, 4),
+                )
             q_pad = self.base._q_pad(q).astype(self.cache_sharded.dtype)
             return pops.sharded_exact_scan(
                 q_pad,
@@ -153,6 +185,31 @@ class ShardedFlatIndex(Index):
             recall_target=self.base.recall_target,
         )
         return dists, ids
+
+    def _dense_cache_operand(self) -> jax.Array:
+        """[N', Dp] bf16 dense-kernel operand over the sharded cache.
+
+        Built device-side from ``cache_sharded`` (sharding preserved);
+        the +inf norm padding becomes ~_BIG — finite, so the kernel's
+        lane-packed float min never sees a NaN — while still losing
+        every block.
+        """
+        if self.cache_aug_sharded is None:
+            from jax.sharding import NamedSharding
+
+            from gulon_tpu.models.flat import _augment_cache
+            from gulon_tpu.ops.pallas.dense import _BIG
+
+            norms_fin = jnp.where(
+                jnp.isinf(self.norms_sharded),
+                jnp.float32(_BIG),
+                self.norms_sharded,
+            )
+            self.cache_aug_sharded = jax.device_put(
+                _augment_cache(self.cache_sharded, norms_fin),
+                NamedSharding(self.mesh, P(ROWS, None)),
+            )
+        return self.cache_aug_sharded
 
     def lookup(self, word: str) -> Optional[np.ndarray]:
         return self.base.lookup(word)
@@ -728,21 +785,45 @@ class ShardedIVFIndex(Index):
 
 @dataclasses.dataclass
 class ShardedExactIndex(Index):
-    """Row-sharded counterpart of :class:`ExactIndex`."""
+    """Row-sharded counterpart of :class:`ExactIndex`.
+
+    On TPU (or with ``scan_strategy="pallas"`` forced on the base) the
+    per-shard scan is the fused dense kernel over a pre-augmented bf16
+    operand built at shard time — the single-chip serving path at mesh
+    scale; otherwise the XLA tile scan.
+    """
 
     base: ExactIndex
     mesh: Mesh
     vectors_sharded: jax.Array  # [N', D] padded + row-sharded
     norms_sharded: jax.Array  # [N'] +inf padding
+    # [N', Dp] bf16 prepare_data operand, row-sharded. Padding rows get a
+    # ~_BIG (finite) norm lane: +inf would turn the kernel's lane-packed
+    # score into NaN, _BIG just loses every block min.
+    data_aug_sharded: Optional[jax.Array] = None
 
     @staticmethod
     def shard(index: ExactIndex, mesh: Mesh) -> "ShardedExactIndex":
+        from jax.sharding import NamedSharding
+
+        from gulon_tpu.ops.pallas.dense import _BIG, prepare_data
+
         x = np.asarray(index.vectors)
+        norms = (x * x).sum(1).astype(np.float32)
+        padded, n_pad = pad_rows_to_shards(x, mesh, 0)
+        norms_aug = np.concatenate(
+            [norms, np.full(n_pad, _BIG, np.float32)]
+        ) if n_pad else norms
+        data_aug_sharded = jax.device_put(
+            prepare_data(jnp.asarray(padded), jnp.asarray(norms_aug)),
+            NamedSharding(mesh, P(ROWS, None)),
+        )
         return ShardedExactIndex(
             base=index,
             mesh=mesh,
             vectors_sharded=shard_rows(x, mesh, 0),
-            norms_sharded=shard_rows((x * x).sum(1), mesh, np.inf),
+            norms_sharded=shard_rows(norms, mesh, np.inf),
+            data_aug_sharded=data_aug_sharded,
         )
 
     @property
@@ -768,12 +849,45 @@ class ShardedExactIndex(Index):
             )
         if self.base.metric.normalized:
             q = normalize_rows(q)
+        k_eff = min(k, self.size)
+        local_n = self.vectors_sharded.shape[0] // self.mesh.shape[ROWS]
+        strategy = self.base.scan_strategy
+        if strategy == "auto":
+            # same envelope as the single-chip auto gate, per shard
+            strategy = (
+                "pallas"
+                if (
+                    jax.default_backend() == "tpu"
+                    and k_eff <= 128
+                    and local_n >= 256 * k_eff
+                )
+                else "xla"
+            )
+        if strategy == "pallas":
+            return pops.sharded_dense_scan(
+                q,
+                self.data_aug_sharded,
+                self.norms_sharded,
+                rescore_rows=(
+                    self.vectors_sharded
+                    if self.base.exact_rescore
+                    else None
+                ),
+                mesh=self.mesh,
+                k=k_eff,
+                rescore=self.base.rescore_factor,
+            )
+        if strategy != "xla":
+            raise ValueError(
+                f"unknown exact scan strategy {self.base.scan_strategy!r}"
+                " (expected auto|xla|pallas)"
+            )
         dists, ids = pops.sharded_exact_scan(
             q,
             self.vectors_sharded,
             self.norms_sharded,
             mesh=self.mesh,
-            k=min(k, self.size),
+            k=k_eff,
             tile_rows=self.base.tile_rows,
             precision=self.base.precision,
             topk_impl=self.base.topk_impl,

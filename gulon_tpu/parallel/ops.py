@@ -180,6 +180,65 @@ def sharded_exact_scan(
     )(queries, qn, data, data_norms)
 
 
+def sharded_dense_scan(
+    queries: jax.Array,  # [Q, D] f32 replicated (subspace-padded layout
+    #   for cached-decode scans, raw vectors for exact scans)
+    data_aug: jax.Array,  # [N', Dp] bf16 row-sharded kernel operand
+    #   (prepare_data / _augment_cache; padding rows carry a ~_BIG norm
+    #   lane, NOT +inf — inf would NaN under the lane-packed selection)
+    norms: jax.Array,  # [N'] f32 row-sharded (only the exact-f32 rescore
+    #   reads it; padding entries are never gathered)
+    rescore_rows: Optional[jax.Array] = None,  # [N', D] f32 row-sharded:
+    #   exact-f32 re-rank rows (ExactIndex.exact_rescore)
+    *,
+    mesh: Mesh,
+    k: int,
+    rescore: int = 4,
+) -> Tuple[jax.Array, jax.Array]:
+    """Row-sharded fused dense scan: per-shard Pallas kernel + ICI merge.
+
+    The mesh-scale counterpart of the single-chip dense-kernel serving
+    modes (``ExactIndex`` "pallas", ``FlatIndex`` "cached" on TPU): each
+    shard runs the matmul-bound kernel over its row slice — including its
+    internal over-fetch rescore — and the only cross-device traffic is
+    the O(Q·k·shards) all-gather top-k merge (the ``TopKHeap.scala:44-53``
+    role). Interpret mode runs the kernel per shard on CPU meshes (tests).
+
+    Requires ``local_n >= 256 * min(k, 128)`` per shard and ``k <= 128``
+    (the kernel's envelope); callers gate and fall back to the XLA
+    ``sharded_exact_scan`` outside it.
+    """
+    from gulon_tpu.ops.pallas.dense import dense_scan_pallas
+
+    local_n = data_aug.shape[0] // mesh.shape[ROWS]
+    interpret = jax.default_backend() != "tpu"
+
+    def shard_fn(q, da_loc, n_loc, *rr):
+        d, ids = dense_scan_pallas(
+            q,
+            da_loc,
+            n_loc,
+            k=k,
+            rescore=rescore,
+            rescore_rows=rr[0] if rr else None,
+            interpret=interpret,
+        )
+        return _merge_over_rows(d, _globalize_ids(ids, local_n), k)
+
+    in_specs = [P(), P(ROWS, None), P(ROWS)]
+    operands = [queries, data_aug, norms]
+    if rescore_rows is not None:
+        in_specs.append(P(ROWS, None))
+        operands.append(rescore_rows)
+    return shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=tuple(in_specs),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )(*operands)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "bounds", "block_rows", "precision"),

@@ -420,3 +420,72 @@ def test_sharded_ivf_pallas_rescore_matches_single_chip():
     np.testing.assert_allclose(
         np.asarray(d1), np.asarray(d8), rtol=1e-4, atol=1e-4
     )
+
+
+@pytest.mark.parametrize("exact_rescore", [True, False])
+def test_sharded_exact_pallas_matches_single_chip(exact_rescore):
+    """Per-shard fused dense kernel (interpret mode on the CPU mesh)
+    agrees with the single-chip pallas ExactIndex: same nearest
+    neighbour, near-complete top-k overlap. The sharded path re-ranks
+    every shard's block winners, so its distances can only improve on
+    the single-chip fetch — assert one-sided closeness, not identity."""
+    from gulon_tpu.models.exact import build_exact_index
+
+    rng = np.random.default_rng(23)
+    x, _, _ = planted_clusters(rng, 4096, 16, 16, scale=0.3, spread=2.0)
+    keys = random_keys(rng, 4096)
+    index = build_exact_index(keys, x)
+    index.scan_strategy = "pallas"
+    index.exact_rescore = exact_rescore
+    q = x[:8]
+    k = 4
+    d1, i1 = map(np.asarray, index.query_arrays(k, q))
+    sharded = shard_index(index, make_mesh(4))
+    d8, i8 = map(np.asarray, sharded.query_arrays(k, q))
+    # a DB vector's nearest neighbour is itself on both paths (rows are
+    # key-sorted, so compare the two paths' ids, not the input order)
+    np.testing.assert_array_equal(i1[:, 0], i8[:, 0])
+    # bf16 operand rescore: 2^-8 relative on ||x||^2 ~ 60 -> ~0.4 abs
+    atol = 1e-4 if exact_rescore else 0.5
+    np.testing.assert_allclose(d1[:, 0], 0.0, atol=atol)
+    np.testing.assert_allclose(d8[:, 0], 0.0, atol=atol)
+    for r in range(len(q)):
+        assert len(set(i1[r]) & set(i8[r])) >= k - 1, (i1[r], i8[r])
+        # sharded re-ranks a superset of the single-chip candidates
+        assert np.all(d8[r] <= d1[r] + atol + 1e-6)
+
+
+def test_sharded_cached_dense_kernel_matches():
+    """Forced dense-kernel sharded cached scan (interpret mode on the
+    CPU mesh) returns the XLA sharded cached scan's neighbours."""
+    rng = np.random.default_rng(29)
+    x, _, _ = planted_clusters(rng, 4096, 16, 16, scale=0.3, spread=2.0)
+    keys = random_keys(rng, 4096)
+    index = build_flat_index(
+        keys, x,
+        pq_config=PQConfig(num_clusters=16, num_quantizers=4, max_iters=8),
+    )
+    index.enable_cache()
+    index.scan_strategy = "cached"
+    q = x[:8]
+    k = 4
+    mesh = make_mesh(4)
+    sharded = shard_index(index, mesh)
+    sharded.dense_cached = False
+    d_x, i_x = map(np.asarray, sharded.query_arrays(k, q))
+    sharded.dense_cached = True
+    d_p, i_p = map(np.asarray, sharded.query_arrays(k, q))
+    # the dense kernel scores a bf16 operand; the XLA path scans the f32
+    # CPU cache — same neighbour quality, distances differ by bf16
+    # rounding amplified through the ||x||^2 - 2<x,q> cancellation
+    np.testing.assert_allclose(d_x, d_p, rtol=5e-2, atol=0.3)
+    # the coarse PQ collapses whole clusters onto one code, so the tie
+    # classes are huge and id sets differ freely; instead check each
+    # returned id is a valid member of its tie class — its true cached
+    # distance matches the reported one
+    cache = np.asarray(index.decoded_cache)
+    qp = np.asarray(index._q_pad(jnp.asarray(q, jnp.float32)))
+    for r in range(len(q)):
+        for ids, ds in ((i_x[r], d_x[r]), (i_p[r], d_p[r])):
+            ref = ((cache[ids] - qp[r]) ** 2).sum(1)
+            np.testing.assert_allclose(ref, ds, rtol=5e-2, atol=0.3)
