@@ -294,6 +294,31 @@ def bench_exact(n, d, n_queries, name):
 
         per_batch_op = time_device_loop_args(step_op, (q_dev, data_nat, xn))
 
+        # mesh-scale serving wrapper (ShardedExactIndex pallas route) on a
+        # 1-chip mesh: same kernel under shard_map + the all-gather top-k
+        # merge — measures the per-chip cost of the sharded path
+        from gulon_tpu.parallel.mesh import make_mesh
+        from gulon_tpu.parallel.ops import sharded_dense_scan
+
+        mesh1 = make_mesh(1)
+
+        def step_sh(acc, qp, dn, norms, rows):
+            qb = jax.lax.dynamic_slice_in_dim(
+                qp, (acc.astype(jnp.int32) % 4) * n_queries, n_queries, 0
+            )
+            dd, ii = sharded_dense_scan(
+                qb + acc * 1e-30, dn, norms, rows,
+                mesh=mesh1, k=10, rescore=4,
+            )
+            return (
+                acc + dd[0, 0] * 1e-30 + jnp.float32(ii[0, 0] % 3) * 1e-30
+                + 1.0
+            )
+
+        per_batch_sh = time_device_loop_args(
+            step_sh, (q_dev, data_nat, xn, x_dev)
+        )
+
         # correctness probe: dense-kernel results vs the exact scan
         d_k, i_k = dense_scan_pallas(q_dev[:256], data_nat, xn, k=10,
                                      rescore=4, rescore_rows=x_dev)
@@ -320,6 +345,7 @@ def bench_exact(n, d, n_queries, name):
         per_batch = time_device_loop_args(step, (q_dev, x_dev))
         kernel_recall = None
         per_batch_op = None
+        per_batch_sh = None
     _emit(
         {
             "benchmark": name,
@@ -337,6 +363,9 @@ def bench_exact(n, d, n_queries, name):
                     "recall_at_10_vs_exact": round(kernel_recall, 4),
                     "us_per_query_operand_rescore": round(
                         per_batch_op / n_queries * 1e6, 3
+                    ),
+                    "us_per_query_sharded_mesh1": round(
+                        per_batch_sh / n_queries * 1e6, 3
                     ),
                 }
                 if kernel_recall is not None

@@ -37,6 +37,8 @@ _EXPORTS = {
     "LimitVectors": "gulon_tpu.models.ivf",
     "build_flat_index": "gulon_tpu.models.build",
     "build_ivf_index": "gulon_tpu.models.build",
+    "train_opq": "gulon_tpu.ops.opq",
+    "reconstruction_mse": "gulon_tpu.ops.opq",
     "build_flat_index_streaming": "gulon_tpu.models.streaming",
     "build_ivf_index_streaming": "gulon_tpu.models.streaming",
     "Word2VecStream": "gulon_tpu.utils.native",

@@ -120,6 +120,15 @@ def build_parser() -> argparse.ArgumentParser:
         "lower quantization error at equal iterations)",
     )
     b.add_argument(
+        "--opq",
+        type=_positive_int(1),
+        default=None,
+        metavar="ITERS",
+        help="train an OPQ rotation (that many alternating rounds) before "
+        "quantizing: lower quantization error / higher recall at the same "
+        "code bytes (flat quantized builds only)",
+    )
+    b.add_argument(
         "--streaming",
         action="store_true",
         help="stream the build: native mmap parser -> chunked device "
@@ -269,6 +278,11 @@ def cmd_build_index(args, reporter) -> int:
             "the raw vectors, which a stream cannot avoid materializing)\n"
         )
         return 1
+    if args.opq and (args.exact or args.partitioned or args.streaming):
+        reporter.out.write(
+            "error: --opq applies to flat quantized in-memory builds only\n"
+        )
+        return 1
 
     metric = Metric.parse(args.metric)
     pq_config = PQConfig(
@@ -337,9 +351,14 @@ def cmd_build_index(args, reporter) -> int:
                 report_fn=kmeans_progress,
             )
     else:
-        with reporter.task("building index"):
+        label = (
+            f"building index (OPQ x{args.opq})" if args.opq
+            else "building index"
+        )
+        with reporter.task(label):
             index = build_flat_index(
                 wv.keys, wv.vectors, metric=metric, pq_config=pq_config,
+                opq_iters=args.opq or 0,
                 report_fn=kmeans_progress,
             )
     with reporter.task(f"writing {args.output}"):

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -59,12 +60,17 @@ def build_flat_index(
     pq_config: PQConfig = PQConfig(),
     *,
     encode_chunk: int = _DEFAULT_ENCODE_CHUNK,
+    opq_iters: int = 0,
     report_fn=None,
     mesh=None,
 ) -> FlatIndex:
     """Linear build: sort -> PQ train -> encode (``BuildIndex.scala:84-93``).
 
-    With ``mesh`` the codebooks train distributed across devices.
+    With ``mesh`` the codebooks train distributed across devices. With
+    ``opq_iters > 0`` a learned orthogonal rotation (``ops/opq.py``) is
+    trained first and the codes quantize ``x @ rotation`` — lower
+    quantization error at identical code bytes; queries rotate inside the
+    index, so the serving API is unchanged.
     """
     x = np.asarray(vectors, np.float32)
     keys = np.asarray(keys, dtype=object)
@@ -77,7 +83,23 @@ def build_flat_index(
     keys = keys[order]
     x = x[order]
 
-    pq = train_product_quantizer(x, pq_config, report_fn=report_fn, mesh=mesh)
+    rotation = None
+    if opq_iters > 0:
+        from gulon_tpu.ops.opq import train_opq
+
+        rotation, pq = train_opq(
+            x, pq_config, opq_iters=opq_iters, mesh=mesh
+        )
+        x = np.asarray(
+            jnp.matmul(
+                jnp.asarray(x), rotation,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        )
+    else:
+        pq = train_product_quantizer(
+            x, pq_config, report_fn=report_fn, mesh=mesh
+        )
     codes = jnp.asarray(_encode_chunked(pq, x, encode_chunk, mesh=mesh))
     recon_norms = pq.reconstruction_norms(codes)
     return FlatIndex(
@@ -86,6 +108,7 @@ def build_flat_index(
         codes=codes,
         recon_norms=recon_norms,
         metric=metric,
+        rotation=rotation,
     )
 
 

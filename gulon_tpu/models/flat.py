@@ -84,6 +84,11 @@ class FlatIndex(Index):
     decoded_cache: Optional[jax.Array] = None  # [N, m*dsub], see enable_cache
     # 0 = codes are [N, m] uint; 2/4 = row-packed uint8 (see pack_memory)
     packed_width: int = 0
+    # [D, D] learned OPQ rotation (ops/opq.py): codes quantize x @ rotation,
+    # queries rotate in _prepare_queries, lookup un-rotates. None = plain PQ
+    # (the reference's fixed coordinate split). Orthogonal, so reported L2
+    # distances are unchanged.
+    rotation: Optional[jax.Array] = None
     # query-invariant [m, N] i32 relayout for the pallas kernel, built lazily
     _pallas_codes_t: Optional[jax.Array] = None
     # lazy dense-kernel operand over the decoded cache (norm lanes
@@ -112,6 +117,10 @@ class FlatIndex(Index):
             )
         if self.metric.normalized:
             q = normalize_rows(q)  # Index.scala:324-331
+        if self.rotation is not None:
+            q = jnp.matmul(
+                q, self.rotation, precision=jax.lax.Precision.HIGHEST
+            )
         return q
 
     def batch_query(self, k: int, vectors) -> List[Result]:
@@ -356,4 +365,9 @@ class FlatIndex(Index):
             rec = self.pq.decode(ci)
         else:
             rec = self.pq.decode(self.codes[row : row + 1])
+        if self.rotation is not None:
+            # codes live in the rotated basis; map the reconstruction back
+            rec = jnp.matmul(
+                rec, self.rotation.T, precision=jax.lax.Precision.HIGHEST
+            )
         return np.asarray(rec)[0]

@@ -48,6 +48,16 @@ def _flat_callable(index, k: int):
     normalized = index.metric.normalized
     bounds = index.pq.bounds
     k_eff = min(k, index.size)
+    has_rot = index.rotation is not None
+
+    def prep(q, rot):
+        if normalized:
+            q = normalize_rows(q)
+        if rot is not None:
+            # OPQ: codes live in the rotated basis (models/flat.py)
+            q = jnp.matmul(q, rot, precision=jax.lax.Precision.HIGHEST)
+        return q
+
     if index._pallas_eligible(k_eff):
         if index._pallas_codes_t is None:
             from gulon_tpu.ops.pallas.adc import pack_codes_t
@@ -57,30 +67,29 @@ def _flat_callable(index, k: int):
             )
         n = index.size
 
-        def fn(q, cb, codes_t, norms):
-            if normalized:
-                q = normalize_rows(q)
+        def fn(q, cb, codes_t, norms, *rot):
+            q = prep(q, rot[0] if rot else None)
             return adc_scan_pallas(
                 q, cb, codes_t, norms, bounds=bounds, k=k_eff, num_rows=n
             )
 
-        return fn, (index.pq.codebooks, index._pallas_codes_t,
-                    index.recon_norms)
+        ops = (index.pq.codebooks, index._pallas_codes_t, index.recon_norms)
+        return fn, ops + ((index.rotation,) if has_rot else ())
 
     tile_rows, precision = index.tile_rows, index.precision
     topk_impl, rt = index.topk_impl, index.recall_target
     packed = index.packed_width
 
-    def fn(q, cb, codes, norms):
-        if normalized:
-            q = normalize_rows(q)
+    def fn(q, cb, codes, norms, *rot):
+        q = prep(q, rot[0] if rot else None)
         return scan_ops.adc_scan_decode(
             q, cb, codes, norms, bounds=bounds, k=k_eff,
             tile_rows=tile_rows, precision=precision,
             topk_impl=topk_impl, recall_target=rt, packed_width=packed,
         )
 
-    return fn, (index.pq.codebooks, index.codes, index.recon_norms)
+    ops = (index.pq.codebooks, index.codes, index.recon_norms)
+    return fn, ops + ((index.rotation,) if has_rot else ())
 
 
 def _ivf_callable(index, k: int):

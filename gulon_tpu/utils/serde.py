@@ -98,6 +98,13 @@ def index_to_proto(index: AnyIndex) -> pb.Index:
             _codes_to_proto(codes_np, index.pq.num_clusters)
         )
         si.metric = index.metric.proto_value
+        if index.rotation is not None:
+            # gulon_tpu extension field (see index.proto): row-major
+            # [D*D]; absent for plain-PQ indices, keeping their bytes
+            # identical to the reference writer's
+            si.rotation.values.extend(
+                np.asarray(index.rotation, np.float32).reshape(-1).tolist()
+            )
     elif isinstance(index, IVFIndex):
         gi = msg.grouped
         gi.grouped_words.extend(str(w) for w in index.key_index.keys)
@@ -126,12 +133,19 @@ def index_from_proto(msg: pb.Index) -> AnyIndex:
         codes = jnp.asarray(
             _codes_from_proto(si.vector_index.data, pq.num_clusters)
         )
+        rotation = None
+        if si.HasField("rotation") and len(si.rotation.values):
+            d = pq.dimension
+            rotation = jnp.asarray(
+                np.asarray(si.rotation.values, np.float32).reshape(d, d)
+            )
         return FlatIndex(
             _key_index=SortedKeyIndex(np.array(list(si.sorted_words), object)),
             pq=pq,
             codes=codes,
             recon_norms=pq.reconstruction_norms(codes),
             metric=Metric.from_proto(si.metric),
+            rotation=rotation,
         )
     if which == "grouped":
         gi = msg.grouped
