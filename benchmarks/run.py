@@ -943,8 +943,104 @@ def bench_ivf_sublinear(
     _emit(out)
 
 
+def bench_opq(n=400_000, d=100, m=8, k_codes=256, n_queries=512,
+              opq_iters=4):
+    """OPQ vs plain PQ at the glove100 config: quality at equal code bytes.
+
+    Isolates *quantization* quality (the thing the learned rotation
+    changes): both variants are ranked by exact top-k over f32 decoded
+    reconstructions (the PQ ceiling scan of bench_adc), so scan-path
+    selection noise cancels. Reports reconstruction MSE, distance-cutoff
+    recall@10 (Tests.scala:22-40 protocol), and the two training times.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from gulon_tpu.ops.opq import reconstruction_mse, train_opq
+    from gulon_tpu.ops.pq import PQConfig, train_product_quantizer
+    from gulon_tpu.ops.scan import adc_scan_decode, exact_scan
+
+    rng = np.random.default_rng(0)
+    x = low_rank_corpus_device(0, n, d, intrinsic=min(32, d // 2))
+    q_idx = rng.choice(n, n_queries, replace=False)
+    q_dev = jnp.take(x, jnp.asarray(np.sort(q_idx)), axis=0)
+
+    cfg = PQConfig(
+        num_clusters=k_codes, num_quantizers=m, max_iters=25,
+        train_sample=min(n, 200_000),
+    )
+
+    t0 = time.monotonic()
+    pq_plain = train_product_quantizer(x, cfg)
+    jax.block_until_ready(pq_plain.codebooks)
+    plain_s = time.monotonic() - t0
+
+    t0 = time.monotonic()
+    rot, pq_opq = train_opq(x, cfg, opq_iters=opq_iters)
+    jax.block_until_ready(pq_opq.codebooks)
+    opq_s = time.monotonic() - t0
+
+    mse_plain = reconstruction_mse(pq_plain, x)
+    mse_opq = reconstruction_mse(pq_opq, x, rot)
+
+    _, i_ex = exact_scan(q_dev, x, k=10)
+
+    def _true_d(ids):
+        rows = jnp.take(
+            x, jnp.asarray(np.maximum(np.asarray(ids), 0)).reshape(-1),
+            axis=0,
+        ).reshape(n_queries, 10, -1)
+        return jnp.sum((rows - q_dev[:, None, :]) ** 2, axis=-1)
+
+    cutoff = np.asarray(_true_d(i_ex))[:, -1] * (1 + 1e-6)
+
+    def _dist_recall(ids):
+        dd = np.where(np.asarray(ids) >= 0, np.asarray(_true_d(ids)), np.inf)
+        return float((dd <= cutoff[:, None]).mean())
+
+    def _ceiling_ids(pq, rotation):
+        q = q_dev
+        xq = x
+        if rotation is not None:
+            q = jnp.matmul(q, rotation, precision=jax.lax.Precision.HIGHEST)
+            xq = jnp.matmul(x, rotation, precision=jax.lax.Precision.HIGHEST)
+        codes = []
+        for s0 in range(0, n, 1 << 19):
+            codes.append(pq.encode(xq[s0 : s0 + (1 << 19)]))
+        codes = jnp.concatenate(codes)
+        norms = pq.reconstruction_norms(codes)
+        _, ids = adc_scan_decode(
+            q, pq.codebooks, codes, norms, bounds=pq.bounds, k=10,
+            precision="highest", decode_impl="gather", topk_impl="exact",
+        )
+        return ids
+
+    r_plain = _dist_recall(_ceiling_ids(pq_plain, None))
+    r_opq = _dist_recall(_ceiling_ids(pq_opq, rot))
+
+    _emit(
+        {
+            "benchmark": "opq",
+            "corpus": f"{n}x{d}",
+            "code_bytes_per_vector": m,
+            "opq_iters": opq_iters,
+            "mse_plain": round(mse_plain, 5),
+            "mse_opq": round(mse_opq, 5),
+            "mse_reduction_pct": round(
+                100.0 * (1.0 - mse_opq / max(mse_plain, 1e-12)), 2
+            ),
+            "dist_recall_at_10_plain": round(r_plain, 4),
+            "dist_recall_at_10_opq": round(r_opq, 4),
+            "train_s_plain": round(plain_s, 2),
+            "train_s_opq": round(opq_s, 2),
+            "device": str(jax.devices()[0]),
+        }
+    )
+
+
 CONFIGS = {
     "glove100": lambda a: bench_adc(400_000, 100, 8, 256, 1024, "glove100"),
+    "opq": lambda a: bench_opq(),
     "glove300": lambda a: bench_adc(2_200_000, 300, 16, 256, 1024, "glove300"),
     "fasttext": lambda a: bench_exact(2_000_000, 300, 1024, "fasttext"),
     "deep10m": lambda a: bench_deep10m(a.devices),

@@ -126,7 +126,8 @@ def build_parser() -> argparse.ArgumentParser:
         metavar="ITERS",
         help="train an OPQ rotation (that many alternating rounds) before "
         "quantizing: lower quantization error / higher recall at the same "
-        "code bytes (flat quantized builds only)",
+        "code bytes (quantized in-memory builds; partitioned builds learn "
+        "the rotation on the coarse residuals)",
     )
     b.add_argument(
         "--streaming",
@@ -278,9 +279,9 @@ def cmd_build_index(args, reporter) -> int:
             "the raw vectors, which a stream cannot avoid materializing)\n"
         )
         return 1
-    if args.opq and (args.exact or args.partitioned or args.streaming):
+    if args.opq and (args.exact or args.streaming):
         reporter.out.write(
-            "error: --opq applies to flat quantized in-memory builds only\n"
+            "error: --opq applies to quantized in-memory builds only\n"
         )
         return 1
 
@@ -335,9 +336,10 @@ def cmd_build_index(args, reporter) -> int:
         else:
             strategy = LimitGroups(args.limit or default_limit(num_partitions))
             desc = f"probe {strategy.count}"
+        opq_note = f", OPQ x{args.opq}" if args.opq else ""
         with reporter.task(
             f"building partitioned index ({num_partitions} partitions, "
-            f"{desc})"
+            f"{desc}{opq_note})"
         ):
             index = build_ivf_index(
                 wv.keys,
@@ -348,6 +350,7 @@ def cmd_build_index(args, reporter) -> int:
                 strategy=strategy,
                 coarse_init=args.kmeans_init,
                 max_partition_size=args.max_partition_size,
+                opq_iters=args.opq or 0,
                 report_fn=kmeans_progress,
             )
     else:

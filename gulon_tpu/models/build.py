@@ -220,6 +220,7 @@ def build_ivf_index(
     coarse_init: str = "sample",
     max_partition_size: Optional[int] = None,
     encode_chunk: int = _DEFAULT_ENCODE_CHUNK,
+    opq_iters: int = 0,
     report_fn=None,
     mesh=None,
 ) -> IVFIndex:
@@ -230,6 +231,13 @@ def build_ivf_index(
     ``max_partition_size`` bounds every partition by splitting oversized
     ones into capacity-limited children (own centroids) — caps the
     per-probe cost of the sublinear scan strategies.
+
+    With ``opq_iters > 0`` an OPQ rotation (``ops/opq.py``) is learned on
+    the coarse residuals and applied as a GLOBAL basis change: coarse
+    k-means is rotation-equivariant, so the existing assignment stays
+    exact while centroids, residuals, and codebooks move to the rotated
+    basis. Queries rotate inside the index; reported distances are
+    unchanged (orthogonality).
     """
     from gulon_tpu.utils.word2vec import WordVectors
 
@@ -273,9 +281,23 @@ def build_ivf_index(
     group_ids = grouped.group_ids
 
     residuals = grouped.residuals()
-    pq = train_product_quantizer(
-        residuals, pq_config, report_fn=report_fn, mesh=mesh
-    )
+    rotation = None
+    if opq_iters > 0:
+        from gulon_tpu.ops.opq import train_opq
+
+        # learn R on the residuals (what the codebooks quantize), then
+        # rotate residuals AND centroids: a global basis change that
+        # leaves the coarse assignment exactly valid
+        rotation, pq = train_opq(
+            residuals, pq_config, opq_iters=opq_iters, mesh=mesh
+        )
+        rot_np = np.asarray(rotation)
+        residuals = np.asarray(residuals, np.float32) @ rot_np
+        centroids = np.asarray(centroids, np.float32) @ rot_np
+    else:
+        pq = train_product_quantizer(
+            residuals, pq_config, report_fn=report_fn, mesh=mesh
+        )
     codes_np = _encode_chunked(pq, residuals, encode_chunk, mesh=mesh)
     codes = jnp.asarray(codes_np)
 
@@ -295,4 +317,5 @@ def build_ivf_index(
         centroids=jnp.asarray(centroids),
         metric=metric,
         strategy=strategy,
+        rotation=rotation,
     )

@@ -793,6 +793,11 @@ class IVFIndex(Index):
     centroids: jax.Array  # [P, D] f32 coarse centroids (empty groups dropped)
     metric: Metric
     strategy: Strategy
+    # [D, D] learned OPQ rotation (ops/opq.py) as a GLOBAL basis change:
+    # corpus, coarse centroids, and residual codebooks all live in the
+    # rotated basis, so every internal scan path is untouched; queries
+    # rotate once in _prepare_queries, lookups map back. None = plain PQ.
+    rotation: Optional[jax.Array] = None
     tile_rows: int = scan_ops.DEFAULT_TILE_ROWS
     precision: str = "default"
     topk_impl: str = "approx"
@@ -972,7 +977,8 @@ class IVFIndex(Index):
             rescore=self.pallas_rescore,
         )
 
-    def query_arrays(self, k: int, vectors):
+    def _prepare_queries(self, vectors) -> jax.Array:
+        """Validate shape, normalize for cosine, apply the OPQ rotation."""
         q = jnp.asarray(vectors, jnp.float32)
         if q.ndim != 2 or q.shape[1] != self.dimension:
             raise ValueError(
@@ -980,6 +986,14 @@ class IVFIndex(Index):
             )
         if self.metric.normalized:
             q = normalize_rows(q)  # Index.scala:268-269
+        if self.rotation is not None:
+            q = jnp.matmul(
+                q, self.rotation, precision=jax.lax.Precision.HIGHEST
+            )
+        return q
+
+    def query_arrays(self, k: int, vectors):
+        q = self._prepare_queries(vectors)
 
         # Rank coarse centroids + build the probe mask in ONE jitted
         # computation (eager chaining costs a device dispatch per op —
@@ -1189,4 +1203,8 @@ class IVFIndex(Index):
             return None
         g = self._key_index.group_of(row)
         residual = np.asarray(self.pq.decode(self.codes[row : row + 1]))[0]
-        return residual + np.asarray(self.centroids[g])
+        rec = residual + np.asarray(self.centroids[g])
+        if self.rotation is not None:
+            # the stored basis is rotated; report in the original basis
+            rec = rec @ np.asarray(self.rotation).T
+        return rec

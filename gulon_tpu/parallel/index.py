@@ -544,13 +544,8 @@ class ShardedIVFIndex(Index):
         return self._make_results(*self.query_arrays(k, vectors))
 
     def query_arrays(self, k: int, vectors):
-        q = jnp.asarray(vectors, jnp.float32)
-        if q.ndim != 2 or q.shape[1] != self.dimension:
-            raise ValueError(
-                f"queries must be [Q, {self.dimension}], got {q.shape}"
-            )
-        if self.base.metric.normalized:
-            q = normalize_rows(q)
+        # normalize + OPQ rotation, same prep as the single-chip path
+        q = self.base._prepare_queries(vectors)
 
         cn = sq_norms(self.centroids_rep)
         qc_ip = jnp.matmul(

@@ -110,10 +110,13 @@ def _ivf_callable(index, k: int):
     tile_rows, precision = index.tile_rows, index.precision
     topk_impl, rt = index.topk_impl, index.recall_target
     sizes = jnp.asarray(index.partition_sizes())
+    has_rot = index.rotation is not None
 
-    def fn(q, cb, codes, row_const, group_ids, centroids):
+    def fn(q, cb, codes, row_const, group_ids, centroids, *rot):
         if normalized:
             q = normalize_rows(q)
+        if rot:  # OPQ global basis change (models/ivf.py)
+            q = jnp.matmul(q, rot[0], precision=jax.lax.Precision.HIGHEST)
         cn = sq_norms(centroids)
         ip = jnp.matmul(
             q, centroids.T,
@@ -134,10 +137,11 @@ def _ivf_callable(index, k: int):
             precision=precision, topk_impl=topk_impl, recall_target=rt,
         )
 
-    return fn, (
+    ops = (
         index.pq.codebooks, index.codes, index.row_const,
         index.group_ids, index.centroids,
     )
+    return fn, ops + ((index.rotation,) if has_rot else ())
 
 
 def _ivf_gathered_callable(index, k: int):
@@ -176,10 +180,13 @@ def _ivf_gathered_callable(index, k: int):
         index.precision, index.topk_impl, index.recall_target,
     )
     codes_pad, rc_pad = index._code_operands()
+    has_rot = index.rotation is not None
 
-    def fn(q, cb, codes_pad, rc_pad, starts, sizes, centroids):
+    def fn(q, cb, codes_pad, rc_pad, starts, sizes, centroids, *rot):
         if normalized:
             q = normalize_rows(q)
+        if rot:  # OPQ global basis change (models/ivf.py)
+            q = jnp.matmul(q, rot[0], precision=jax.lax.Precision.HIGHEST)
         cn = sq_norms(centroids)
         ip = jnp.matmul(
             q, centroids.T,
@@ -209,10 +216,11 @@ def _ivf_gathered_callable(index, k: int):
             ids = jnp.pad(ids, ((0, 0), (0, pad)), constant_values=-1)
         return dists, ids
 
-    return fn, (
+    ops = (
         index.pq.codebooks, codes_pad, rc_pad, jnp.asarray(starts),
         jnp.asarray(sizes_np), index.centroids,
     )
+    return fn, ops + ((index.rotation,) if has_rot else ())
 
 
 def _exact_callable(index, k: int):
@@ -307,8 +315,9 @@ def _ivf_pallas_callable(index, k: int):
     interpret = jax.default_backend() != "tpu"
 
     w = index.pallas_winners
+    has_rot = index.rotation is not None
 
-    def fn(q, centroids, sizes, cb, codes_t, rc_pal, row_map):
+    def fn(q, centroids, sizes, cb, codes_t, rc_pal, row_map, *rot):
         # winner-column -> partition map: tile layout (and so the map)
         # depends on the traced batch size; computed host-side at trace
         # time and embedded as a small constant (NW int32s)
@@ -322,6 +331,8 @@ def _ivf_pallas_callable(index, k: int):
         )
         if normalized:
             q = normalize_rows(q)
+        if rot:  # OPQ global basis change (models/ivf.py)
+            q = jnp.matmul(q, rot[0], precision=jax.lax.Precision.HIGHEST)
         group_term, qn, _cd, pm = _rank_and_probe(
             q, centroids, sizes, kind=kind, count=count
         )
@@ -332,10 +343,11 @@ def _ivf_pallas_callable(index, k: int):
             winners=w, rescore=index.pallas_rescore,
         )
 
-    return fn, (
+    ops = (
         index.centroids, sizes, index.pq.codebooks, codes_t, rc_pal,
         row_map,
     )
+    return fn, ops + ((index.rotation,) if has_rot else ())
 
 
 def _callable_for(index, k: int):

@@ -120,6 +120,12 @@ def index_to_proto(index: AnyIndex) -> pb.Index:
         )
         gi.strategy = index.strategy.proto_value
         gi.limit = index.strategy.count
+        if index.rotation is not None:
+            # extension field: centroids/codebooks above are already in
+            # the rotated basis, this records the basis change itself
+            gi.rotation.values.extend(
+                np.asarray(index.rotation, np.float32).reshape(-1).tolist()
+            )
     else:
         raise TypeError(f"cannot serialize {type(index)!r}")
     return msg
@@ -171,6 +177,12 @@ def index_from_proto(msg: pb.Index) -> AnyIndex:
             strategy = LimitGroups(gi.limit)
         else:
             strategy = LimitVectors(gi.limit)
+        rotation = None
+        if gi.HasField("rotation") and len(gi.rotation.values):
+            d = pq.dimension
+            rotation = jnp.asarray(
+                np.asarray(gi.rotation.values, np.float32).reshape(d, d)
+            )
         return IVFIndex(
             _key_index=GroupedKeyIndex(
                 np.array(list(gi.grouped_words), object), offsets
@@ -182,6 +194,7 @@ def index_from_proto(msg: pb.Index) -> AnyIndex:
             centroids=jnp.asarray(centroids),
             metric=Metric.from_proto(gi.metric),
             strategy=strategy,
+            rotation=rotation,
         )
     raise ValueError("index proto has no implementation set")
 

@@ -158,6 +158,101 @@ def test_plain_index_bytes_unchanged_by_schema_extension(tmp_path):
     assert not msg.sorted.HasField("rotation")
 
 
+@pytest.fixture(scope="module")
+def opq_ivf_index():
+    rng = np.random.default_rng(7)
+    x = _correlated_corpus(rng, n=4000)
+    keys = random_keys(rng, len(x))
+    from gulon_tpu.models.build import build_ivf_index
+    from gulon_tpu.models.ivf import LimitGroups
+
+    index = build_ivf_index(
+        keys, x, pq_config=CFG, num_partitions=16,
+        strategy=LimitGroups(6), opq_iters=3,
+    )
+    return index, x, keys
+
+
+def test_opq_ivf_query_and_lookup(opq_ivf_index):
+    index, x, keys = opq_ivf_index
+    assert index.rotation is not None
+    res = index.query(5, x[23])
+    assert res.keys[0] == keys[23]
+    rec = index.lookup(keys[23])
+    err = float(((rec - x[23]) ** 2).sum())
+    assert err < float((x[23] ** 2).sum()), err
+
+
+def test_opq_ivf_beats_plain_mse(opq_ivf_index):
+    """The rotated residual codebooks must reconstruct (rotated) residuals
+    better than plain residual PQ reconstructs plain residuals."""
+    index, x, keys = opq_ivf_index
+    from gulon_tpu.models.build import build_ivf_index
+    from gulon_tpu.models.ivf import LimitGroups
+
+    plain = build_ivf_index(
+        keys, x, pq_config=CFG, num_partitions=16, strategy=LimitGroups(6)
+    )
+
+    by_key = {k: i for i, k in enumerate(keys)}
+
+    def recon_mse(ix):
+        # lookup reconstructs in the ORIGINAL basis for both variants
+        errs = [
+            float(((ix.lookup(w) - x[by_key[w]]) ** 2).sum())
+            for w in np.asarray(ix.key_index.keys)[:400]
+        ]
+        return float(np.mean(errs))
+
+    m_opq, m_plain = recon_mse(index), recon_mse(plain)
+    assert m_opq < m_plain * 1.02, (m_opq, m_plain)
+
+
+def test_opq_ivf_serde_roundtrip(tmp_path, opq_ivf_index):
+    index, x, _ = opq_ivf_index
+    from gulon_tpu.utils.serde import load_index, save_index
+
+    p = tmp_path / "opq_ivf.pb"
+    save_index(index, p)
+    loaded = load_index(p)
+    assert loaded.rotation is not None
+    d0, i0 = map(np.asarray, index.query_arrays(5, x[:8]))
+    d1, i1 = map(np.asarray, loaded.query_arrays(5, x[:8]))
+    np.testing.assert_allclose(d0, d1, rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(i0, i1)
+
+
+def test_opq_ivf_aot_roundtrip(tmp_path, opq_ivf_index):
+    index, x, _ = opq_ivf_index
+    from gulon_tpu.utils.aot import export_serving, load_serving, save_serving
+
+    bundle = export_serving(index, shapes=((8, 5),), warm_cache=False)
+    p = tmp_path / "opq_ivf.pb.aot"
+    save_serving(p, bundle)
+    serving = load_serving(p, index)
+    d0, i0 = map(np.asarray, index.query_arrays(5, x[:8]))
+    d1, i1 = map(np.asarray, serving.query_arrays(5, x[:8]))
+    np.testing.assert_allclose(d0, d1, rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(i0, i1)
+
+
+def test_opq_ivf_sharded_parity(opq_ivf_index):
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs a multi-device mesh")
+    index, x, _ = opq_ivf_index
+    from gulon_tpu.parallel.index import shard_index
+    from gulon_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(min(4, len(jax.devices())))
+    sharded = shard_index(index, mesh)
+    d0, i0 = map(np.asarray, index.query_arrays(5, x[:8]))
+    d1, i1 = map(np.asarray, sharded.query_arrays(5, x[:8]))
+    np.testing.assert_allclose(d0, d1, rtol=1e-4, atol=1e-4)
+    np.testing.assert_array_equal(i0, i1)
+
+
 def test_opq_index_aot_roundtrip(tmp_path, opq_index):
     """AOT-exported serving must bake the rotation into the artifact."""
     index, x, _ = opq_index
