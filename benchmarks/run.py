@@ -1041,6 +1041,11 @@ def bench_opq(n=400_000, d=100, m=8, k_codes=256, n_queries=512,
 CONFIGS = {
     "glove100": lambda a: bench_adc(400_000, 100, 8, 256, 1024, "glove100"),
     "opq": lambda a: bench_opq(),
+    # the subspace-count stress shape: 1024d at 32 B/vector, where the
+    # fixed coordinate split straddles the most correlated-dim structure
+    "opq1024": lambda a: bench_opq(
+        n=200_000, d=1024, m=32, k_codes=256, n_queries=256
+    ),
     "glove300": lambda a: bench_adc(2_200_000, 300, 16, 256, 1024, "glove300"),
     "fasttext": lambda a: bench_exact(2_000_000, 300, 1024, "fasttext"),
     "deep10m": lambda a: bench_deep10m(a.devices),
