@@ -547,17 +547,16 @@ def adc_scan_pallas(
 
     # XLA epilogue over the N/128 block winners, ranking the lane-packed
     # floats DIRECTLY (float order == score order within the 2^-16 packing
-    # coarseness): exact top-k for small k; for over-fetch calls (k >= 32,
-    # caller rescores exactly afterwards) the hardware PartialReduce is
-    # ~10x cheaper and only coverage matters. Ids decode from the selected
-    # columns + lane bits — no [Q, NB] ids array ever exists.
-    if kk >= 32 and packed.shape[1] >= 4 * kk:
-        best_p, pos = jax.lax.approx_min_k(
-            packed, kk, recall_target=0.95
-        )
-        pos = pos.astype(jnp.int32)
-    else:
-        best_p, pos = smallest_k(packed, kk)
+    # coarseness), with an EXACT top-k. An approx_min_k fetch here loses
+    # ~5% of the over-fetched set (recall_target=0.95) — which is exactly
+    # the coverage an external rescore (FlatIndex rerank_factor, bench.py)
+    # exists to exploit — while the exact top-k over the [Q, N/128]
+    # winners measures 0.012 ms/1024-batch at the headline shape
+    # (kernel_ab: full 1.016 vs kernel-only 1.004 ms). Same lesson the
+    # fused-IVF epilogue learned at ivf1m (-0.09 recall@10 from the
+    # approx fetch, ivf.py). Ids decode from the selected columns + lane
+    # bits — no [Q, NB] ids array ever exists.
+    best_p, pos = smallest_k(packed, kk)
     bits = jax.lax.bitcast_convert_type(best_p, jnp.int32)
     best_v = jax.lax.bitcast_convert_type(
         bits & jnp.int32(~127), jnp.float32

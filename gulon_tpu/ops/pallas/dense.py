@@ -205,14 +205,13 @@ def dense_scan_pallas(
     fetch = min(max(kk, rescore * kk if rescore else kk), _LANES)
     fetch = min(fetch, packed.shape[1])
     # rank the packed floats directly (order == score order within the
-    # 2^-16 lane-packing coarseness); ids decode from column + lane bits
-    if fetch >= 32 and packed.shape[1] >= 4 * fetch:
-        best_p, pos = jax.lax.approx_min_k(
-            packed, fetch, recall_target=0.95
-        )
-        pos = pos.astype(jnp.int32)
-    else:
-        best_p, pos = smallest_k(packed, fetch)
+    # 2^-16 lane-packing coarseness) with an EXACT top-k; ids decode from
+    # column + lane bits. An approx_min_k fetch here would lose ~5% of
+    # the over-fetched set (recall_target=0.95) — exactly the coverage
+    # the rescore epilogue below exists to exploit — while exact top-k
+    # over the [Q, N/128] block winners measured 0.012 ms/1024-batch at
+    # N=400k (kernel_ab), i.e. noise against the multi-ms scan.
+    best_p, pos = smallest_k(packed, fetch)
     bits = jax.lax.bitcast_convert_type(best_p, jnp.int32)
     best_v = jax.lax.bitcast_convert_type(
         bits & jnp.int32(~127), jnp.float32
