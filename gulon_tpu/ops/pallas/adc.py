@@ -545,23 +545,28 @@ def adc_scan_pallas(
         num_rows=num_rows, winners=winners,
     )
 
-    # XLA epilogue over the N/128 block winners, ranking the lane-packed
-    # floats DIRECTLY (float order == score order within the 2^-16 packing
-    # coarseness), with an EXACT top-k. An approx_min_k fetch here loses
-    # ~5% of the over-fetched set (recall_target=0.95) — which is exactly
-    # the coverage an external rescore (FlatIndex rerank_factor, bench.py)
-    # exists to exploit — while the exact top-k over the [Q, N/128]
-    # winners measures 0.012 ms/1024-batch at the headline shape
-    # (kernel_ab: full 1.016 vs kernel-only 1.004 ms). Same lesson the
-    # fused-IVF epilogue learned at ivf1m (-0.09 recall@10 from the
-    # approx fetch, ivf.py). Ids decode from the selected columns + lane
-    # bits — no [Q, NB] ids array ever exists.
-    best_p, pos = smallest_k(packed, kk)
-    bits = jax.lax.bitcast_convert_type(best_p, jnp.int32)
-    best_v = jax.lax.bitcast_convert_type(
-        bits & jnp.int32(~127), jnp.float32
+    # XLA epilogue over the N/128 block winners: strip the lane bits FIRST
+    # and rank the masked values with an EXACT top-k, so equal-score
+    # winners tie-break by column = block = ascending-row-id region —
+    # matching the reference heap's keep-earliest-row semantics
+    # (``TopKHeap.scala:69-79``) and the exact decode scan. Ranking the
+    # packed floats directly would break score ties by the lane bits
+    # instead (DESCENDING lane for the negative scores this kernel
+    # emits): measured on v5e at the headline shape that costs 11% of
+    # distance-cutoff recall on tie-heavy corpora (0.165 vs 0.192
+    # ceiling; ranking masked values measures 0.1924 — at the ceiling).
+    # An approx_min_k fetch here would also lose ~5% of the over-fetched
+    # set — the coverage an external rescore (FlatIndex rerank_factor)
+    # exists to exploit — while exact top-k over the [Q, N/128] winners
+    # measures 0.012 ms/1024-batch (kernel_ab). Ids decode from the
+    # selected columns + lane bits — no [Q, NB] ids array ever exists.
+    bits_all = jax.lax.bitcast_convert_type(packed, jnp.int32)
+    vals_all = jax.lax.bitcast_convert_type(
+        bits_all & jnp.int32(~127), jnp.float32
     )
-    best_ids = jnp.take(base_cols, pos) + (bits & 127)
+    best_v, pos = smallest_k(vals_all, kk)
+    lanes = jnp.take_along_axis(bits_all & 127, pos, axis=1)
+    best_ids = jnp.take(base_cols, pos) + lanes
     invalid = best_v >= _INVALID_MIN
 
     if rescore:

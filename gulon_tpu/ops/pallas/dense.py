@@ -204,19 +204,23 @@ def dense_scan_pallas(
     packed = block_p.T[:num_q]
     fetch = min(max(kk, rescore * kk if rescore else kk), _LANES)
     fetch = min(fetch, packed.shape[1])
-    # rank the packed floats directly (order == score order within the
-    # 2^-16 lane-packing coarseness) with an EXACT top-k; ids decode from
-    # column + lane bits. An approx_min_k fetch here would lose ~5% of
-    # the over-fetched set (recall_target=0.95) — exactly the coverage
-    # the rescore epilogue below exists to exploit — while exact top-k
-    # over the [Q, N/128] block winners measured 0.012 ms/1024-batch at
-    # N=400k (kernel_ab), i.e. noise against the multi-ms scan.
-    best_p, pos = smallest_k(packed, fetch)
-    bits = jax.lax.bitcast_convert_type(best_p, jnp.int32)
-    best_v = jax.lax.bitcast_convert_type(
-        bits & jnp.int32(~127), jnp.float32
+    # strip the lane bits FIRST and rank the masked values with an EXACT
+    # top-k: equal-score winners then tie-break by column = block =
+    # ascending row ids, matching the reference heap's keep-earliest-row
+    # semantics (``TopKHeap.scala:69-79``). Ranking the packed floats
+    # directly breaks ties by lane (DESCENDING for negative scores) —
+    # measured 11% of distance-cutoff recall on tie-heavy corpora in the
+    # ADC twin of this epilogue. An approx_min_k fetch would also lose
+    # ~5% of the over-fetched set the rescore below exists to exploit,
+    # while exact top-k over [Q, N/128] winners costs 0.012 ms/1024-batch
+    # (kernel_ab) — noise against the multi-ms scan.
+    bits_all = jax.lax.bitcast_convert_type(packed, jnp.int32)
+    vals_all = jax.lax.bitcast_convert_type(
+        bits_all & jnp.int32(~127), jnp.float32
     )
-    best_ids = pos * _LANES + (bits & 127)  # column c covers rows c*128..
+    best_v, pos = smallest_k(vals_all, fetch)
+    lanes = jnp.take_along_axis(bits_all & 127, pos, axis=1)
+    best_ids = pos * _LANES + lanes  # column c covers rows c*128..
     invalid = best_v >= _INVALID_MIN
 
     qn = sq_norms(queries)

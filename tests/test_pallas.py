@@ -394,3 +394,40 @@ def test_flat_winners_recover_tie_heavy_recall():
         res[w] = float((d_w <= cut[:, None]).mean())
     assert res[2] >= res[1] - 1e-9, res
     assert res[2] >= 0.9, res  # near-reference coverage with 2 winners
+
+
+def test_epilogue_ties_break_toward_smaller_row_ids():
+    """Exact-score ties must resolve toward SMALLER row ids, matching the
+    reference heap's keep-earliest-row semantics (``TopKHeap.scala:69-79``)
+    and the exact decode scan. Regression for the v7 epilogue ranking the
+    lane-packed floats directly: lane bits break score ties by DESCENDING
+    row-in-block for negative scores, which measured an 11% distance-cutoff
+    recall loss on tie-heavy corpora on v5e (the true-neighbour mass of a
+    self-query sits wherever the exact scan's smallest-id picks land)."""
+    rng = np.random.default_rng(7)
+    n, d, k = 8192, 16, 10
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    proto = rng.normal(size=(d,)).astype(np.float32)
+    # plant exact-duplicate rows in distinct 128-blocks at VARYING
+    # row-in-block lanes (stride 520 = 512 + 8, so lane walks 8 per
+    # duplicate — a lane-ordered tie-break would reorder them, a
+    # column-ordered one keeps ascending ids): all share one code =>
+    # bit-identical ADC scores
+    dup_rows = np.arange(64, n - 512, 520)
+    x[dup_rows] = proto
+    pq = train_product_quantizer(
+        x, PQConfig(num_clusters=16, num_quantizers=4, max_iters=6)
+    )
+    codes = pq.encode(x)
+    norms = pq.reconstruction_norms(codes)
+    q = jnp.asarray(proto[None, :])
+    d_p, i_p = adc_scan_pallas(
+        q, pq.codebooks, codes, norms, bounds=pq.bounds, k=k,
+        tile_rows=1024, interpret=True,
+    )
+    i_p = np.asarray(i_p)[0]
+    # every returned id must come from the EARLIEST duplicate blocks: the
+    # k duplicates with smallest ids (one per 128-block, column order)
+    expected = set(dup_rows[:k].tolist())
+    got = set(i_p.tolist())
+    assert got == expected, (sorted(got), sorted(expected))
