@@ -259,5 +259,37 @@ def main():
     )
 
 
+def _main_with_retry():
+    """The tunnel's TPU backend intermittently fails to initialize
+    (UNAVAILABLE) or drops mid-run; a failed init poisons the in-process
+    backend cache, so retries must re-exec a fresh interpreter. Bounded
+    by GULON_BENCH_ATTEMPT to avoid looping forever on a dead tunnel."""
+    import os
+    import sys
+
+    attempt = int(os.environ.get("GULON_BENCH_ATTEMPT", "1"))
+    try:
+        main()
+    except Exception as e:  # noqa: BLE001 - classify, then re-exec or re-raise
+        msg = str(e)
+        transient = (
+            "Unable to initialize backend" in msg
+            or "UNAVAILABLE" in msg
+            or "DEADLINE_EXCEEDED" in msg
+            or "Socket closed" in msg
+        )
+        if not transient or attempt >= 4:
+            raise
+        print(
+            f"bench: transient TPU/tunnel error (attempt {attempt}/4), "
+            f"retrying in 120s: {msg.splitlines()[0][:200]}",
+            file=sys.stderr,
+            flush=True,
+        )
+        time.sleep(120)
+        os.environ["GULON_BENCH_ATTEMPT"] = str(attempt + 1)
+        os.execv(sys.executable, [sys.executable] + sys.argv)
+
+
 if __name__ == "__main__":
-    main()
+    _main_with_retry()
