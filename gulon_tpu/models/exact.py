@@ -131,6 +131,49 @@ class ExactIndex(Index):
             return None
         return np.asarray(self.vectors[row])
 
+    def add(self, keys, vectors) -> "ExactIndex":
+        """Return a new index with ``(keys, vectors)`` appended (an extra
+        over the reference; see ``models/update.py``). The lazy dense-
+        kernel operand rebuilds on the new index's first query."""
+        from gulon_tpu.models import update as up
+        from gulon_tpu.ops.distance import normalize_rows
+
+        keys_new, x = up.validate_add(keys, vectors, self.dimension)
+        xd = jnp.asarray(x)
+        if self.metric.normalized:
+            xd = normalize_rows(xd)
+        merged_keys, order = up.merge_sorted_order(
+            self._key_index.keys, keys_new
+        )
+        merged = jnp.take(
+            jnp.concatenate([self.vectors, xd], axis=0),
+            jnp.asarray(order),
+            axis=0,
+        )
+        return self._replace_rows(merged_keys, merged)
+
+    def remove(self, keys) -> "ExactIndex":
+        """Return a new index without the given keys (all occurrences);
+        ``KeyError`` for absent keys, ``ValueError`` on emptying."""
+        from gulon_tpu.models import update as up
+
+        keep = up.removal_mask(self._key_index.keys, keys)
+        return self._replace_rows(
+            self._key_index.keys[keep],
+            jnp.take(self.vectors, jnp.asarray(np.flatnonzero(keep)), axis=0),
+        )
+
+    def _replace_rows(
+        self, keys: np.ndarray, vectors: jax.Array
+    ) -> "ExactIndex":
+        return dataclasses.replace(
+            self,
+            _key_index=SortedKeyIndex(keys),
+            vectors=vectors,
+            _data_t=None,
+            _norms=None,
+        )
+
     def save(self, path) -> None:
         # write through an open handle: np.savez appends ".npz" to bare
         # string paths, which would break save(path)->load(path) round-trips

@@ -352,6 +352,73 @@ class FlatIndex(Index):
             self.codes, self.pq.num_quantizers, self.packed_width
         )
 
+    def add(self, keys, vectors) -> "FlatIndex":
+        """Return a new index with ``(keys, vectors)`` appended.
+
+        New rows are encoded with the EXISTING codebooks (frozen-PQ add;
+        see ``models/update.py``) and merged into the global key sort.
+        Lazy serving layouts (kernel operand, decoded cache) rebuild on
+        first query of the new index. An extra over the reference, which
+        only builds indices whole (``BuildIndex.scala:110-121``).
+        """
+        from gulon_tpu.models import update as up
+
+        keys_new, x = up.validate_add(keys, vectors, self.dimension)
+        xd = jnp.asarray(x)
+        if self.metric.normalized:
+            xd = normalize_rows(xd)
+        if self.rotation is not None:
+            xd = jnp.matmul(
+                xd, self.rotation, precision=jax.lax.Precision.HIGHEST
+            )
+        codes_new = self.pq.encode(xd)
+        merged_keys, order = up.merge_sorted_order(
+            self._key_index.keys, keys_new
+        )
+        codes = jnp.take(
+            jnp.concatenate([self._unpacked_codes(), codes_new], axis=0),
+            jnp.asarray(order),
+            axis=0,
+        )
+        norms_new = self.pq.reconstruction_norms(codes_new)
+        norms = jnp.take(
+            jnp.concatenate([self.recon_norms, norms_new]),
+            jnp.asarray(order),
+        )
+        return self._replace_rows(merged_keys, codes, norms)
+
+    def remove(self, keys) -> "FlatIndex":
+        """Return a new index without the given keys (all occurrences).
+
+        Raises ``KeyError`` for keys not present and ``ValueError`` if the
+        removal would empty the index. See :meth:`add`.
+        """
+        from gulon_tpu.models import update as up
+
+        keep = up.removal_mask(self._key_index.keys, keys)
+        keep_dev = jnp.asarray(np.flatnonzero(keep))
+        return self._replace_rows(
+            self._key_index.keys[keep],
+            jnp.take(self._unpacked_codes(), keep_dev, axis=0),
+            jnp.take(self.recon_norms, keep_dev),
+        )
+
+    def _replace_rows(
+        self, keys: np.ndarray, codes: jax.Array, norms: jax.Array
+    ) -> "FlatIndex":
+        packed = self.packed_width
+        if packed:
+            codes = scan_ops.pack_rows(codes, packed)
+        return dataclasses.replace(
+            self,
+            _key_index=SortedKeyIndex(keys),
+            codes=codes,
+            recon_norms=norms,
+            decoded_cache=None,  # caches cover the old row set; re-call
+            _cache_aug=None,     # enable_cache() on the new index if used
+            _pallas_codes_t=None,
+        )
+
     def lookup(self, word: str) -> Optional[np.ndarray]:
         row = self._key_index.lookup(word)
         if row is None:

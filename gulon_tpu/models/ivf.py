@@ -1196,6 +1196,98 @@ class IVFIndex(Index):
             np.concatenate([norms_full, np.full(pmax, np.inf, np.float32)])
         )
 
+    def add(self, keys, vectors) -> "IVFIndex":
+        """Return a new index with ``(keys, vectors)`` appended.
+
+        New rows are assigned to their nearest EXISTING coarse centroid and
+        residual-encoded with the frozen codebooks (``models/update.py``;
+        an extra over the reference's build-once pipeline). Rows land in
+        their partition's range keeping keys sorted within each group, so
+        every scan strategy and ``lookup`` work unchanged; the lazy
+        partition-padded kernel layout rebuilds on first query.
+        """
+        from gulon_tpu.models import update as up
+        from gulon_tpu.ops.distance import nearest
+
+        keys_new, x = up.validate_add(keys, vectors, self.dimension)
+        xd = jnp.asarray(x)
+        if self.metric.normalized:
+            xd = normalize_rows(xd)
+        if self.rotation is not None:
+            # centroids/codebooks live in the rotated basis (global basis
+            # change, see build_ivf_index); rotate ingest the same way
+            xd = jnp.matmul(
+                xd, self.rotation, precision=jax.lax.Precision.HIGHEST
+            )
+        gid_new = np.asarray(nearest(xd, self.centroids))
+        residuals = xd - jnp.take(self.centroids, jnp.asarray(gid_new), axis=0)
+        codes_new = self.pq.encode(residuals)
+        codes_new_np = np.asarray(codes_new)
+        rnorm = np.asarray(self.pq.reconstruction_norms(codes_new))
+        crdot = self.pq.centroid_code_dot(
+            codes_new_np, np.asarray(self.centroids), gid_new
+        )
+        rc_new = jnp.asarray(rnorm + 2.0 * crdot)
+
+        merged_keys, gids, offsets, order = up.merge_grouped_order(
+            np.asarray(self.group_ids), self._key_index.keys,
+            gid_new, keys_new, self.num_partitions,
+        )
+        order_dev = jnp.asarray(order)
+        return self._replace_rows(
+            GroupedKeyIndex(merged_keys, offsets),
+            jnp.take(
+                jnp.concatenate([self.codes, codes_new], axis=0),
+                order_dev, axis=0,
+            ),
+            jnp.take(jnp.concatenate([self.row_const, rc_new]), order_dev),
+            jnp.asarray(gids),
+        )
+
+    def remove(self, keys) -> "IVFIndex":
+        """Return a new index without the given keys (all occurrences).
+
+        Partitions may become empty; their centroids are kept so group ids
+        (and serialized strategy/limit semantics) stay stable — an empty
+        partition simply never yields candidates. ``KeyError`` for absent
+        keys, ``ValueError`` on emptying the index.
+        """
+        from gulon_tpu.models import update as up
+
+        keep = up.removal_mask(self._key_index.keys, keys)
+        keep_idx = np.flatnonzero(keep)
+        gids = np.asarray(self.group_ids)[keep_idx]
+        counts = np.bincount(gids, minlength=self.num_partitions)
+        offsets = np.cumsum(counts)[:-1].astype(np.int32)
+        keep_dev = jnp.asarray(keep_idx)
+        return self._replace_rows(
+            GroupedKeyIndex(self._key_index.keys[keep], offsets),
+            jnp.take(self.codes, keep_dev, axis=0),
+            jnp.take(self.row_const, keep_dev),
+            jnp.asarray(gids),
+        )
+
+    def _replace_rows(
+        self,
+        key_index: GroupedKeyIndex,
+        codes: jax.Array,
+        row_const: jax.Array,
+        group_ids: jax.Array,
+    ) -> "IVFIndex":
+        return dataclasses.replace(
+            self,
+            _key_index=key_index,
+            codes=codes,
+            row_const=row_const,
+            group_ids=group_ids,
+            recon_cache=None,  # caches/layouts cover the old row set;
+            recon_norms_cache=None,  # they rebuild lazily (enable_cache
+            _codes_pad=None,         # must be re-called if it was used)
+            _row_const_pad=None,
+            _pallas_layout=None,
+            _sizes_dev=None,
+        )
+
     def lookup(self, word: str) -> Optional[np.ndarray]:
         """Decode residual + add partition centroid (``Index.scala:247-254``)."""
         row = self._key_index.lookup(word)
