@@ -151,6 +151,29 @@ def build_parser() -> argparse.ArgumentParser:
     w.add_argument("-k", type=_positive_int(1), default=1)
     w.add_argument("--index", required=True, help="index file")
 
+    a = sub.add_parser(
+        "add-vectors",
+        help="add word2vec-format vectors to an existing index "
+        "(frozen codebooks; an extra over the reference)",
+    )
+    a.add_argument("--index", required=True, help="input index file")
+    a.add_argument("-o", "--output", required=True, help="output index file")
+    a.add_argument("input", help="word2vec-format vectors to add")
+
+    r = sub.add_parser(
+        "remove-keys",
+        help="remove keys from an existing index (an extra over the "
+        "reference)",
+    )
+    r.add_argument("--index", required=True, help="input index file")
+    r.add_argument("-o", "--output", required=True, help="output index file")
+    r.add_argument("keys", nargs="*", help="keys to remove")
+    r.add_argument(
+        "--keys-file",
+        default=None,
+        help="file with one key per line (combined with positional keys)",
+    )
+
     t = sub.add_parser("test", help="measure recall@k of an index")
     t.add_argument("--vectors", required=True, help="word2vec-format source")
     t.add_argument("--index", required=True, help="index file")
@@ -184,7 +207,7 @@ def build_parser() -> argparse.ArgumentParser:
             help="shard the index row-wise over the first N devices and "
             "serve with an ICI top-k merge (default: single device)",
         )
-    for sp in (b, q, w, t):
+    for sp in (b, q, w, t, a, r):
         sp.add_argument(
             "--profile",
             metavar="DIR",
@@ -468,6 +491,39 @@ def cmd_query_words(args, reporter) -> int:
     return 0
 
 
+def cmd_add_vectors(args, reporter) -> int:
+    from gulon_tpu.utils.serde import load_index, save_index
+    from gulon_tpu.utils.word2vec import read_word2vec_path
+
+    with reporter.task(f"loading {args.index}"):
+        index = load_index(args.index)
+    with reporter.task(f"reading {args.input}"):
+        wv = read_word2vec_path(args.input)
+    with reporter.task(f"adding {len(wv)} vectors"):
+        updated = index.add(wv.keys, wv.vectors)
+    with reporter.task(f"writing {args.output}"):
+        save_index(updated, args.output)
+    return 0
+
+
+def cmd_remove_keys(args, reporter) -> int:
+    from gulon_tpu.utils.serde import load_index, save_index
+
+    keys = list(args.keys)
+    if args.keys_file:
+        with open(args.keys_file, "r", encoding="utf-8") as f:
+            keys.extend(line.strip() for line in f if line.strip())
+    if not keys:
+        raise ValueError("no keys given (positional args or --keys-file)")
+    with reporter.task(f"loading {args.index}"):
+        index = load_index(args.index)
+    with reporter.task(f"removing {len(keys)} keys"):
+        updated = index.remove(keys)
+    with reporter.task(f"writing {args.output}"):
+        save_index(updated, args.output)
+    return 0
+
+
 def cmd_test(args, reporter) -> int:
     from gulon_tpu.utils.eval import (
         format_recall,
@@ -512,6 +568,8 @@ def main(argv: Optional[List[str]] = None) -> int:
         "build-index": cmd_build_index,
         "query": cmd_query,
         "query-words": cmd_query_words,
+        "add-vectors": cmd_add_vectors,
+        "remove-keys": cmd_remove_keys,
         "test": cmd_test,
     }
     profile_dir = getattr(args, "profile", None)
@@ -521,7 +579,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         jax.profiler.start_trace(profile_dir)
     try:
         return handlers[args.command](args, reporter)
-    except (OSError, ValueError) as e:
+    except (OSError, ValueError, KeyError) as e:
         sys.stderr.write(f"error: {e}\n")
         return 1
     finally:

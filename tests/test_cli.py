@@ -266,3 +266,58 @@ def test_streaming_build_flag(corpus_file, tmp_path, capsys):
         "build-index", "--metric", "l2", "--exact", "--streaming",
         "-o", str(tmp_path / "x.idx"), vecs,
     ]) == 1
+
+
+def test_add_vectors_and_remove_keys_cmds(corpus_file, tmp_path, capsys):
+    vecs, keys, x = corpus_file
+    idx = str(tmp_path / "base.idx")
+    assert _run([
+        "build-index", "--metric", "l2", "-k", "16", "-m", "4",
+        "-n", "10", "-o", idx, vecs,
+    ]) == 0
+    # new rows in a second word2vec file
+    rng = np.random.default_rng(33)
+    x_new = x[:4] + rng.normal(0, 0.01, (4, x.shape[1])).astype(np.float32)
+    new_keys = np.array([f"new{i}" for i in range(4)], dtype=object)
+    addfile = str(tmp_path / "new.txt")
+    with open(addfile, "w") as f:
+        write_word2vec(WordVectors(new_keys, x_new), f)
+    grown = str(tmp_path / "grown.idx")
+    assert _run(["add-vectors", "--index", idx, "-o", grown, addfile]) == 0
+    qfile = str(tmp_path / "qnew.txt")
+    with open(qfile, "w") as f:
+        write_word2vec(WordVectors(new_keys[:1], x_new[:1]), f, header=False)
+    capsys.readouterr()
+    assert _run(["query", "-k", "3", "--index", grown, qfile]) == 0
+    out = capsys.readouterr().out.strip()
+    assert out.startswith("new0: ")
+
+    # remove-keys: positional + --keys-file, then the removed key is gone
+    keysfile = str(tmp_path / "victims.txt")
+    with open(keysfile, "w") as f:
+        f.write("new1\nnew2\n")
+    shrunk = str(tmp_path / "shrunk.idx")
+    assert _run([
+        "remove-keys", "--index", grown, "-o", shrunk, "new0",
+        "--keys-file", keysfile,
+    ]) == 0
+    capsys.readouterr()
+    assert _run(["query", "-k", "1", "--index", shrunk, qfile]) == 0
+    out = capsys.readouterr().out.strip()
+    # new0 was removed: its nearest neighbour is now an original row
+    assert not out.split(": ")[1].startswith("new0")
+
+
+def test_remove_keys_errors_are_clean(corpus_file, tmp_path, capsys):
+    vecs, keys, x = corpus_file
+    idx = str(tmp_path / "b.idx")
+    assert _run([
+        "build-index", "--metric", "l2", "-k", "16", "-m", "4",
+        "-n", "10", "-o", idx, vecs,
+    ]) == 0
+    capsys.readouterr()
+    out = str(tmp_path / "out.idx")
+    assert _run(["remove-keys", "--index", idx, "-o", out, "nope"]) == 1
+    assert "nope" in capsys.readouterr().err
+    assert _run(["remove-keys", "--index", idx, "-o", out]) == 1
+    assert "no keys" in capsys.readouterr().err
