@@ -122,3 +122,44 @@ def test_tie_break_rule_is_immaterial_at_scale():
     r_rand = recall_at_k(queries, x, recon_rand, k=10)
     r_first = recall_at_k(queries, x, recon_first, k=10)
     assert abs(r_rand - r_first) < 0.01, (r_rand, r_first)
+
+
+@pytest.mark.slow
+def test_recall_ratio_vs_oracle_at_reference_defaults_300d():
+    """The same >= 0.95x ratio at the reference's DEFAULT code config and
+    the BASELINE corpus dimensionality: m=25 x 256 clusters (25 B/vector,
+    ``BuildIndex.scala:34,43``) over 300d rows (the 10M x 300d headline
+    shape at CPU-tolerable row count). Low-rank corpus: the regime real
+    300d embedding tables live in."""
+    rng = np.random.default_rng(7)
+    n, d, m, k_codes = 60_000, 300, 25, 256
+    basis = rng.normal(size=(24, d)).astype(np.float32)
+    x = (
+        rng.normal(size=(n, 24)).astype(np.float32) @ basis
+        + rng.normal(0, 0.3, size=(n, d)).astype(np.float32)
+    )
+    queries = x[rng.choice(n, 256, replace=False)]
+
+    recon_ref = train_pq_reference(x, m, k_codes, max_iters=12)
+    r_oracle = recall_at_k(queries, x, recon_ref, k=10)
+
+    keys = random_keys(rng, n)
+    index = build_flat_index(
+        keys, x,
+        pq_config=PQConfig(
+            num_clusters=k_codes, num_quantizers=m, max_iters=12,
+            precision="highest",
+        ),
+    )
+    order = np.argsort(keys, kind="stable")
+    recon_sorted = np.asarray(index.pq.decode(index.codes))
+    recon_ours = np.empty_like(recon_sorted)
+    recon_ours[order] = recon_sorted
+    r_ours = recall_at_k(queries, x, recon_ours, k=10)
+
+    assert r_oracle > 0.05, f"oracle degenerate: {r_oracle}"
+    ratio = r_ours / r_oracle
+    assert ratio >= 0.95, (
+        f"recall ratio {ratio:.3f} (ours {r_ours:.3f} vs oracle "
+        f"{r_oracle:.3f}) below the 0.95x bar at 60k x 300d, m=25x256"
+    )
