@@ -120,6 +120,15 @@ class ShardedFlatIndex(Index):
     def size(self) -> int:
         return self.base.size
 
+    def add(self, keys, vectors):
+        """Functional update: add to the base index, re-shard on the same
+        mesh (``models/update.py``; layouts/shardings rebuild)."""
+        return shard_index(self.base.add(keys, vectors), self.mesh)
+
+    def remove(self, keys):
+        """Functional update: remove from the base index, re-shard."""
+        return shard_index(self.base.remove(keys), self.mesh)
+
     def batch_query(self, k: int, vectors) -> List[Result]:
         return self._make_results(*self.query_arrays(k, vectors))
 
@@ -540,6 +549,15 @@ class ShardedIVFIndex(Index):
     def size(self) -> int:
         return self.base.size
 
+    def add(self, keys, vectors):
+        """Functional update: add to the base index, re-shard on the same
+        mesh (``models/update.py``; layouts/shardings rebuild)."""
+        return shard_index(self.base.add(keys, vectors), self.mesh)
+
+    def remove(self, keys):
+        """Functional update: remove from the base index, re-shard."""
+        return shard_index(self.base.remove(keys), self.mesh)
+
     def batch_query(self, k: int, vectors) -> List[Result]:
         return self._make_results(*self.query_arrays(k, vectors))
 
@@ -832,6 +850,15 @@ class ShardedExactIndex(Index):
     @property
     def size(self) -> int:
         return self.base.size
+
+    def add(self, keys, vectors):
+        """Functional update: add to the base index, re-shard on the same
+        mesh (``models/update.py``; layouts/shardings rebuild)."""
+        return shard_index(self.base.add(keys, vectors), self.mesh)
+
+    def remove(self, keys):
+        """Functional update: remove from the base index, re-shard."""
+        return shard_index(self.base.remove(keys), self.mesh)
 
     def batch_query(self, k: int, vectors) -> List[Result]:
         return self._make_results(*self.query_arrays(k, vectors))

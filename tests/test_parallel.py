@@ -489,3 +489,38 @@ def test_sharded_cached_dense_kernel_matches():
         for ids, ds in ((i_x[r], d_x[r]), (i_p[r], d_p[r])):
             ref = ((cache[ids] - qp[r]) ** 2).sum(1)
             np.testing.assert_allclose(ref, ds, rtol=5e-2, atol=0.3)
+
+
+def test_sharded_update_delegates_and_matches(data):
+    """add/remove on a sharded index = update the base + re-shard; results
+    must equal the updated single-chip index."""
+    keys, x, queries = data
+    mesh = make_mesh()
+    base = build_flat_index(
+        keys[:2500], x[:2500],
+        pq_config=PQConfig(num_clusters=32, num_quantizers=4, max_iters=10),
+    )
+    sharded = shard_index(base, mesh)
+    grown = sharded.add(keys[2500:], x[2500:])
+    assert grown.size == 3000
+    single = base.add(keys[2500:], x[2500:])
+    d_s, i_s = grown.query_arrays(8, queries)
+    d_1, i_1 = single.query_arrays(8, queries)
+    d_s, i_s, d_1, i_1 = map(np.asarray, (d_s, i_s, d_1, i_1))
+    np.testing.assert_allclose(d_s, d_1, rtol=1e-4, atol=1e-4)
+    # id agreement as SETS strictly below the k-th distance (near-ties at
+    # the boundary are path-arbitrary; same protocol as the flat test)
+    for q in range(len(queries)):
+        cut = d_1[q, -1] - (1e-4 + 1e-4 * abs(d_1[q, -1]))
+        set_1 = set(i_1[q][d_1[q] < cut].tolist())
+        set_s = set(i_s[q][d_s[q] < cut].tolist())
+        assert set_1 == set_s
+
+    shrunk = grown.remove(keys[:100])
+    assert shrunk.size == 2900
+    single2 = single.remove(keys[:100])
+    d_s2, i_s2 = shrunk.query_arrays(8, queries)
+    d_12, i_12 = single2.query_arrays(8, queries)
+    np.testing.assert_allclose(
+        np.asarray(d_s2), np.asarray(d_12), rtol=1e-4, atol=1e-4
+    )
