@@ -58,6 +58,8 @@ _EXPORTS = {
     "recall_of": "gulon_tpu.utils.eval",
     "format_recall": "gulon_tpu.utils.eval",
     "DEFAULT_KS": "gulon_tpu.utils.eval",
+    "tune_probe_limit": "gulon_tpu.utils.tune",
+    "TuneResult": "gulon_tpu.utils.tune",
 }
 
 __all__ = sorted(_EXPORTS) + ["__version__"]

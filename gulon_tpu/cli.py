@@ -174,6 +174,28 @@ def build_parser() -> argparse.ArgumentParser:
         help="file with one key per line (combined with positional keys)",
     )
 
+    tn = sub.add_parser(
+        "tune",
+        help="auto-tune a partitioned index's probe limit to a recall "
+        "target (an extra over the reference)",
+    )
+    tn.add_argument("--vectors", required=True, help="word2vec-format source")
+    tn.add_argument("--index", required=True, help="index file")
+    tn.add_argument("-o", "--output", required=True, help="tuned index file")
+    tn.add_argument(
+        "--target-recall", type=float, default=0.9,
+        help="distance-cutoff recall@k target (default 0.9)",
+    )
+    tn.add_argument("-k", type=_positive_int(1), default=10)
+    tn.add_argument(
+        "--sample", type=_positive_int(1), default=256,
+        help="number of sampled self-queries (default 256)",
+    )
+    tn.add_argument(
+        "-e", "--error", type=float, default=0.0,
+        help="relative distance epsilon (default 0)",
+    )
+
     t = sub.add_parser("test", help="measure recall@k of an index")
     t.add_argument("--vectors", required=True, help="word2vec-format source")
     t.add_argument("--index", required=True, help="index file")
@@ -207,7 +229,7 @@ def build_parser() -> argparse.ArgumentParser:
             help="shard the index row-wise over the first N devices and "
             "serve with an ICI top-k merge (default: single device)",
         )
-    for sp in (b, q, w, t, a, r):
+    for sp in (b, q, w, t, a, r, tn):
         sp.add_argument(
             "--profile",
             metavar="DIR",
@@ -524,6 +546,39 @@ def cmd_remove_keys(args, reporter) -> int:
     return 0
 
 
+def cmd_tune(args, reporter) -> int:
+    from gulon_tpu.utils.serde import load_index, save_index
+    from gulon_tpu.utils.tune import tune_probe_limit
+    from gulon_tpu.utils.word2vec import read_word2vec_path
+
+    with reporter.task(f"loading {args.index}"):
+        index = load_index(args.index)
+    with reporter.task(f"reading {args.vectors}"):
+        wv = read_word2vec_path(args.vectors)
+    with reporter.task(
+        f"tuning probe limit to recall@{args.k} >= {args.target_recall}"
+    ):
+        result = tune_probe_limit(
+            index, wv.vectors, wv.keys,
+            target_recall=args.target_recall, k=args.k,
+            num_samples=args.sample, epsilon=args.error,
+            report_fn=lambda limit, evals, r: reporter.progress(
+                "tune", min(evals / 12.0, 1.0),
+                f"limit={limit} R@{args.k}={r:.3f}",
+            ),
+        )
+    with reporter.task(f"writing {args.output}"):
+        save_index(result.index, args.output)
+    kind = type(result.index.strategy).__name__
+    status = "met" if result.met else "NOT met (code-budget ceiling)"
+    print(
+        f"{kind} limit {result.limit}: recall@{result.k} = "
+        f"{result.achieved_recall:.4f} (target {result.target_recall}, "
+        f"{status}, {result.evaluations} evaluations)"
+    )
+    return 0
+
+
 def cmd_test(args, reporter) -> int:
     from gulon_tpu.utils.eval import (
         format_recall,
@@ -570,6 +625,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         "query-words": cmd_query_words,
         "add-vectors": cmd_add_vectors,
         "remove-keys": cmd_remove_keys,
+        "tune": cmd_tune,
         "test": cmd_test,
     }
     profile_dir = getattr(args, "profile", None)

@@ -321,3 +321,35 @@ def test_remove_keys_errors_are_clean(corpus_file, tmp_path, capsys):
     assert "nope" in capsys.readouterr().err
     assert _run(["remove-keys", "--index", idx, "-o", out]) == 1
     assert "no keys" in capsys.readouterr().err
+
+
+def test_tune_cmd(corpus_file, tmp_path, capsys):
+    vecs, keys, x = corpus_file
+    idx = str(tmp_path / "ivf.idx")
+    assert _run([
+        "build-index", "--metric", "l2", "-k", "16", "-m", "4",
+        "-n", "10", "-p", "--partitions", "8", "--limit", "2",
+        "-o", idx, vecs,
+    ]) == 0
+    tuned = str(tmp_path / "tuned.idx")
+    capsys.readouterr()
+    assert _run([
+        "tune", "--vectors", vecs, "--index", idx, "-o", tuned,
+        "--target-recall", "0.5", "-k", "5", "--sample", "40",
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "LimitGroups limit" in out and "recall@5" in out
+    from gulon_tpu.utils.serde import load_index
+    assert load_index(tuned).strategy.count >= 1
+
+    # tune rejects a flat index cleanly
+    flat = str(tmp_path / "flat.idx")
+    assert _run([
+        "build-index", "--metric", "l2", "-k", "16", "-m", "4",
+        "-n", "10", "-o", flat, vecs,
+    ]) == 0
+    capsys.readouterr()
+    assert _run([
+        "tune", "--vectors", vecs, "--index", flat, "-o", tuned,
+    ]) == 1
+    assert "partitioned" in capsys.readouterr().err
