@@ -196,6 +196,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="relative distance epsilon (default 0)",
     )
 
+    info = sub.add_parser(
+        "info", help="print an index's configuration and memory footprint"
+    )
+    info.add_argument("--index", required=True, help="index file")
+
     t = sub.add_parser("test", help="measure recall@k of an index")
     t.add_argument("--vectors", required=True, help="word2vec-format source")
     t.add_argument("--index", required=True, help="index file")
@@ -579,6 +584,52 @@ def cmd_tune(args, reporter) -> int:
     return 0
 
 
+def cmd_info(args, reporter) -> int:
+    from gulon_tpu.models.exact import ExactIndex
+    from gulon_tpu.models.flat import FlatIndex
+    from gulon_tpu.models.ivf import IVFIndex
+    from gulon_tpu.utils.progress import format_bytes
+    from gulon_tpu.utils.serde import load_index
+
+    index = load_index(args.index)
+    lines = [
+        f"type:        {type(index).__name__}",
+        f"vectors:     {index.size}",
+        f"dimension:   {index.dimension}",
+        f"metric:      {index.metric.name.lower()}",
+    ]
+    if isinstance(index, (FlatIndex, IVFIndex)):
+        pq = index.pq
+        code_bytes = int(np.asarray(index.codes).nbytes)
+        lines += [
+            f"quantizers:  {pq.num_quantizers} x {pq.num_clusters} clusters "
+            f"({pq.code_bits}-bit codes, "
+            f"{code_bytes / max(index.size, 1):.1f} B/vector in HBM)",
+            f"codebooks:   {format_bytes(np.asarray(pq.codebooks).nbytes)}",
+            f"codes:       {format_bytes(code_bytes)}",
+        ]
+        if getattr(index, "rotation", None) is not None:
+            lines.append("opq:         learned rotation "
+                         f"[{index.dimension} x {index.dimension}]")
+    if isinstance(index, IVFIndex):
+        sizes = index.partition_sizes()
+        strat = index.strategy
+        limit = getattr(strat, "count", getattr(strat, "limit", None))
+        lines += [
+            f"partitions:  {index.num_partitions} "
+            f"(rows/partition min {int(sizes.min())} / "
+            f"median {int(np.median(sizes))} / max {int(sizes.max())}; "
+            f"{int((sizes == 0).sum())} empty)",
+            f"strategy:    {type(strat).__name__}({limit})",
+        ]
+    if isinstance(index, ExactIndex):
+        lines.append(
+            f"vectors mem: {format_bytes(np.asarray(index.vectors).nbytes)}"
+        )
+    print("\n".join(lines))
+    return 0
+
+
 def cmd_test(args, reporter) -> int:
     from gulon_tpu.utils.eval import (
         format_recall,
@@ -626,6 +677,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         "add-vectors": cmd_add_vectors,
         "remove-keys": cmd_remove_keys,
         "tune": cmd_tune,
+        "info": cmd_info,
         "test": cmd_test,
     }
     profile_dir = getattr(args, "profile", None)

@@ -353,3 +353,19 @@ def test_tune_cmd(corpus_file, tmp_path, capsys):
         "tune", "--vectors", vecs, "--index", flat, "-o", tuned,
     ]) == 1
     assert "partitioned" in capsys.readouterr().err
+
+
+def test_info_cmd(corpus_file, tmp_path, capsys):
+    vecs, keys, x = corpus_file
+    idx = str(tmp_path / "ivf.idx")
+    assert _run([
+        "build-index", "--metric", "cosine", "-k", "16", "-m", "4",
+        "-n", "10", "-p", "--partitions", "6", "--limit", "2",
+        "-o", idx, vecs,
+    ]) == 0
+    capsys.readouterr()
+    assert _run(["info", "--index", idx]) == 0
+    out = capsys.readouterr().out
+    assert "IVFIndex" in out and "partitions:  6" in out
+    assert "cosine" in out and "4 x 16 clusters" in out
+    assert "LimitGroups(2)" in out
