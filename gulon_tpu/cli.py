@@ -201,6 +201,28 @@ def build_parser() -> argparse.ArgumentParser:
     )
     info.add_argument("--index", required=True, help="index file")
 
+    ex = sub.add_parser(
+        "export-aot",
+        help="export ahead-of-time serving artifacts for an index (a "
+        "sidecar of serialized query computations; an extra over the "
+        "reference)",
+    )
+    ex.add_argument("--index", required=True, help="index file")
+    ex.add_argument(
+        "-o", "--output", required=True, help="output .aot sidecar file"
+    )
+    ex.add_argument(
+        "--batches",
+        default="1,1024",
+        help="comma-separated query batch sizes to export (default 1,1024); "
+        "serving pads smaller batches up to the nearest exported size",
+    )
+    ex.add_argument(
+        "-k",
+        default="10",
+        help="comma-separated top-k values to export (default 10)",
+    )
+
     t = sub.add_parser("test", help="measure recall@k of an index")
     t.add_argument("--vectors", required=True, help="word2vec-format source")
     t.add_argument("--index", required=True, help="index file")
@@ -212,7 +234,7 @@ def build_parser() -> argparse.ArgumentParser:
         "-e", "--error", type=float, default=0.0,
         help="relative distance epsilon (default 0)",
     )
-    for sp in (q, w, t):  # serving-side knobs
+    for sp in (q, w, t, ex):  # serving-side knobs
         sp.add_argument(
             "--scan-strategy",
             default=None,
@@ -226,6 +248,7 @@ def build_parser() -> argparse.ArgumentParser:
             choices=["default", "highest"],
             help="scan matmul precision (default: fast bf16-pass MXU)",
         )
+    for sp in (q, w, t):
         sp.add_argument(
             "--mesh",
             type=_positive_int(1),
@@ -234,7 +257,16 @@ def build_parser() -> argparse.ArgumentParser:
             help="shard the index row-wise over the first N devices and "
             "serve with an ICI top-k merge (default: single device)",
         )
-    for sp in (b, q, w, t, a, r, tn):
+        sp.add_argument(
+            "--aot",
+            default=None,
+            metavar="SIDECAR",
+            help="serve through ahead-of-time artifacts written by "
+            "export-aot (skips query tracing; exported (batch, k) shapes "
+            "hit the artifact, others fall back to the jitted path; "
+            "incompatible with --mesh)",
+        )
+    for sp in (b, q, w, t, a, r, tn, ex):
         sp.add_argument(
             "--profile",
             metavar="DIR",
@@ -284,6 +316,11 @@ def _load_serving_index(args, reporter):
 
         from gulon_tpu.parallel import make_mesh, shard_index
 
+        if getattr(args, "aot", None):
+            raise ValueError(
+                "--aot serves a single-device index (artifacts are "
+                "exported unsharded); it is incompatible with --mesh"
+            )
         avail = len(jax.devices())
         if args.mesh > avail:
             raise ValueError(
@@ -291,6 +328,11 @@ def _load_serving_index(args, reporter):
             )
         with reporter.task(f"sharding over {args.mesh} devices"):
             index = shard_index(index, make_mesh(args.mesh))
+    if getattr(args, "aot", None):
+        from gulon_tpu.utils.aot import load_serving
+
+        with reporter.task(f"loading AOT artifacts {args.aot}"):
+            index = load_serving(args.aot, index)
     return index
 
 
@@ -630,6 +672,43 @@ def cmd_info(args, reporter) -> int:
     return 0
 
 
+def cmd_export_aot(args, reporter) -> int:
+    from gulon_tpu.utils.aot import export_serving, save_serving
+    from gulon_tpu.utils.progress import format_bytes
+
+    def _int_list(text: str, flag: str) -> List[int]:
+        try:
+            values = [int(v) for v in text.split(",") if v.strip()]
+        except ValueError:
+            values = []
+        if not values or any(v < 1 for v in values):
+            raise ValueError(
+                f"{flag} expects a comma-separated list of positive "
+                f"integers, got {text!r}"
+            )
+        return values
+
+    batches = _int_list(args.batches, "--batches")
+    ks = _int_list(args.k, "-k")
+    index = _load_serving_index(args, reporter)
+    shapes = [(b, k) for b in batches for k in ks]
+    with reporter.task(
+        f"exporting {len(shapes)} serving computations "
+        f"(batches {batches}, k {ks})"
+    ):
+        bundle = export_serving(index, shapes=shapes)
+    with reporter.task(f"writing {args.output}"):
+        save_serving(args.output, bundle)
+    import os
+
+    print(
+        f"{len(shapes)} artifacts for platform {bundle.platform} "
+        f"({format_bytes(os.path.getsize(args.output))}); serve with "
+        f"--aot {args.output}"
+    )
+    return 0
+
+
 def cmd_test(args, reporter) -> int:
     from gulon_tpu.utils.eval import (
         format_recall,
@@ -678,6 +757,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         "remove-keys": cmd_remove_keys,
         "tune": cmd_tune,
         "info": cmd_info,
+        "export-aot": cmd_export_aot,
         "test": cmd_test,
     }
     profile_dir = getattr(args, "profile", None)

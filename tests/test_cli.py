@@ -369,3 +369,45 @@ def test_info_cmd(corpus_file, tmp_path, capsys):
     assert "IVFIndex" in out and "partitions:  6" in out
     assert "cosine" in out and "4 x 16 clusters" in out
     assert "LimitGroups(2)" in out
+
+
+def test_export_aot_and_serve(corpus_file, tmp_path, capsys):
+    vecs, keys, x = corpus_file
+    idx = str(tmp_path / "flat.idx")
+    assert _run([
+        "build-index", "--metric", "l2", "-k", "16", "-m", "4",
+        "-n", "10", "-o", idx, vecs,
+    ]) == 0
+    sidecar = str(tmp_path / "flat.aot")
+    capsys.readouterr()
+    assert _run([
+        "export-aot", "--index", idx, "-o", sidecar,
+        "--batches", "4", "-k", "2",
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "1 artifacts" in out and sidecar in out
+
+    qfile = str(tmp_path / "q.txt")
+    with open(qfile, "w") as f:
+        write_word2vec(WordVectors(keys[:3], x[:3]), f, header=False)
+    # the exported batch (4) covers the 3 queries via padding; results
+    # must match the jitted path exactly
+    assert _run([
+        "query", "-k", "2", "--index", idx, "--aot", sidecar, qfile,
+    ]) == 0
+    aot_out = capsys.readouterr().out.strip().splitlines()
+    assert _run(["query", "-k", "2", "--index", idx, qfile]) == 0
+    jit_out = capsys.readouterr().out.strip().splitlines()
+    assert aot_out == jit_out
+
+    # --aot and --mesh are mutually exclusive (clean error)
+    assert _run([
+        "query", "-k", "2", "--index", idx, "--aot", sidecar,
+        "--mesh", "2", qfile,
+    ]) == 1
+
+    # malformed --batches is a clean error
+    assert _run([
+        "export-aot", "--index", idx, "-o", sidecar, "--batches", "0",
+    ]) == 1
+    assert "--batches" in capsys.readouterr().err
