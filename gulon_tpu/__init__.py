@@ -55,6 +55,7 @@ _EXPORTS = {
     "load_index": "gulon_tpu.utils.serde",
     "save_index": "gulon_tpu.utils.serde",
     "sample_ground_truth": "gulon_tpu.utils.eval",
+    "ground_truth_for_queries": "gulon_tpu.utils.eval",
     "recall_of": "gulon_tpu.utils.eval",
     "format_recall": "gulon_tpu.utils.eval",
     "DEFAULT_KS": "gulon_tpu.utils.eval",

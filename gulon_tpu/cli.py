@@ -231,6 +231,15 @@ def build_parser() -> argparse.ArgumentParser:
         help="number of sampled self-queries (default 1000)",
     )
     t.add_argument(
+        "--queries",
+        default=None,
+        metavar="FILE",
+        help="word2vec-format external query file: measure recall for "
+        "these queries instead of self-samples (--sample is then ignored; "
+        "an extra over the reference CLI, library parity with "
+        "Tests.forQueries)",
+    )
+    t.add_argument(
         "-e", "--error", type=float, default=0.0,
         help="relative distance epsilon (default 0)",
     )
@@ -712,6 +721,7 @@ def cmd_export_aot(args, reporter) -> int:
 def cmd_test(args, reporter) -> int:
     from gulon_tpu.utils.eval import (
         format_recall,
+        ground_truth_for_queries,
         recall_of,
         sample_ground_truth,
     )
@@ -722,10 +732,25 @@ def cmd_test(args, reporter) -> int:
         wv = read_word2vec_path(args.vectors)
     if index.metric.normalized:
         wv = wv.normalized()
-    with reporter.task(f"sampling {args.sample} ground-truth queries"):
-        truth = sample_ground_truth(
-            wv.keys, wv.vectors, num_samples=args.sample
-        )
+    if args.queries:
+        with reporter.task(f"reading {args.queries}"):
+            wv_q = read_word2vec_path(args.queries)
+        if index.metric.normalized:
+            wv_q = wv_q.normalized()
+        with reporter.task(
+            f"computing ground truth for {len(wv_q)} queries"
+        ):
+            # corpus and queries are both already ingest-normalized above,
+            # so normalize=False keeps the truth bit-identical to what the
+            # index ranks
+            truth = ground_truth_for_queries(
+                wv_q.vectors, wv.vectors, query_keys=wv_q.keys
+            )
+    else:
+        with reporter.task(f"sampling {args.sample} ground-truth queries"):
+            truth = sample_ground_truth(
+                wv.keys, wv.vectors, num_samples=args.sample
+            )
     with reporter.task("measuring recall"):
         per_k = recall_of(
             index,

@@ -50,6 +50,62 @@ class EvalProgress:
     qps: float
 
 
+def _normalized(vectors: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(vectors, axis=1, keepdims=True)
+    safe = np.where(norms > 0, norms, 1.0)
+    return np.where(norms > 0, vectors / safe, vectors)
+
+
+def ground_truth_for_queries(
+    queries: np.ndarray,
+    vectors: np.ndarray,
+    ks: Sequence[int] = DEFAULT_KS,
+    normalize: bool = False,
+    query_keys: Optional[Sequence[str]] = None,
+) -> GroundTruth:
+    """Build ground truth for an explicit query set (``Tests.forQueries``,
+    ``Tests.scala:100-107``).
+
+    ``ks`` entries larger than the corpus are dropped. ``normalize``
+    applies the Cosine transform to BOTH sides (the ingest transform on
+    the corpus and the query-time transform of ``Index.scala:267-269``),
+    so the truth matches what a cosine index actually ranks.
+    """
+    vectors = np.asarray(vectors, np.float32)
+    queries = np.asarray(queries, np.float32)
+    n = len(vectors)
+    if normalize:
+        vectors = _normalized(vectors)
+        queries = _normalized(queries)
+    ks = tuple(k for k in ks if k <= n)
+    if not ks:
+        raise ValueError("corpus smaller than every requested k")
+    max_k = max(ks)
+    _, ids = exact_scan(queries, vectors, k=max_k)
+    ids = np.asarray(ids)
+    # k-th distances recomputed in the DIRECT sum((a-b)^2) form: the scan's
+    # matmul formulation carries ~1e-6 cancellation noise (can even go
+    # negative at d=0), while the reference's protocol relies on
+    # MathUtils.distanceSq being exactly 0 for identical vectors — the
+    # recall cutoff and the per-result recompute must agree at d=0.
+    kth = {
+        k: ((vectors[ids[:, k - 1]] - queries) ** 2)
+        .sum(axis=1)
+        .astype(np.float32)
+        for k in ks
+    }
+    if query_keys is None:
+        query_keys = np.array(
+            [f"query{i}" for i in range(len(queries))], dtype=object
+        )
+    return GroundTruth(
+        queries=queries,
+        query_keys=np.asarray(query_keys, dtype=object),
+        kth_distances=kth,
+        ks=ks,
+    )
+
+
 def sample_ground_truth(
     keys: Sequence[str],
     vectors: np.ndarray,
@@ -69,33 +125,14 @@ def sample_ground_truth(
     keys = np.asarray(keys, dtype=object)
     n = len(vectors)
     if normalize:
-        norms = np.linalg.norm(vectors, axis=1, keepdims=True)
-        safe = np.where(norms > 0, norms, 1.0)
-        vectors = np.where(norms > 0, vectors / safe, vectors)
-    ks = tuple(k for k in ks if k <= n)
-    if not ks:
-        raise ValueError("corpus smaller than every requested k")
+        vectors = _normalized(vectors)
     rng = np.random.default_rng(seed)
     num_samples = min(num_samples, n)
     idx = rng.choice(n, size=num_samples, replace=False)
-    queries = vectors[idx]
-
-    max_k = max(ks)
-    _, ids = exact_scan(queries, vectors, k=max_k)
-    ids = np.asarray(ids)
-    # k-th distances recomputed in the DIRECT sum((a-b)^2) form: the scan's
-    # matmul formulation carries ~1e-6 cancellation noise (can even go
-    # negative at d=0), while the reference's protocol relies on
-    # MathUtils.distanceSq being exactly 0 for identical vectors — the
-    # recall cutoff and the per-result recompute must agree at d=0.
-    kth = {
-        k: ((vectors[ids[:, k - 1]] - queries) ** 2)
-        .sum(axis=1)
-        .astype(np.float32)
-        for k in ks
-    }
-    return GroundTruth(
-        queries=queries, query_keys=keys[idx], kth_distances=kth, ks=ks
+    # queries are already ingest-normalized rows; normalize=False below
+    # keeps them bit-identical to the corpus rows they were drawn from
+    return ground_truth_for_queries(
+        vectors[idx], vectors, ks=ks, normalize=False, query_keys=keys[idx]
     )
 
 

@@ -411,3 +411,25 @@ def test_export_aot_and_serve(corpus_file, tmp_path, capsys):
         "export-aot", "--index", idx, "-o", sidecar, "--batches", "0",
     ]) == 1
     assert "--batches" in capsys.readouterr().err
+
+
+def test_test_cmd_external_queries(corpus_file, tmp_path, capsys):
+    vecs, keys, x = corpus_file
+    idx = str(tmp_path / "flat.idx")
+    assert _run([
+        "build-index", "--metric", "cosine", "-k", "16", "-m", "4",
+        "-n", "10", "-o", idx, vecs,
+    ]) == 0
+    qfile = str(tmp_path / "extq.txt")
+    rng = np.random.default_rng(3)
+    qx = x[:8] + rng.normal(0, 0.01, (8, x.shape[1])).astype(np.float32)
+    qkeys = np.array([f"q{i}" for i in range(8)], dtype=object)
+    with open(qfile, "w") as f:
+        write_word2vec(WordVectors(qkeys, qx), f, header=False)
+    capsys.readouterr()
+    assert _run([
+        "test", "--vectors", vecs, "--index", idx,
+        "--queries", qfile, "-e", "0.1",
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "R@1:" in out and "R@100:" in out

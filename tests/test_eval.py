@@ -116,3 +116,49 @@ def test_progress_reports(setup):
     recall_of(index, truth, x, keys, report_fn=reports.append, batch_size=8)
     assert reports[-1].completed == 20
     assert reports[-1].qps > 0
+
+
+def test_for_queries_matches_sample_on_same_rows(setup):
+    """Tests.forQueries (Tests.scala:100-107): sampling IS forQueries on
+    the sampled rows — both builders must produce identical truth."""
+    from gulon_tpu.utils.eval import ground_truth_for_queries
+
+    keys, x, _ = setup
+    sampled = sample_ground_truth(keys, x, num_samples=40, ks=(1, 5, 10))
+    explicit = ground_truth_for_queries(
+        sampled.queries, x, ks=(1, 5, 10), query_keys=sampled.query_keys
+    )
+    for k in (1, 5, 10):
+        np.testing.assert_array_equal(
+            sampled.kth_distances[k], explicit.kth_distances[k]
+        )
+
+
+def test_for_queries_external_recall(setup):
+    """External (non-corpus) queries: an exact-quantization index scores
+    near-perfect recall against forQueries ground truth."""
+    from gulon_tpu.utils.eval import ground_truth_for_queries
+
+    keys, x, index = setup
+    rng = np.random.default_rng(77)
+    queries = x[rng.choice(len(x), 30, replace=False)]
+    queries = queries + rng.normal(0, 0.01, queries.shape).astype(np.float32)
+    truth = ground_truth_for_queries(queries, x, ks=(1, 10))
+    assert len(truth.query_keys) == 30  # synthesized names
+    per_k = recall_of(index, truth, x, keys, epsilon=0.05)
+    assert per_k[10].mean > 0.9
+
+
+def test_for_queries_cosine_normalizes_both_sides():
+    from gulon_tpu.utils.eval import ground_truth_for_queries
+
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=(200, 8)).astype(np.float32)
+    q = rng.normal(size=(10, 8)).astype(np.float32) * 100.0
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    a = ground_truth_for_queries(q, x, ks=(5,), normalize=True)
+    b = ground_truth_for_queries(qn, xn, ks=(5,))
+    np.testing.assert_allclose(
+        a.kth_distances[5], b.kth_distances[5], rtol=1e-5, atol=1e-6
+    )
