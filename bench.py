@@ -204,20 +204,9 @@ def main():
     # ceiling scan (e.g. the kernel's lane-packed min) loses id-set
     # points while returning equally-near neighbours. A returned id
     # counts if its TRUE distance is within the true kth distance.
-    def _true_d(ids):
-        rows = jnp.take(
-            x, jnp.asarray(np.maximum(ids, 0)).reshape(-1), axis=0
-        ).reshape(sample, topk, -1)
-        return np.asarray(
-            jnp.sum((rows - q_pool_dev[:sample, None, :]) ** 2, axis=-1)
-        )
+    from benchmarks.common import dist_recall_fn
 
-    cutoff = _true_d(i_ex)[:, -1] * (1 + 1e-6)
-
-    def _dist_recall(ids):
-        dd = np.where(ids >= 0, _true_d(ids), np.inf)
-        return float((dd <= cutoff[:, None]).mean())
-
+    _dist_recall = dist_recall_fn(x, q_pool_dev[:sample], i_ex, k=topk)
     dist_recall = _dist_recall(i_adc)
     dist_recall_rerank = _dist_recall(i_rerank)
     dist_recall_ceiling = _dist_recall(i_ceil)

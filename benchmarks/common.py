@@ -79,6 +79,39 @@ def time_device_loop(step_fn: Callable, carry_probe: Callable, iters: int = 16):
     return max((t_many - t_one) / (iters - 1), 1e-9)
 
 
+def dist_recall_fn(x, queries, exact_ids, k: int = 10, eps: float = 1e-6):
+    """Distance-cutoff recall@k closure (the reference's own protocol,
+    ``Tests.scala:22-40``): a returned id counts iff its TRUE distance to
+    the query is within the true k-th distance (cutoff slack ``eps``).
+    Id-set recall is arbitrary under PQ code ties — low-intrinsic corpora
+    collapse thousands of rows onto identical codes/distances.
+
+    ``x``/``queries`` stay device-side (the gathers run on the TPU; only
+    [Q, k] results come back). Returns ``recall(ids) -> float``; the one
+    definition shared by bench.py and benchmarks/run.py so the reported
+    dist_recall numbers stay comparable across configs.
+    """
+    import jax.numpy as jnp
+
+    q = jnp.asarray(queries)
+    nq = int(q.shape[0])
+
+    def _true_d(ids):
+        rows = jnp.take(
+            x, jnp.asarray(np.maximum(np.asarray(ids), 0)).reshape(-1),
+            axis=0,
+        ).reshape(nq, k, -1)
+        return np.asarray(jnp.sum((rows - q[:, None, :]) ** 2, axis=-1))
+
+    cutoff = _true_d(exact_ids)[:, -1] * (1 + eps)
+
+    def recall(ids) -> float:
+        dd = np.where(np.asarray(ids) >= 0, _true_d(ids), np.inf)
+        return float((dd <= cutoff[:, None]).mean())
+
+    return recall
+
+
 def idset_recall(approx_ids: np.ndarray, exact_ids: np.ndarray, k: int) -> float:
     """Mean |approx ∩ exact| / k over queries (standard ANN recall@k)."""
     return float(

@@ -28,6 +28,7 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from benchmarks.common import (
+    dist_recall_fn,
     idset_recall,
     low_rank_corpus_device,
     time_device_loop,
@@ -166,26 +167,7 @@ def bench_adc(n, d, m, k_codes, n_queries, name, max_iters=25):
     recall = idset_recall(np.asarray(i_adc), np.asarray(i_ex), 10)
     ceiling = idset_recall(np.asarray(i_ceil), np.asarray(i_ex), 10)
 
-    # distance-cutoff recall (the reference's own protocol,
-    # Tests.scala:22-40): id-set recall is arbitrary under PQ code ties
-    # (low-intrinsic corpora collapse thousands of rows onto identical
-    # codes/distances); a returned id counts if its TRUE distance is
-    # within the true kth distance
-    def _true_d(ids):  # device-side gather: the corpus stays on the TPU
-        rows = jnp.take(
-            x, jnp.asarray(np.maximum(np.asarray(ids), 0)).reshape(-1),
-            axis=0,
-        ).reshape(sample, 10, -1)
-        return jnp.sum((rows - q_dev[:sample, None, :]) ** 2, axis=-1)
-
-    cutoff = np.asarray(_true_d(i_ex))[:, -1] * (1 + 1e-6)
-
-    def _dist_recall(ids):
-        dd = np.where(
-            np.asarray(ids) >= 0, np.asarray(_true_d(ids)), np.inf
-        )
-        return float((dd <= cutoff[:, None]).mean())
-
+    _dist_recall = dist_recall_fn(x, q_dev[:sample], i_ex, k=10)
     recall_dist = _dist_recall(i_adc)
     ceiling_dist = _dist_recall(i_ceil)
     recall_dist_w2 = None
@@ -985,18 +967,7 @@ def bench_opq(n=400_000, d=100, m=8, k_codes=256, n_queries=512,
 
     _, i_ex = exact_scan(q_dev, x, k=10)
 
-    def _true_d(ids):
-        rows = jnp.take(
-            x, jnp.asarray(np.maximum(np.asarray(ids), 0)).reshape(-1),
-            axis=0,
-        ).reshape(n_queries, 10, -1)
-        return jnp.sum((rows - q_dev[:, None, :]) ** 2, axis=-1)
-
-    cutoff = np.asarray(_true_d(i_ex))[:, -1] * (1 + 1e-6)
-
-    def _dist_recall(ids):
-        dd = np.where(np.asarray(ids) >= 0, np.asarray(_true_d(ids)), np.inf)
-        return float((dd <= cutoff[:, None]).mean())
+    _dist_recall = dist_recall_fn(x, q_dev, i_ex, k=10)
 
     def _ceiling_ids(pq, rotation):
         q = q_dev

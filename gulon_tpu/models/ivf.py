@@ -742,36 +742,11 @@ def _pallas_ivf_query(
         best, pos = smallest_k(d, fetch)
     win_rows = jnp.take_along_axis(bi, pos, axis=1)
     if rescore:
-        num_q = q.shape[0]
-        m, _, dsub = codebooks.shape
-        invalid = jnp.isinf(best)
-        safe = jnp.where(invalid, 0, win_rows)
-        sel = jnp.take(codes_t, safe.reshape(-1), axis=1)  # [m, Q*F]
-        if codes_t.dtype == jnp.int8:  # undo the offset encoding
-            sel = sel.astype(jnp.int32) + 128
-        sel = jnp.transpose(sel.astype(jnp.int32), (1, 0))  # [Q*F, m]
-        # exact residual decode via the one-hot MXU formulation (the
-        # 3-axis LUT gather lowers to ~7 ms of scalar gathers on TPU;
-        # one-hot x f32 codebook is exact and ~0.2 ms — same trick as
-        # ops/scan.rescore_exact)
-        dec = scan_ops.decode_tile(
-            codebooks.astype(jnp.float32), sel, "auto", "highest"
-        ).reshape(num_q, fetch, m * dsub)
-        qs = split_subspaces(q, bounds, dsub)  # [m, Q, dsub]
-        q_pad = jnp.transpose(qs, (1, 0, 2)).reshape(num_q, m * dsub)
-        ip = jnp.einsum(
-            "qd,qfd->qf",
-            q_pad,
-            dec,
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )  # [Q, F]
-        gt_sel = jnp.take_along_axis(gt, pos, axis=1)
-        rc_sel = jnp.take(rc_pal, safe)
-        exact = qn[:, None] + rc_sel + gt_sel - 2.0 * ip
-        exact = jnp.where(invalid, jnp.inf, exact)
-        best, pos2 = smallest_k(exact, kk)
-        win_rows = jnp.take_along_axis(win_rows, pos2, axis=1)
+        best, win_rows = scan_ops.ivf_block_rescore(
+            q, qn, codebooks, codes_t, rc_pal,
+            best, win_rows, jnp.take_along_axis(gt, pos, axis=1),
+            bounds=bounds, k=kk,
+        )
     ids = jnp.where(jnp.isinf(best), -1, jnp.take(row_map, win_rows))
     if kk < k:
         pad = k - kk

@@ -54,8 +54,10 @@ def removal_mask(index_keys: np.ndarray, keys) -> np.ndarray:
     ``ValueError`` if the removal would empty the index (an empty corpus
     has no meaningful scan; rebuild instead).
     """
-    req = np.asarray(list(dict.fromkeys(np.asarray(keys, dtype=object))),
-                     dtype=object)
+    keys_arr = np.asarray(keys, dtype=object)
+    if keys_arr.ndim == 0:  # a single string key, like add()'s scalar path
+        keys_arr = keys_arr[None]
+    req = np.asarray(list(dict.fromkeys(keys_arr)), dtype=object)
     if len(req) == 0:
         raise ValueError("remove() needs at least one key")
     drop = np.isin(index_keys, req)

@@ -287,6 +287,11 @@ def prepare_data(data, norms: Optional[jax.Array] = None) -> jax.Array:
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
+    # clamp +inf padding norms (the sharded paths' convention) to _BIG:
+    # inf would make lo = inf - inf = NaN, and a NaN score PASSES the
+    # kernel's >= _INVALID_MIN padding check, poisoning its whole
+    # 128-row block min with a valid-looking result
+    norms = jnp.minimum(norms, jnp.float32(_BIG))
     hi = norms.astype(jnp.bfloat16)
     lo = (norms - hi.astype(jnp.float32)).astype(jnp.bfloat16)
     out = jnp.zeros((n, dp), jnp.bfloat16)

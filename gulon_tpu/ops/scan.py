@@ -181,6 +181,59 @@ def _streaming_topk(
     return best_d, best_i
 
 
+def ivf_block_rescore(
+    queries: jax.Array,  # [Q, D] f32 (rotated/normalized residual basis)
+    q_norms: jax.Array,  # [Q] f32 ||q||^2 (precomputed by the callers)
+    codebooks: jax.Array,  # [m, K, dsub] f32 residual codebooks
+    codes_t: jax.Array,  # [m, Npad] kernel code operand (i8 offset or uint)
+    rc: jax.Array,  # [Npad] f32 residual reconstruction norms
+    cand_vals: jax.Array,  # [Q, F] block-min values (inf = invalid slot)
+    cand_rows: jax.Array,  # [Q, F] padded-layout row ids of the winners
+    cand_gt: jax.Array,  # [Q, F] per-candidate group term (already selected)
+    *,
+    bounds,
+    k: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Exact f32 ADC re-rank of IVF fused-kernel block winners.
+
+    The one epilogue shared by the single-chip pallas strategy
+    (``models/ivf.py``) and its per-shard twin (``parallel/index.py``) —
+    the expanded residual distance ``||q||^2 + rc + group_term - 2<q,
+    dec(row)>`` recomputed at HIGHEST precision for the over-fetched
+    candidates, so block-min granularity and bf16 matmul noise cannot
+    reorder the final top-k. Returns ``([Q, k] exact dists, [Q, k]
+    re-ranked padded-layout rows)``.
+    """
+    num_q, fetch = cand_rows.shape
+    m, _, dsub = codebooks.shape
+    invalid = jnp.isinf(cand_vals)
+    safe = jnp.where(invalid, 0, cand_rows)
+    sel = jnp.take(codes_t, safe.reshape(-1), axis=1)  # [m, Q*F]
+    if codes_t.dtype == jnp.int8:  # undo the offset encoding
+        sel = sel.astype(jnp.int32) + 128
+    sel = jnp.transpose(sel.astype(jnp.int32), (1, 0))  # [Q*F, m]
+    # exact residual decode via the one-hot MXU formulation (the 3-axis
+    # LUT gather lowers to ~7 ms of scalar gathers on TPU; one-hot x f32
+    # codebook is exact and ~0.2 ms — same trick as rescore_exact)
+    dec = decode_tile(
+        codebooks.astype(jnp.float32), sel, "auto", "highest"
+    ).reshape(num_q, fetch, m * dsub)
+    qs = split_subspaces(queries, bounds, dsub)  # [m, Q, dsub]
+    q_pad = jnp.transpose(qs, (1, 0, 2)).reshape(num_q, m * dsub)
+    ip = jnp.einsum(
+        "qd,qfd->qf",
+        q_pad,
+        dec,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [Q, F]
+    exact = q_norms[:, None] + jnp.take(rc, safe) + cand_gt - 2.0 * ip
+    exact = jnp.where(invalid, jnp.inf, exact)
+    best, pos2 = smallest_k(exact, min(k, fetch))
+    rows = jnp.take_along_axis(cand_rows, pos2, axis=1)
+    return best, rows
+
+
 @functools.partial(jax.jit, static_argnames=("bounds", "k", "packed_width"))
 def rescore_exact(
     queries: jax.Array,  # [Q, D] f32

@@ -179,6 +179,20 @@ class ShardedFlatIndex(Index):
                 topk_impl=self.base.topk_impl,
                 recall_target=self.base.recall_target,
             )
+        # mirror the single-chip kernel knobs (models/flat.py:146-151):
+        # block-winner count and the rerank over-fetch, clamped to the
+        # per-shard kernel envelope
+        rerank_k = 0
+        if self.base.rerank_factor > 1:
+            local_n = self.codes_sharded.shape[0] // self.mesh.shape[ROWS]
+            rerank_k = min(
+                local_n,
+                k_eff * self.base.rerank_factor,
+                128,
+                max(k_eff, local_n // 256),
+            )
+            if rerank_k <= k_eff:
+                rerank_k = 0
         dists, ids = pops.sharded_adc_scan(
             q,
             self.codebooks_rep,
@@ -192,6 +206,8 @@ class ShardedFlatIndex(Index):
             precision=self.base.precision,
             topk_impl=self.base.topk_impl,
             recall_target=self.base.recall_target,
+            winners=self.base.pallas_winners,
+            rerank_k=rerank_k,
         )
         return dists, ids
 
@@ -320,9 +336,6 @@ def _sharded_ivf_pallas(
     from gulon_tpu.ops.pallas.adc import _INVALID_MIN, adc_block_scan_pallas
     from gulon_tpu.ops.topk import smallest_k as _sk
 
-    m, _, dsub = codebooks.shape
-    num_q = queries.shape[0]
-
     def shard_fn(q, qn_, cb, ct, rc, rmap, colp, gt, pm):
         bv, bi = adc_block_scan_pallas(
             q, cb, ct[0], rc[0],
@@ -338,28 +351,11 @@ def _sharded_ivf_pallas(
         best, pos = _sk(d, fetch)
         rows = jnp.take_along_axis(bi, pos, axis=1)
         if rescore:
-            invalid = jnp.isinf(best)
-            safe = jnp.where(invalid, 0, rows)
-            sel = jnp.take(ct[0], safe.reshape(-1), axis=1)  # [m, Q*F]
-            if ct.dtype == jnp.int8:  # undo the offset encoding
-                sel = sel.astype(jnp.int32) + 128
-            sel = jnp.transpose(sel.astype(jnp.int32), (1, 0))
-            dec = scan_ops.decode_tile(
-                cb.astype(jnp.float32), sel, "auto", "highest"
-            ).reshape(num_q, fetch, m * dsub)
-            qs = split_subspaces(q, bounds, dsub)
-            q_pad = jnp.transpose(qs, (1, 0, 2)).reshape(num_q, m * dsub)
-            ip = jnp.einsum(
-                "qd,qfd->qf", q_pad, dec,
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+            best, rows = scan_ops.ivf_block_rescore(
+                q, qn_, cb, ct[0], rc[0],
+                best, rows, jnp.take_along_axis(gtw, pos, axis=1),
+                bounds=bounds, k=kk,
             )
-            gts = jnp.take_along_axis(gtw, pos, axis=1)
-            rcs = jnp.take(rc[0], safe)
-            exact = qn_[:, None] + rcs + gts - 2.0 * ip
-            exact = jnp.where(invalid, jnp.inf, exact)
-            best, pos2 = _sk(exact, kk)
-            rows = jnp.take_along_axis(rows, pos2, axis=1)
         gids = jnp.where(
             jnp.isinf(best), -1, rmap[0][jnp.maximum(rows, 0)]
         )
@@ -817,27 +813,48 @@ class ShardedExactIndex(Index):
 
     @staticmethod
     def shard(index: ExactIndex, mesh: Mesh) -> "ShardedExactIndex":
-        from jax.sharding import NamedSharding
-
-        from gulon_tpu.ops.pallas.dense import _BIG, prepare_data
-
         x = np.asarray(index.vectors)
         norms = (x * x).sum(1).astype(np.float32)
-        padded, n_pad = pad_rows_to_shards(x, mesh, 0)
-        norms_aug = np.concatenate(
-            [norms, np.full(n_pad, _BIG, np.float32)]
-        ) if n_pad else norms
-        data_aug_sharded = jax.device_put(
-            prepare_data(jnp.asarray(padded), jnp.asarray(norms_aug)),
-            NamedSharding(mesh, P(ROWS, None)),
-        )
-        return ShardedExactIndex(
+        # the bf16 kernel operand ([N', Dp], a full extra corpus copy) is
+        # only built when the dense-kernel path can actually run — off-TPU
+        # with the default strategy it would be dead memory + a dead
+        # corpus pass (the XLA shard scan reads vectors_sharded directly);
+        # _dense_operand() builds it lazily if the strategy changes later
+        sharded = ShardedExactIndex(
             base=index,
             mesh=mesh,
             vectors_sharded=shard_rows(x, mesh, 0),
             norms_sharded=shard_rows(norms, mesh, np.inf),
-            data_aug_sharded=data_aug_sharded,
         )
+        if (
+            jax.default_backend() == "tpu"
+            or index.scan_strategy == "pallas"
+        ):
+            sharded._dense_operand()
+        return sharded
+
+    def _dense_operand(self) -> jax.Array:
+        """[N', Dp] bf16 kernel operand, built once device-side.
+
+        Padding rows (norm +inf in ``norms_sharded``) get a ~_BIG finite
+        norm lane: +inf would make the kernel's lane-packed score NaN,
+        _BIG just loses every block min.
+        """
+        if self.data_aug_sharded is None:
+            from jax.sharding import NamedSharding
+
+            from gulon_tpu.ops.pallas.dense import _BIG, prepare_data
+
+            norms_fin = jnp.where(
+                jnp.isinf(self.norms_sharded),
+                jnp.float32(_BIG),
+                self.norms_sharded,
+            )
+            self.data_aug_sharded = jax.device_put(
+                prepare_data(self.vectors_sharded, norms_fin),
+                NamedSharding(self.mesh, P(ROWS, None)),
+            )
+        return self.data_aug_sharded
 
     @property
     def key_index(self):
@@ -888,7 +905,7 @@ class ShardedExactIndex(Index):
         if strategy == "pallas":
             return pops.sharded_dense_scan(
                 q,
-                self.data_aug_sharded,
+                self._dense_operand(),
                 self.norms_sharded,
                 rescore_rows=(
                     self.vectors_sharded

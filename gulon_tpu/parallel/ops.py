@@ -50,7 +50,8 @@ def _globalize_ids(local_ids, local_n):
     jax.jit,
     static_argnames=(
         "mesh", "bounds", "k", "tile_rows", "precision",
-        "topk_impl", "recall_target",
+        "topk_impl", "recall_target", "winners", "rerank_k",
+        "force_pallas",
     ),
 )
 def sharded_adc_scan(
@@ -69,6 +70,13 @@ def sharded_adc_scan(
     precision: str = "default",
     topk_impl: str = "approx",
     recall_target: float = 0.95,
+    winners: int = 1,  # per-128-row-block winner count (FlatIndex
+    #   pallas_winners): same-block collision repair on the kernel path
+    rerank_k: int = 0,  # >k: per-shard kernel over-fetch width, exactly
+    #   rescored (f32 ADC) to k inside each shard before the ICI merge —
+    #   the sharded counterpart of FlatIndex.rerank_factor
+    force_pallas: bool = False,  # run the kernel branch in interpret mode
+    #   off-TPU (tests exercise the winners/rerank plumbing on a CPU mesh)
 ) -> Tuple[jax.Array, jax.Array]:
     """Row-sharded ADC scan: per-shard fused-kernel (TPU) or decode-matmul
     scan + ICI top-k merge.
@@ -77,30 +85,44 @@ def sharded_adc_scan(
     """
     local_n = codes.shape[0] // mesh.shape[ROWS]
     m, k_codes, _ = codebooks.shape
+    k_scan = rerank_k if rerank_k > k else k
+    interpret = jax.default_backend() != "tpu"
     use_pallas = (
-        jax.default_backend() == "tpu"
-        and k <= 128
+        (not interpret or force_pallas)
+        and k_scan <= 128
         and k_codes <= 1024
-        and local_n >= 256 * k
+        and local_n >= 256 * k_scan
     )
+    if not use_pallas:
+        k_scan = k  # the rerank over-fetch is a kernel-path repair only
+
+    def _local_topk(q, cb, codes_loc, norms_loc, d, ids):
+        """Per-shard exact rescore (if over-fetched) + ICI merge."""
+        if k_scan > k:
+            # per-shard exact top-k == global exact top-k after the merge:
+            # every shard contributes its k best exact distances
+            d, ids = scan_ops.rescore_exact(
+                q, cb, codes_loc, norms_loc, ids, bounds=bounds, k=k
+            )
+        return _merge_over_rows(d, _globalize_ids(ids, local_n), k)
 
     if use_pallas and codes_t is not None:
         from gulon_tpu.ops.pallas.adc import adc_scan_pallas
 
-        def shard_fn_t(q, cb, ct_loc, norms_loc):
+        def shard_fn_t(q, cb, ct_loc, norms_loc, codes_loc):
             d, ids = adc_scan_pallas(
-                q, cb, ct_loc, norms_loc, bounds=bounds, k=k,
-                num_rows=local_n,
+                q, cb, ct_loc, norms_loc, bounds=bounds, k=k_scan,
+                num_rows=local_n, winners=winners, interpret=interpret,
             )
-            return _merge_over_rows(d, _globalize_ids(ids, local_n), k)
+            return _local_topk(q, cb, codes_loc, norms_loc, d, ids)
 
         return shard_map(
             shard_fn_t,
             mesh=mesh,
-            in_specs=(P(), P(), P(None, ROWS), P(ROWS)),
+            in_specs=(P(), P(), P(None, ROWS), P(ROWS), P(ROWS, None)),
             out_specs=(P(), P()),
             check_vma=False,
-        )(queries, codebooks, codes_t, recon_norms)
+        )(queries, codebooks, codes_t, recon_norms, codes)
 
     def shard_fn(q, cb, codes_loc, norms_loc):
         if use_pallas:
@@ -109,7 +131,8 @@ def sharded_adc_scan(
             # per-call [n_loc, m] -> [m, n_loc] relayout inside the shard
             # (~codes bytes of HBM traffic; noise next to the scan matmul)
             d, ids = adc_scan_pallas(
-                q, cb, codes_loc, norms_loc, bounds=bounds, k=k,
+                q, cb, codes_loc, norms_loc, bounds=bounds, k=k_scan,
+                winners=winners, interpret=interpret,
             )
         else:
             d, ids = scan_ops.adc_scan_decode(
@@ -117,7 +140,7 @@ def sharded_adc_scan(
                 tile_rows=tile_rows, precision=precision,
                 topk_impl=topk_impl, recall_target=recall_target,
             )
-        return _merge_over_rows(d, _globalize_ids(ids, local_n), k)
+        return _local_topk(q, cb, codes_loc, norms_loc, d, ids)
 
     return shard_map(
         shard_fn,

@@ -66,11 +66,40 @@ def _flat_callable(index, k: int):
                 index.codes, index.pq.num_clusters
             )
         n = index.size
+        # mirror the live path's serving knobs (models/flat.py:146-151,
+        # 253-276): block-winner count and the exact-rescore over-fetch —
+        # an AOT artifact must return the same results as the jitted path
+        winners = index.pallas_winners
+        k_scan = k_eff
+        if index.rerank_factor > 1:
+            k_scan = min(n, k_eff * index.rerank_factor)
+            k_scan = min(k_scan, 128, max(k_eff, n // 256))
+
+        if k_scan > k_eff:
+
+            def fn(q, cb, codes_t, norms, codes, *rot):
+                q = prep(q, rot[0] if rot else None)
+                _, cand = adc_scan_pallas(
+                    q, cb, codes_t, norms, bounds=bounds, k=k_scan,
+                    num_rows=n, winners=winners,
+                )
+                return scan_ops.rescore_exact(
+                    q, cb, codes, norms, cand, bounds=bounds, k=k_eff
+                )
+
+            ops = (
+                index.pq.codebooks,
+                index._pallas_codes_t,
+                index.recon_norms,
+                index.codes,
+            )
+            return fn, ops + ((index.rotation,) if has_rot else ())
 
         def fn(q, cb, codes_t, norms, *rot):
             q = prep(q, rot[0] if rot else None)
             return adc_scan_pallas(
-                q, cb, codes_t, norms, bounds=bounds, k=k_eff, num_rows=n
+                q, cb, codes_t, norms, bounds=bounds, k=k_eff, num_rows=n,
+                winners=winners,
             )
 
         ops = (index.pq.codebooks, index._pallas_codes_t, index.recon_norms)

@@ -80,6 +80,13 @@ def tune_probe_limit(
         lo, hi = 1, index.num_partitions
         make = LimitGroups
 
+    # Warm the strategy-independent lazy serving layouts ONCE on the input
+    # index; ``dataclasses.replace`` then shares the built fields with
+    # every trial. Without this each trial starts from the fresh-load None
+    # fields, rebuilds the full-corpus device relayout on its first query
+    # and discards it — ~1+log2(P) redundant rebuilds per tune.
+    index.query_arrays(min(k, index.size), truth.queries[:1])
+
     evals = 0
 
     def recall_at(limit: int) -> float:

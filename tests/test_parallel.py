@@ -524,3 +524,37 @@ def test_sharded_update_delegates_and_matches(data):
     np.testing.assert_allclose(
         np.asarray(d_s2), np.asarray(d_12), rtol=1e-4, atol=1e-4
     )
+
+
+def test_sharded_adc_scan_winners_rerank_matches_exact():
+    """The sharded fused-kernel flat scan honors FlatIndex's serving
+    knobs: block winners + per-shard exact rescore (previously silently
+    dropped). With rerank, distances must be the exact f32 ADC top-k."""
+    rng = np.random.default_rng(41)
+    n, d, k = 16384, 16, 2
+    x, _, _ = planted_clusters(rng, n, d, 16, scale=0.3, spread=2.0)
+    queries = x[rng.choice(n, 8, replace=False)].astype(np.float32)
+    mesh = make_mesh()
+    pq = train_product_quantizer(
+        x, PQConfig(num_clusters=16, num_quantizers=4, max_iters=6)
+    )
+    codes = np.asarray(pq.encode(x))
+    norms = np.asarray(pq.reconstruction_norms(jnp.asarray(codes)))
+    d_sh, i_sh = sharded_adc_scan(
+        jnp.asarray(queries),
+        pq.codebooks,
+        shard_rows(codes, mesh, 0),
+        shard_rows(norms, mesh, np.inf),
+        mesh=mesh,
+        bounds=pq.bounds,
+        k=k,
+        winners=2,
+        rerank_k=8,  # local_n=2048 == 256*8: inside the kernel envelope
+        force_pallas=True,  # interpret-mode kernel on the CPU mesh
+    )
+    d_ex, i_ex = adc_scan_decode(
+        jnp.asarray(queries), pq.codebooks, jnp.asarray(codes),
+        jnp.asarray(norms), bounds=pq.bounds, k=k,
+        precision="highest", topk_impl="exact",
+    )
+    _assert_same_topk(d_sh, i_sh, d_ex, i_ex, rtol=1e-4, atol=1e-4)

@@ -299,3 +299,14 @@ def test_update_errors(corpus):
     # mismatched lengths
     with pytest.raises(ValueError):
         base.add(keys[300:302], x[300:305])
+
+
+def test_remove_scalar_key(corpus):
+    """A single string key (like add()'s scalar path) must work, not
+    raise 'iteration over a 0-d array'."""
+    keys, x, _ = corpus
+    base = build_flat_index(keys[:100], x[:100], pq_config=_PQ)
+    victim = str(keys[7])
+    updated = base.remove(victim)
+    assert updated.size == 99
+    assert updated.lookup(victim) is None
