@@ -433,3 +433,59 @@ def test_test_cmd_external_queries(corpus_file, tmp_path, capsys):
     ]) == 0
     out = capsys.readouterr().out
     assert "R@1:" in out and "R@100:" in out
+
+
+def test_export_aot_ivf_and_exact(corpus_file, tmp_path, capsys):
+    vecs, keys, x = corpus_file
+    qfile = str(tmp_path / "q.txt")
+    with open(qfile, "w") as f:
+        write_word2vec(WordVectors(keys[:3], x[:3]), f, header=False)
+
+    # partitioned index: masked + gathered strategies export; bucketed is
+    # a clean error (host-side per-batch planning)
+    ivf = str(tmp_path / "ivf.idx")
+    assert _run([
+        "build-index", "--metric", "l2", "-k", "16", "-m", "4",
+        "-n", "10", "-p", "--partitions", "6", "--limit", "3",
+        "-o", ivf, vecs,
+    ]) == 0
+    sidecar = str(tmp_path / "ivf.aot")
+    capsys.readouterr()
+    assert _run([
+        "export-aot", "--index", ivf, "-o", sidecar,
+        "--batches", "4", "-k", "2", "--scan-strategy", "gathered",
+    ]) == 0
+    capsys.readouterr()
+    assert _run([
+        "query", "-k", "2", "--index", ivf, "--aot", sidecar,
+        "--scan-strategy", "gathered", qfile,
+    ]) == 0
+    aot_out = capsys.readouterr().out.strip().splitlines()
+    assert _run([
+        "query", "-k", "2", "--index", ivf,
+        "--scan-strategy", "gathered", qfile,
+    ]) == 0
+    assert aot_out == capsys.readouterr().out.strip().splitlines()
+    assert _run([
+        "export-aot", "--index", ivf, "-o", sidecar,
+        "--scan-strategy", "bucketed", "--batches", "4", "-k", "2",
+    ]) == 1
+    assert "bucketed" in capsys.readouterr().err
+
+    # exact (npz) index
+    ex = str(tmp_path / "exact.idx")
+    assert _run([
+        "build-index", "--metric", "l2", "--exact", "-o", ex, vecs,
+    ]) == 0
+    sidecar2 = str(tmp_path / "exact.aot")
+    capsys.readouterr()
+    assert _run([
+        "export-aot", "--index", ex, "-o", sidecar2,
+        "--batches", "4", "-k", "3",
+    ]) == 0
+    capsys.readouterr()
+    assert _run([
+        "query", "-k", "3", "--index", ex, "--aot", sidecar2, qfile,
+    ]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out[0].startswith(f"{keys[0]}: {keys[0]}")
