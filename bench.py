@@ -257,6 +257,7 @@ def _main_with_retry():
     import sys
 
     attempt = int(os.environ.get("GULON_BENCH_ATTEMPT", "1"))
+    max_attempts = int(os.environ.get("GULON_BENCH_MAX_ATTEMPTS", "8"))
     try:
         main()
     except Exception as e:  # noqa: BLE001 - classify, then re-exec or re-raise
@@ -267,15 +268,19 @@ def _main_with_retry():
             or "DEADLINE_EXCEEDED" in msg
             or "Socket closed" in msg
         )
-        if not transient or attempt >= 4:
+        if not transient or attempt >= max_attempts:
             raise
+        # tunnel outages here last minutes to ~an hour; back off linearly
+        # (120s, 240s, ...) so 8 attempts cover ~an hour without spinning
+        wait = 120 * attempt
         print(
-            f"bench: transient TPU/tunnel error (attempt {attempt}/4), "
-            f"retrying in 120s: {msg.splitlines()[0][:200]}",
+            f"bench: transient TPU/tunnel error (attempt "
+            f"{attempt}/{max_attempts}), retrying in {wait}s: "
+            f"{msg.splitlines()[0][:200]}",
             file=sys.stderr,
             flush=True,
         )
-        time.sleep(120)
+        time.sleep(wait)
         os.environ["GULON_BENCH_ATTEMPT"] = str(attempt + 1)
         os.execv(sys.executable, [sys.executable] + sys.argv)
 
