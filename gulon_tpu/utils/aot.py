@@ -484,25 +484,33 @@ class AOTServing:
     _operands: Dict[int, tuple] = dataclasses.field(default_factory=dict)
 
     def _pick(self, k: int, num_q: int) -> Optional[Tuple[int, int]]:
+        # an exported k' >= k serves k by truncation (results are ranked
+        # ascending, so the top-k prefix is identical); prefer the
+        # tightest (k', batch) fit
         if self.platform != jax.default_backend():
             return None
-        fits = [b for (b, kk) in self._fns if kk == k and b >= num_q]
-        return (min(fits), k) if fits else None
+        fits = [
+            (kk, b) for (b, kk) in self._fns if kk >= k and b >= num_q
+        ]
+        if not fits:
+            return None
+        kk, b = min(fits)
+        return (b, kk)
 
     def query_arrays(self, k: int, vectors):
         q = jnp.asarray(vectors, jnp.float32)
         key = self._pick(k, q.shape[0]) if q.ndim == 2 else None
         if key is None:
             return self.index.query_arrays(k, vectors)
-        batch, _ = key
+        batch, kk = key
         num_q = q.shape[0]
         if num_q < batch:
             q = jnp.pad(q, ((0, batch - num_q), (0, 0)))
-        if k not in self._operands:
-            _, ops = _callable_for(self.index, k)
-            self._operands[k] = ops
-        d, ids = self._fns[key].call(q, *self._operands[k])
-        return d[:num_q], ids[:num_q]
+        if kk not in self._operands:
+            _, ops = _callable_for(self.index, kk)
+            self._operands[kk] = ops
+        d, ids = self._fns[key].call(q, *self._operands[kk])
+        return d[:num_q, :k], ids[:num_q, :k]
 
     def batch_query(self, k: int, vectors) -> List:
         return self.index._make_results(*self.query_arrays(k, vectors))

@@ -213,3 +213,27 @@ def test_ivf_pallas_aot_roundtrip(tmp_path):
         np.asarray(d_aot), np.asarray(d_ref), rtol=1e-5, atol=1e-6
     )
     np.testing.assert_array_equal(np.asarray(i_aot), np.asarray(i_ref))
+
+
+def test_aot_serves_smaller_k_by_truncation(tmp_path, data):
+    """An exported k' >= k serves k: ascending results truncate exactly."""
+    keys, x, q = data
+    index = build_flat_index(
+        keys, x,
+        pq_config=PQConfig(num_clusters=16, num_quantizers=4, max_iters=8),
+    )
+    bundle = export_serving(index, shapes=[(64, 10)])
+    path = str(tmp_path / "flat.aot")
+    save_serving(path, bundle)
+    serving = load_serving(path, index)
+
+    d_ref, i_ref = index.query_arrays(3, q)
+    d_aot, i_aot = serving.query_arrays(3, q)
+    assert np.asarray(d_aot).shape == (len(q), 3)
+    np.testing.assert_allclose(
+        np.asarray(d_aot), np.asarray(d_ref), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_array_equal(np.asarray(i_aot), np.asarray(i_ref))
+    # k above every exported k' falls back to the jitted path
+    d_fb, _ = serving.query_arrays(20, q)
+    assert np.asarray(d_fb).shape == (len(q), 20)
