@@ -228,18 +228,121 @@ def read_word2vec(
     return wv
 
 
+def sniff_word2vec_binary(path: os.PathLike | str) -> bool:
+    """True iff ``path`` is the *original word2vec binary* format (the C
+    tool's ``-binary 1`` output, e.g. GoogleNews vectors): an ASCII
+    ``"<count> <dim>\\n"`` header followed by ``word<space><dim x f32le>``
+    records.
+
+    An extra over the reference (text-only, ``WordVectors.scala:141-160``).
+    Detection is deterministic for text files: a text file's first data
+    line always parses as ``word`` + exactly ``dim`` ASCII floats; binary
+    float bytes essentially never do.
+    """
+    with open(path, "rb") as f:
+        head = f.read(8 << 20)  # enough for any header + one data line
+    nl = head.find(b"\n")
+    if nl <= 0:
+        return False
+    try:
+        count_s, dim_s = head[:nl].decode("ascii").split()
+        count, dim = int(count_s), int(dim_s)
+    except (UnicodeDecodeError, ValueError):
+        return False  # no header -> the binary format is impossible
+    if count <= 0 or dim <= 0:
+        return False
+    nl2 = head.find(b"\n", nl + 1)
+    line = head[nl + 1 : nl2 if nl2 != -1 else len(head)]
+    try:
+        toks = line.decode("utf-8").split()
+        if len(toks) == dim + 1:
+            for t in toks[1:]:
+                float(t)
+            return False  # a well-formed text data row
+    except (UnicodeDecodeError, ValueError):
+        pass
+    return True
+
+
+def read_word2vec_bin(
+    path: os.PathLike | str,
+    normalize: bool = False,
+    report_fn: Optional[Callable[[ReadProgress], None]] = None,
+) -> WordVectors:
+    """Read the original word2vec *binary* format (an extra over the
+    reference): ``"<count> <dim>\\n"`` ASCII header, then per record the
+    UTF-8 word up to a space and ``dim`` little-endian f32 (records may be
+    separated by a newline, which some writers emit and some do not).
+    """
+    import mmap
+
+    with open(path, "rb") as f:
+        mm = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
+        try:
+            nl = mm.find(b"\n")
+            if nl <= 0:
+                raise ValueError("binary word2vec file has no header line")
+            count_s, dim_s = bytes(mm[:nl]).decode("ascii").split()
+            count, dim = int(count_s), int(dim_s)
+            keys = np.empty(count, dtype=object)
+            vectors = np.empty((count, dim), np.float32)
+            vbytes = 4 * dim
+            pos = nl + 1
+            end = len(mm)
+            for i in range(count):
+                while pos < end and mm[pos] in (0x0A, 0x0D, 0x20):
+                    pos += 1  # inter-record separators vary by writer
+                sp = mm.find(b" ", pos)
+                if sp < 0 or sp + 1 + vbytes > end:
+                    raise ValueError(
+                        f"truncated binary word2vec record {i}/{count}"
+                    )
+                keys[i] = bytes(mm[pos:sp]).decode("utf-8")
+                vectors[i] = np.frombuffer(mm, "<f4", dim, sp + 1)
+                pos = sp + 1 + vbytes
+                if report_fn is not None and (i + 1) % 200_000 == 0:
+                    report_fn(
+                        ReadProgress(i + 1, count, vectors.nbytes)
+                    )
+        finally:
+            mm.close()
+    if report_fn is not None:
+        report_fn(ReadProgress(count, count, vectors.nbytes))
+    wv = WordVectors(keys, vectors)
+    return wv.normalized() if normalize else wv
+
+
+def write_word2vec_bin(wv: WordVectors, path: os.PathLike | str) -> None:
+    """Write the original word2vec binary format (round-trip helper)."""
+    with open(path, "wb") as f:
+        f.write(f"{len(wv)} {wv.dimension}\n".encode("ascii"))
+        vecs = np.ascontiguousarray(wv.vectors, dtype="<f4")
+        for key, row in zip(wv.keys, vecs):
+            f.write(str(key).encode("utf-8"))
+            f.write(b" ")
+            f.write(row.tobytes())
+            f.write(b"\n")
+
+
 def read_word2vec_path(
     path: os.PathLike | str,
     normalize: bool = False,
     report_fn: Optional[Callable[[ReadProgress], None]] = None,
     chunk_lines: int = DEFAULT_CHUNK_LINES,
     use_native: bool = True,
+    binary: Optional[bool] = None,
 ) -> WordVectors:
-    """Read a word2vec text file from disk (``WordVectors.readWord2VecPath``).
+    """Read a word2vec file from disk (``WordVectors.readWord2VecPath``).
 
-    Prefers the native C parser when available (an order of magnitude faster
-    on multi-GB files); falls back to the streaming Python reader.
+    Detects and reads both the text format and the original binary format
+    (``binary=None`` sniffs; pass True/False to force). Text files prefer
+    the native C parser when available (an order of magnitude faster on
+    multi-GB files), falling back to the streaming Python reader.
     """
+    if binary is None:
+        binary = sniff_word2vec_binary(path)
+    if binary:
+        return read_word2vec_bin(path, normalize, report_fn)
     if use_native:
         try:
             from gulon_tpu.utils import native

@@ -139,3 +139,100 @@ def test_native_large_multithreaded(tmp_path):
     nat = native.read_word2vec(str(p), num_threads=4)
     assert list(nat.keys) == list(keys)
     np.testing.assert_allclose(nat.vectors, x, rtol=1e-6)
+
+
+class TestBinaryFormat:
+    """Original word2vec binary format (an extra over the text-only
+    reference): round-trip, sniffing, and CLI-path auto-detection."""
+
+    def _wv(self, n=50, d=12, seed=3):
+        rng = np.random.default_rng(seed)
+        keys = np.array(
+            [f"wörd{i:03d}" for i in range(n)], dtype=object
+        )  # non-ASCII keys exercise UTF-8 handling
+        x = rng.normal(size=(n, d)).astype(np.float32)
+        return WordVectors(keys, x)
+
+    def test_binary_roundtrip(self, tmp_path):
+        from gulon_tpu.utils.word2vec import (
+            read_word2vec_bin,
+            write_word2vec_bin,
+        )
+
+        wv = self._wv()
+        path = str(tmp_path / "v.bin")
+        write_word2vec_bin(wv, path)
+        back = read_word2vec_bin(path)
+        assert list(back.keys) == list(wv.keys)
+        np.testing.assert_array_equal(back.vectors, wv.vectors)
+
+    def test_binary_no_record_newlines(self, tmp_path):
+        """Some writers emit no separator between records."""
+        from gulon_tpu.utils.word2vec import read_word2vec_bin
+
+        wv = self._wv(n=20, d=4)
+        path = str(tmp_path / "v.bin")
+        with open(path, "wb") as f:
+            f.write(f"{len(wv)} {wv.dimension}\n".encode())
+            for key, row in zip(wv.keys, wv.vectors):
+                f.write(str(key).encode() + b" " + row.tobytes())
+        back = read_word2vec_bin(path)
+        assert list(back.keys) == list(wv.keys)
+        np.testing.assert_array_equal(back.vectors, wv.vectors)
+
+    def test_sniff_and_path_dispatch(self, tmp_path):
+        from gulon_tpu.utils.word2vec import (
+            read_word2vec_path,
+            sniff_word2vec_binary,
+            write_word2vec_bin,
+        )
+
+        wv = self._wv(n=30, d=3)  # tiny dim: the hard sniff case
+        bpath = str(tmp_path / "v.bin")
+        tpath = str(tmp_path / "v.txt")
+        write_word2vec_bin(wv, bpath)
+        with open(tpath, "w") as f:
+            write_word2vec(wv, f)
+        assert sniff_word2vec_binary(bpath) is True
+        assert sniff_word2vec_binary(tpath) is False
+        b = read_word2vec_path(bpath)
+        t = read_word2vec_path(tpath)
+        assert list(b.keys) == list(t.keys)
+        np.testing.assert_allclose(b.vectors, t.vectors, rtol=1e-6)
+
+    def test_headerless_text_not_sniffed_binary(self, tmp_path):
+        from gulon_tpu.utils.word2vec import sniff_word2vec_binary
+
+        path = str(tmp_path / "nohdr.txt")
+        with open(path, "w") as f:
+            write_word2vec(self._wv(n=5, d=4), f, header=False)
+        assert sniff_word2vec_binary(path) is False
+
+    def test_truncated_binary_is_clean_error(self, tmp_path):
+        from gulon_tpu.utils.word2vec import (
+            read_word2vec_bin,
+            write_word2vec_bin,
+        )
+
+        wv = self._wv(n=10, d=8)
+        path = str(tmp_path / "v.bin")
+        write_word2vec_bin(wv, path)
+        data = open(path, "rb").read()
+        with open(path, "wb") as f:
+            f.write(data[: len(data) - 20])
+        with pytest.raises(ValueError, match="truncated"):
+            read_word2vec_bin(path)
+
+    def test_normalize_on_read(self, tmp_path):
+        from gulon_tpu.utils.word2vec import (
+            read_word2vec_bin,
+            write_word2vec_bin,
+        )
+
+        wv = self._wv(n=16, d=6)
+        path = str(tmp_path / "v.bin")
+        write_word2vec_bin(wv, path)
+        back = read_word2vec_bin(path, normalize=True)
+        np.testing.assert_allclose(
+            np.linalg.norm(back.vectors, axis=1), 1.0, rtol=1e-5
+        )
