@@ -394,6 +394,15 @@ def cmd_build_index(args, reporter) -> int:
         init=args.kmeans_init,
     )
     if args.streaming:
+        from gulon_tpu.utils.word2vec import sniff_word2vec_binary
+
+        if sniff_word2vec_binary(args.input):
+            reporter.out.write(
+                "error: --streaming reads the word2vec text format; "
+                f"{args.input} is the binary format — drop --streaming "
+                "(binary files mmap, so host RSS stays bounded anyway)\n"
+            )
+            return 1
         return _build_streaming(args, reporter, metric, pq_config)
     with reporter.task(f"reading {args.input}"):
         wv = read_word2vec_path(

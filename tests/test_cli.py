@@ -489,3 +489,29 @@ def test_export_aot_ivf_and_exact(corpus_file, tmp_path, capsys):
     ]) == 0
     out = capsys.readouterr().out.strip().splitlines()
     assert out[0].startswith(f"{keys[0]}: {keys[0]}")
+
+
+def test_build_binary_input_and_streaming_guard(corpus_file, tmp_path, capsys):
+    vecs, keys, x = corpus_file
+    from gulon_tpu.utils.word2vec import write_word2vec_bin
+
+    bpath = str(tmp_path / "vecs.bin")
+    write_word2vec_bin(WordVectors(keys, x), bpath)
+    idx = str(tmp_path / "b.idx")
+    # binary input builds transparently (auto-sniffed)
+    assert _run([
+        "build-index", "--metric", "l2", "-k", "16", "-m", "4",
+        "-n", "10", "-o", idx, bpath,
+    ]) == 0
+    qfile = str(tmp_path / "q.txt")
+    with open(qfile, "w") as f:
+        write_word2vec(WordVectors(keys[:2], x[:2]), f, header=False)
+    capsys.readouterr()
+    assert _run(["query", "-k", "2", "--index", idx, qfile]) == 0
+    assert len(capsys.readouterr().out.strip().splitlines()) == 2
+    # --streaming is text-only: clean error, not garbage parsing
+    assert _run([
+        "build-index", "--metric", "l2", "--streaming",
+        "-o", idx, bpath,
+    ]) == 1
+    assert "binary" in capsys.readouterr().err
