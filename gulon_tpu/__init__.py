@@ -52,6 +52,9 @@ _EXPORTS = {
     "read_word2vec": "gulon_tpu.utils.word2vec",
     "read_word2vec_path": "gulon_tpu.utils.word2vec",
     "write_word2vec": "gulon_tpu.utils.word2vec",
+    "read_word2vec_bin": "gulon_tpu.utils.word2vec",
+    "write_word2vec_bin": "gulon_tpu.utils.word2vec",
+    "sniff_word2vec_binary": "gulon_tpu.utils.word2vec",
     "load_index": "gulon_tpu.utils.serde",
     "save_index": "gulon_tpu.utils.serde",
     "sample_ground_truth": "gulon_tpu.utils.eval",
