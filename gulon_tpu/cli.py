@@ -223,6 +223,23 @@ def build_parser() -> argparse.ArgumentParser:
         help="comma-separated top-k values to export (default 10)",
     )
 
+    srv = sub.add_parser(
+        "serve",
+        help="serve an index over a TCP line protocol (JSON per line; "
+        "an extra over the reference)",
+    )
+    srv.add_argument("--index", required=True, help="index file")
+    srv.add_argument("--host", default="127.0.0.1")
+    srv.add_argument(
+        "--port", type=int, default=0,
+        help="TCP port (default 0 = ephemeral, printed at startup)",
+    )
+    srv.add_argument(
+        "--warm-k", type=_positive_int(1), default=10, metavar="K",
+        help="compile/warm the query program for this k at startup "
+        "(first request then runs at device speed; default 10)",
+    )
+
     t = sub.add_parser("test", help="measure recall@k of an index")
     t.add_argument("--vectors", required=True, help="word2vec-format source")
     t.add_argument("--index", required=True, help="index file")
@@ -243,7 +260,7 @@ def build_parser() -> argparse.ArgumentParser:
         "-e", "--error", type=float, default=0.0,
         help="relative distance epsilon (default 0)",
     )
-    for sp in (q, w, t, ex):  # serving-side knobs
+    for sp in (q, w, t, ex, srv):  # serving-side knobs
         sp.add_argument(
             "--scan-strategy",
             default=None,
@@ -257,7 +274,7 @@ def build_parser() -> argparse.ArgumentParser:
             choices=["default", "highest"],
             help="scan matmul precision (default: fast bf16-pass MXU)",
         )
-    for sp in (q, w, t):
+    for sp in (q, w, t, srv):
         sp.add_argument(
             "--mesh",
             type=_positive_int(1),
@@ -727,6 +744,26 @@ def cmd_export_aot(args, reporter) -> int:
     return 0
 
 
+def cmd_serve(args, reporter) -> int:
+    from gulon_tpu.server import serve
+
+    index = _load_serving_index(args, reporter)
+    with reporter.task(f"warming k={args.warm_k} query program"):
+        # one tiny batch compiles (or AOT-loads) the serving program so
+        # the first real request answers at device speed
+        index.query_arrays(
+            min(args.warm_k, index.size),
+            np.zeros((1, index.dimension), np.float32),
+        )
+    serve(
+        index,
+        host=args.host,
+        port=args.port,
+        ready_fn=lambda h, p: print(f"serving on {h}:{p}", flush=True),
+    )
+    return 0
+
+
 def cmd_test(args, reporter) -> int:
     from gulon_tpu.utils.eval import (
         format_recall,
@@ -792,6 +829,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         "tune": cmd_tune,
         "info": cmd_info,
         "export-aot": cmd_export_aot,
+        "serve": cmd_serve,
         "test": cmd_test,
     }
     profile_dir = getattr(args, "profile", None)

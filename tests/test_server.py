@@ -1,0 +1,145 @@
+"""TCP query server (an extra over the reference's stdin loop):
+protocol round-trips against a resident index."""
+
+import json
+import socket
+import threading
+
+import numpy as np
+import pytest
+
+from generators import planted_clusters, random_keys
+from gulon_tpu.models.build import build_flat_index
+from gulon_tpu.ops.pq import PQConfig
+from gulon_tpu.server import QueryServer
+
+
+@pytest.fixture(scope="module")
+def index():
+    rng = np.random.default_rng(13)
+    x, _, _ = planted_clusters(rng, 800, 16, 8, scale=0.2)
+    keys = random_keys(rng, 800)
+    return build_flat_index(
+        keys, x,
+        pq_config=PQConfig(num_clusters=32, num_quantizers=8, max_iters=20),
+    ), keys, x
+
+
+@pytest.fixture(scope="module")
+def server(index):
+    idx, _, _ = index
+    srv = QueryServer(idx, port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield srv
+    srv.shutdown()
+
+
+def _rpc(server, *requests):
+    host, port = server.address[0], server.address[1]
+    with socket.create_connection((host, port), timeout=10) as s:
+        f = s.makefile("rwb")
+        out = []
+        for req in requests:
+            f.write(json.dumps(req).encode() + b"\n")
+            f.flush()
+            out.append(json.loads(f.readline()))
+        return out
+
+
+def test_ping_and_info(server, index):
+    idx, _, _ = index
+    ping, info = _rpc(server, {"op": "ping"}, {"op": "info"})
+    assert ping == {"ok": True}
+    assert info["type"] == "FlatIndex"
+    assert info["size"] == idx.size and info["dimension"] == 16
+
+
+def test_query_vector_and_batch(server, index):
+    idx, keys, x = index
+    (single,) = _rpc(server, {"k": 5, "vector": x[7].tolist()})
+    assert single["keys"][0][0] == str(keys[7])
+    assert len(single["keys"][0]) == 5
+    assert single["distances"][0] == sorted(single["distances"][0])
+    (batch,) = _rpc(server, {"k": 3, "vectors": x[:4].tolist()})
+    assert [row[0] for row in batch["keys"]] == [str(k) for k in keys[:4]]
+    # identical to the library path
+    lib = idx.batch_query(3, x[:4])
+    assert batch["keys"] == [[str(w) for w in r.keys] for r in lib]
+
+
+def test_query_words_and_lookup(server, index):
+    _, keys, _ = index
+    (resp,) = _rpc(
+        server, {"k": 2, "words": [str(keys[3]), "not-a-word"]}
+    )
+    assert resp["keys"][0][0] == str(keys[3])
+    assert resp["keys"][1] is None and resp["distances"][1] is None
+    (vec,) = _rpc(server, {"op": "lookup", "word": str(keys[3])})
+    assert len(vec["vector"]) == 16
+    (miss,) = _rpc(server, {"op": "lookup", "word": "not-a-word"})
+    assert miss["vector"] is None
+
+
+def test_errors_keep_connection_open(server):
+    host, port = server.address[0], server.address[1]
+    with socket.create_connection((host, port), timeout=10) as s:
+        f = s.makefile("rwb")
+        for payload, frag in [
+            (b"not json\n", "bad json"),
+            (b'{"k": 0, "vector": [1]}\n', "k must be"),
+            (b'{"k": 1, "vector": [1, 2]}\n', "queries must be"),
+            (b'{"op": "nope"}\n', "unknown op"),
+        ]:
+            f.write(payload)
+            f.flush()
+            resp = json.loads(f.readline())
+            assert frag in resp["error"]
+        # still serving after 4 errors
+        f.write(b'{"op": "ping"}\n')
+        f.flush()
+        assert json.loads(f.readline()) == {"ok": True}
+
+
+def test_cli_serve_smoke(index, tmp_path):
+    """cmd_serve end-to-end: save index, serve on an ephemeral port,
+    query over the socket, shut down."""
+    import gulon_tpu.server as server_mod
+    from gulon_tpu import cli
+    from gulon_tpu.utils.serde import save_index
+
+    idx, keys, x = index
+    path = str(tmp_path / "srv.idx")
+    save_index(idx, path)
+
+    ready = {}
+    event = threading.Event()
+    real_serve = server_mod.serve
+
+    def capture_serve(index_, host="127.0.0.1", port=0, ready_fn=None):
+        def on_ready(h, p):
+            ready["addr"] = (h, p)
+            event.set()
+            if ready_fn:
+                ready_fn(h, p)
+        return real_serve(index_, host, port, on_ready)
+
+    server_mod.serve = capture_serve
+    cli_thread = threading.Thread(
+        target=cli.main, args=(["serve", "--index", path],), daemon=True
+    )
+    try:
+        cli_thread.start()
+        assert event.wait(timeout=120), "server never became ready"
+        host, port = ready["addr"]
+        with socket.create_connection((host, port), timeout=10) as s:
+            f = s.makefile("rwb")
+            f.write(
+                json.dumps({"k": 2, "vector": x[0].tolist()}).encode()
+                + b"\n"
+            )
+            f.flush()
+            resp = json.loads(f.readline())
+        assert resp["keys"][0][0] == str(keys[0])
+    finally:
+        server_mod.serve = real_serve
