@@ -120,6 +120,10 @@ class ShardedFlatIndex(Index):
     def size(self) -> int:
         return self.base.size
 
+    @property
+    def metric(self):
+        return self.base.metric
+
     def add(self, keys, vectors):
         """Functional update: add to the base index, re-shard on the same
         mesh (``models/update.py``; layouts/shardings rebuild)."""
@@ -545,6 +549,10 @@ class ShardedIVFIndex(Index):
     def size(self) -> int:
         return self.base.size
 
+    @property
+    def metric(self):
+        return self.base.metric
+
     def add(self, keys, vectors):
         """Functional update: add to the base index, re-shard on the same
         mesh (``models/update.py``; layouts/shardings rebuild)."""
@@ -867,6 +875,10 @@ class ShardedExactIndex(Index):
     @property
     def size(self) -> int:
         return self.base.size
+
+    @property
+    def metric(self):
+        return self.base.metric
 
     def add(self, keys, vectors):
         """Functional update: add to the base index, re-shard on the same

@@ -37,19 +37,38 @@ from typing import Optional
 import numpy as np
 
 
+_MAX_LINE = 64 << 20  # 64 MiB: far above any sane query batch, far below RAM
+
+
 class _Handler(socketserver.StreamRequestHandler):
     def handle(self):
         server = self.server  # QueryServer
-        for raw in self.rfile:
+        while True:
+            raw = self.rfile.readline(_MAX_LINE)
+            if not raw:
+                break
+            if len(raw) >= _MAX_LINE and not raw.endswith(b"\n"):
+                # unbounded line: reply once and drop the connection
+                # rather than buffering arbitrary bytes next to the
+                # resident index
+                self.wfile.write(
+                    b'{"error": "request line exceeds 64MiB"}\n'
+                )
+                self.wfile.flush()
+                break
             line = raw.strip()
             if not line:
                 continue
             try:
-                reply = server.handle_request(json.loads(line))
+                reply = server.handle_payload(json.loads(line))
             except json.JSONDecodeError as e:
                 reply = {"error": f"bad json: {e}"}
-            except (ValueError, KeyError, TypeError) as e:
-                reply = {"error": str(e)}
+            except Exception as e:  # noqa: BLE001 — a serving loop must
+                # answer SOMETHING for any failed request (the protocol
+                # contract is one reply line per request, connection
+                # stays open); bare `except` would also trap
+                # KeyboardInterrupt/SystemExit, Exception does not
+                reply = {"error": f"{type(e).__name__}: {e}"}
             self.wfile.write(json.dumps(reply).encode("utf-8") + b"\n")
             self.wfile.flush()
 
@@ -69,7 +88,11 @@ class QueryServer(socketserver.ThreadingTCPServer):
     def address(self):
         return self.server_address  # (host, bound_port)
 
-    def handle_request(self, req: dict) -> dict:
+    def handle_payload(self, req: dict) -> dict:
+        # NOT named handle_request: socketserver.BaseServer already has a
+        # handle_request() ("accept one socket request"), which embedders
+        # may call — shadowing it with an incompatible signature would
+        # break the stdlib API
         if not isinstance(req, dict):
             raise ValueError("request must be a JSON object")
         op = req.get("op", "query")
@@ -94,19 +117,22 @@ class QueryServer(socketserver.ThreadingTCPServer):
         if k < 1:
             raise ValueError(f"k must be >= 1, got {k}")
         if "words" in req:
+            # look every word up first, then ONE batched device query for
+            # the found ones (per-word query_by_word would be a device
+            # dispatch per word — the opposite of the batching this
+            # server exists for)
             words = [str(w) for w in req["words"]]
-            keys_out, dists_out = [], []
-            with self._device_lock:
-                for w in words:
-                    res = self.index.query_by_word(k, w)
-                    if res is None:
-                        keys_out.append(None)
-                        dists_out.append(None)
-                    else:
-                        keys_out.append([str(x) for x in res.keys])
-                        dists_out.append(
-                            [float(d) for d in res.distances]
-                        )
+            found = [(i, self.index.lookup(w)) for i, w in enumerate(words)]
+            rows = [(i, v) for i, v in found if v is not None]
+            keys_out = [None] * len(words)
+            dists_out = [None] * len(words)
+            if rows:
+                q = np.stack([v for _, v in rows]).astype(np.float32)
+                with self._device_lock:
+                    results = self.index.batch_query(k, q)
+                for (i, _), res in zip(rows, results):
+                    keys_out[i] = [str(x) for x in res.keys]
+                    dists_out[i] = [float(d) for d in res.distances]
             return {"keys": keys_out, "distances": dists_out}
 
         if "vector" in req:
@@ -126,13 +152,17 @@ class QueryServer(socketserver.ThreadingTCPServer):
             dists, ids = self.index.query_arrays(k, q)
         dists = np.asarray(dists)
         ids = np.asarray(ids)
+        # same validity rule as Index._make_results: drop -1 padding AND
+        # non-finite distances (inf/NaN would serialize as non-RFC JSON
+        # tokens that strict clients reject)
+        valid = (ids >= 0) & np.isfinite(dists)
         all_keys = np.asarray(self.index.key_index.keys, dtype=object)
         keys_out = [
-            [str(w) for w in all_keys[row[row >= 0]]] for row in ids
+            [str(w) for w in all_keys[row[v]]]
+            for row, v in zip(ids, valid)
         ]
         dists_out = [
-            [float(d) for d, i in zip(drow, irow) if i >= 0]
-            for drow, irow in zip(dists, ids)
+            [float(d) for d in drow[v]] for drow, v in zip(dists, valid)
         ]
         return {"keys": keys_out, "distances": dists_out}
 

@@ -485,17 +485,16 @@ class AOTServing:
 
     def _pick(self, k: int, num_q: int) -> Optional[Tuple[int, int]]:
         # an exported k' >= k serves k by truncation (results are ranked
-        # ascending, so the top-k prefix is identical); prefer the
-        # tightest (k', batch) fit
+        # ascending, so the top-k prefix is identical). Prefer the
+        # tightest BATCH first, then the smallest k': padding dominates
+        # device cost (a 1-query request padded to a 1024-row artifact is
+        # ~1000x the work), while a larger k' only widens the top-k
         if self.platform != jax.default_backend():
             return None
         fits = [
-            (kk, b) for (b, kk) in self._fns if kk >= k and b >= num_q
+            (b, kk) for (b, kk) in self._fns if kk >= k and b >= num_q
         ]
-        if not fits:
-            return None
-        kk, b = min(fits)
-        return (b, kk)
+        return min(fits) if fits else None
 
     def query_arrays(self, k: int, vectors):
         q = jnp.asarray(vectors, jnp.float32)

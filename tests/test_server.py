@@ -143,3 +143,47 @@ def test_cli_serve_smoke(index, tmp_path):
         assert resp["keys"][0][0] == str(keys[0])
     finally:
         server_mod.serve = real_serve
+
+
+def test_sharded_index_info_and_query(index):
+    """Sharded indices serve info/query (metric passthrough; the server
+    must answer an error line, not drop the connection, on any failure)."""
+    from gulon_tpu.parallel import make_mesh, shard_index
+
+    idx, keys, x = index
+    sharded = shard_index(idx, make_mesh())
+    srv = QueryServer(sharded, port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        info, resp = _rpc(
+            srv, {"op": "info"}, {"k": 3, "vector": x[5].tolist()}
+        )
+        assert info["type"] == "ShardedFlatIndex"
+        assert info["metric"] == "l2"
+        assert resp["keys"][0][0] == str(keys[5])
+    finally:
+        srv.shutdown()
+
+
+def test_words_batched_single_dispatch(server, index):
+    """The words form issues ONE batched device query, not per-word."""
+    idx, keys, _ = index
+    calls = []
+    orig = type(idx).batch_query
+
+    def counting(self, k, vectors):
+        calls.append(len(vectors))
+        return orig(self, k, vectors)
+
+    type(idx).batch_query = counting
+    try:
+        (resp,) = _rpc(
+            server,
+            {"k": 2, "words": [str(k) for k in keys[:6]] + ["missing"]},
+        )
+    finally:
+        type(idx).batch_query = orig
+    assert calls == [6]
+    assert resp["keys"][6] is None
+    assert all(r[0] == str(keys[i]) for i, r in enumerate(resp["keys"][:6]))
