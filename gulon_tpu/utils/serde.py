@@ -201,9 +201,14 @@ def index_from_proto(msg: pb.Index) -> AnyIndex:
 
 def save_index(index, path) -> None:
     """Persist any index: PQ indices as reference-format protobuf,
-    ExactIndex as npz (raw vectors have no reference wire format)."""
+    ExactIndex as npz (raw vectors have no reference wire format).
+    Sharded indices persist their base — placement is runtime state
+    (re-shard with ``shard_index``/``--mesh`` after loading)."""
     from gulon_tpu.models.exact import ExactIndex
 
+    base = getattr(index, "base", None)
+    if base is not None and hasattr(index, "mesh"):
+        index = base
     if isinstance(index, ExactIndex):
         index.save(path)
         return

@@ -120,3 +120,31 @@ def test_build_is_seed_deterministic(data, tmp_path):
     save_index(a, pa)
     save_index(b, pb)
     assert pa.read_bytes() == pb.read_bytes()
+
+
+def test_save_sharded_index_persists_base(tmp_path):
+    """save_index on a sharded index persists the base (placement is
+    runtime state); the loaded index re-shards to identical results."""
+    import numpy as np
+
+    from generators import planted_clusters, random_keys
+    from gulon_tpu.models.build import build_flat_index
+    from gulon_tpu.ops.pq import PQConfig
+    from gulon_tpu.parallel import make_mesh, shard_index
+    from gulon_tpu.utils.serde import load_index, save_index
+
+    rng = np.random.default_rng(7)
+    x, _, _ = planted_clusters(rng, 600, 16, 6, scale=0.3)
+    keys = random_keys(rng, 600)
+    base = build_flat_index(
+        keys, x,
+        pq_config=PQConfig(num_clusters=16, num_quantizers=4, max_iters=8),
+    )
+    sharded = shard_index(base, make_mesh())
+    path = str(tmp_path / "sh.idx")
+    save_index(sharded, path)
+    loaded = load_index(path)
+    d1, i1 = map(np.asarray, base.query_arrays(5, x[:8]))
+    d2, i2 = map(np.asarray, loaded.query_arrays(5, x[:8]))
+    np.testing.assert_allclose(d1, d2, rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(i1, i2)
