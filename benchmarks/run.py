@@ -38,6 +38,7 @@ from benchmarks.common import (
 
 def _emit(payload):
     print(json.dumps(payload), flush=True)
+    return payload
 
 
 def bench_adc(n, d, m, k_codes, n_queries, name, max_iters=25):
@@ -175,7 +176,7 @@ def bench_adc(n, d, m, k_codes, n_queries, name, max_iters=25):
         _, i_w2 = scan(q_dev[:sample], 2)
         recall_dist_w2 = _dist_recall(i_w2)
 
-    _emit(
+    return _emit(
         {
             "benchmark": name,
             "scan_path": "pallas_fused" if use_pallas else "xla_decode",
@@ -328,7 +329,7 @@ def bench_exact(n, d, n_queries, name):
         kernel_recall = None
         per_batch_op = None
         per_batch_sh = None
-    _emit(
+    return _emit(
         {
             "benchmark": name,
             "corpus": f"{n}x{d}",
@@ -453,7 +454,7 @@ def bench_deep10m(n_devices, n=10_000_000, d=96, n_queries=1024):
             step_cached, (q_dev, cache_aug, norms_dev), iters=8
         )
 
-    _emit(
+    return _emit(
         {
             "benchmark": "deep10m",
             "corpus": f"{n}x{d}",
@@ -523,7 +524,7 @@ def bench_sent1024(n=1_000_000, d=1024, n_queries=512):
                 ),
             }
         )
-    _emit({"benchmark": "sent1024", "corpus": f"{n}x{d}", "sweep": sweep})
+    return _emit({"benchmark": "sent1024", "corpus": f"{n}x{d}", "sweep": sweep})
 
 
 def bench_kmeans(n=10_000, d=100, k=25):
@@ -544,7 +545,7 @@ def bench_kmeans(n=10_000, d=100, k=25):
     per_iter = time_device_loop(step, float, iters=512)
     import jax
 
-    _emit(
+    return _emit(
         {
             "benchmark": "kmeans_lloyd_iteration",
             "config": f"n={n} d={d} k={k} (ref KMeansBench.scala)",
@@ -558,43 +559,57 @@ def bench_build10m(n=10_000_000, d=300, m=25, k_codes=256):
     """Streaming build: 10M x 300d f32 (12 GB) exceeds one chip's HBM
     alongside working buffers, so the corpus is produced (and in a real
     deployment, loaded) chunk-wise — train on a 500k sample, then
-    generate+encode 1M-row chunks with nothing but codes retained."""
+    generate+encode 1M-row chunks with nothing but codes retained.
+
+    The pipeline runs TWICE: the first pass charges XLA compilation and
+    per-process program loading (through the remote tunnel even
+    persistent-cache HITS pay minutes of server-side executable rebuild),
+    the second runs with programs resident and measures the actual build
+    work. ``index_build_s`` is the warm pass; ``program_load_s`` the
+    first-pass delta — transport cost, not build work (round-2 lesson:
+    511 s reported vs ~30 s of execution)."""
     import time as _t
 
     import jax
-    import jax.numpy as jnp
 
     from gulon_tpu.ops.pq import PQConfig, train_product_quantizer
 
     chunk = 1_000_000
-    t0 = _t.monotonic()
-    sample = low_rank_corpus_device(0, 500_000, d, intrinsic=32,
-                                    n_clusters=10_000)
-    pq = train_product_quantizer(
-        sample,
-        PQConfig(num_clusters=k_codes, num_quantizers=m, max_iters=25),
-    )
-    _ = np.asarray(pq.codebooks[:1, :1, :1])
-    train_s = _t.monotonic() - t0
 
-    t1 = _t.monotonic()
-    total = 0
-    codes_out = []
-    for ci, start in enumerate(range(0, n, chunk)):
-        xc = low_rank_corpus_device(ci + 1, chunk, d, intrinsic=32,
-                                    n_clusters=10_000)
-        codes_out.append(pq.encode(xc))
-        total += chunk
-    _ = np.asarray(codes_out[-1][:1])
-    encode_s = _t.monotonic() - t1
+    def one_pass():
+        t0 = _t.monotonic()
+        sample = low_rank_corpus_device(0, 500_000, d, intrinsic=32,
+                                        n_clusters=10_000)
+        pq = train_product_quantizer(
+            sample,
+            PQConfig(num_clusters=k_codes, num_quantizers=m, max_iters=25),
+        )
+        _ = np.asarray(pq.codebooks[:1, :1, :1])
+        train_s = _t.monotonic() - t0
 
-    _emit(
+        t1 = _t.monotonic()
+        last = None
+        for ci, _start in enumerate(range(0, n, chunk)):
+            xc = low_rank_corpus_device(ci + 1, chunk, d, intrinsic=32,
+                                        n_clusters=10_000)
+            last = pq.encode(xc)
+        _ = np.asarray(last[:1])
+        encode_s = _t.monotonic() - t1
+        return train_s, encode_s
+
+    cold_train_s, cold_encode_s = one_pass()
+    train_s, encode_s = one_pass()
+    cold_s = cold_train_s + cold_encode_s
+    build_s = train_s + encode_s
+
+    return _emit(
         {
             "benchmark": "build10m",
             "corpus": f"{n}x{d} (streamed in {chunk}-row chunks)",
             "codebook_train_s": round(train_s, 1),
             "bulk_encode_s": round(encode_s, 1),
-            "total_s": round(train_s + encode_s, 1),
+            "index_build_s": round(build_s, 1),
+            "program_load_s": round(max(cold_s - build_s, 0.0), 1),
             "target_s": 120,
             "device": str(jax.devices()[0]),
         }
@@ -729,7 +744,7 @@ def bench_ivf1m(n=300_000, d=96, n_queries=1024, partitions=300, probe=15):
             rec.append(len(got & set(i_ex[qi])) / 10)
         return float(np.mean(rec))
 
-    _emit(
+    return _emit(
         {
             "benchmark": "ivf1m",
             "corpus": f"{n}x{d}",
@@ -922,7 +937,7 @@ def bench_ivf_sublinear(
     )
     import jax as _j
     out["device"] = str(_j.devices()[0])
-    _emit(out)
+    return _emit(out)
 
 
 def bench_opq(n=400_000, d=100, m=8, k_codes=256, n_queries=512,
@@ -989,7 +1004,7 @@ def bench_opq(n=400_000, d=100, m=8, k_codes=256, n_queries=512,
     r_plain = _dist_recall(_ceiling_ids(pq_plain, None))
     r_opq = _dist_recall(_ceiling_ids(pq_opq, rot))
 
-    _emit(
+    return _emit(
         {
             "benchmark": "opq",
             "corpus": f"{n}x{d}",
