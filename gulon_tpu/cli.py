@@ -303,7 +303,7 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 _FLAT_STRATEGIES = ("auto", "decode", "lut", "cached", "pallas")
-_IVF_STRATEGIES = ("masked", "pallas", "gathered", "bucketed")
+_IVF_STRATEGIES = ("auto", "masked", "pallas", "gathered", "bucketed")
 _EXACT_STRATEGIES = ("auto", "xla", "pallas")
 
 

@@ -515,81 +515,21 @@ def _regroup_pairs(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_probe", "pmax", "k", "topk_impl", "recall_target"),
-)
-def _ivf_scan_gathered(
-    queries: jax.Array,      # [Q, D] f32 (already normalized)
-    recon: jax.Array,        # [N + pmax, D] bf16/f32, padded reconstruction
-    recon_norms: jax.Array,  # [N + pmax] f32, +inf on padding
-    starts: jax.Array,       # [P] i32 partition start rows
-    sizes: jax.Array,        # [P] i32 partition sizes
-    probe_ids: jax.Array,    # [Q, L] i32 partitions to probe; -1 = unused
-    *,
-    num_probe: int,
-    pmax: int,
-    k: int,
-    topk_impl: str = "exact",
-    recall_target: float = 0.95,
-):
-    """Sublinear probed scan: per query, L contiguous partition slices.
-
-    Partitions are contiguous row ranges (rows grouped at build), so a
-    probe is one ``dynamic_slice`` of the cached reconstruction — the
-    per-query work is O(L * pmax) rows regardless of corpus size. The win
-    over the masked full scan (``_ivf_scan``) is the latency/small-batch
-    regime; for large batches whose probes jointly cover the corpus the
-    masked scan reads everything once and stays preferable.
-    """
-    num_q, d = queries.shape
-    qn = sq_norms(queries)
-    row_iota = jnp.arange(pmax, dtype=jnp.int32)
-
-    def per_query(qv, qn_v, pids):
-        def per_slot(p):
-            active = p >= 0  # LimitVectors probe sets vary per query
-            p_safe = jnp.maximum(p, 0)
-            s = starts[p_safe]
-            block = jax.lax.dynamic_slice(recon, (s, 0), (pmax, d))
-            bn = jax.lax.dynamic_slice(recon_norms, (s,), (pmax,))
-            valid = active & (row_iota < sizes[p_safe])
-            return block, jnp.where(valid, bn, jnp.inf), s + row_iota
-
-        blocks, bns, ids = jax.vmap(per_slot)(pids)  # [L, pmax, ...]
-        flat = blocks.reshape(num_probe * pmax, d)
-        ip = jnp.matmul(
-            flat, qv.astype(flat.dtype)[:, None],
-            preferred_element_type=jnp.float32,
-        )[:, 0]
-        dist = qn_v + bns.reshape(-1) - 2.0 * ip
-        if topk_impl == "approx" and num_probe * pmax >= 256 * k:
-            vals, pos = jax.lax.approx_min_k(
-                dist[None], k, recall_target=recall_target
-            )
-        else:
-            vals, pos = smallest_k(dist[None], k)
-        return vals[0], ids.reshape(-1)[pos[0]]
-
-    dists, ids = jax.vmap(per_query)(queries, qn, probe_ids)
-    ids = jnp.where(jnp.isinf(dists), -1, ids)
-    return dists, ids
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=("num_probe", "pmax", "k", "precision",
+    static_argnames=("mode", "num_probe", "pmax", "k", "precision",
                      "topk_impl", "recall_target"),
 )
-def _ivf_scan_gathered_codes(
-    q_pad: jax.Array,        # [Q, m*dsub] f32 (subspace layout)
+def _ivf_scan_gathered(
+    q_op: jax.Array,         # cached: [Q, D] queries; codes: [Q, m*dsub]
     qn: jax.Array,           # [Q] f32
-    group_term: jax.Array,   # [Q, P] f32
-    codebooks: jax.Array,    # [m, K, dsub]
-    codes_pad: jax.Array,    # [N + pmax, m] uint
-    row_const_pad: jax.Array,  # [N + pmax] f32 (+inf padding)
+    group_term,              # codes: [Q, P] f32; cached: None (folded in aux)
+    codebooks,               # codes: [m, K, dsub]; cached: None
+    data_pad: jax.Array,     # cached: [N + pmax, D] recon; codes: [N + pmax, m]
+    aux_pad: jax.Array,      # cached: recon norms; codes: row_const (+inf pad)
     starts: jax.Array,       # [P] i32 partition start rows
     sizes: jax.Array,        # [P] i32 partition sizes
     probe_ids: jax.Array,    # [Q, L] i32 partitions to probe; -1 = unused
     *,
+    mode: str,               # "cached" | "codes"
     num_probe: int,
     pmax: int,
     k: int,
@@ -597,47 +537,85 @@ def _ivf_scan_gathered_codes(
     topk_impl: str = "exact",
     recall_target: float = 0.95,
 ):
-    """Code-resident gathered scan: per-query partition slices over the
-    [N, m] code matrix, decoded in-flight (``Index.scala:411-412`` — the
-    reference scans probed partitions directly over codes). Memory stays
-    at ``m`` bytes/vector; no reconstruction cache needed.
+    """Sublinear probed scan: per query, L contiguous partition slices.
+
+    Partitions are contiguous row ranges (rows grouped at build), so a
+    probe is one ``dynamic_slice`` — the per-query work is O(L * pmax)
+    rows regardless of corpus size. The win over the masked full scan
+    (``_ivf_scan``) is the latency/small-batch regime; for large batches
+    whose probes jointly cover the corpus the masked scan reads everything
+    once and stays preferable.
+
+    ``mode="codes"`` is code-resident: probed row chunks of the [N, m]
+    code matrix are decoded in-flight (``Index.scala:411-412`` — the
+    reference scans probed partitions directly over codes; ``m``
+    bytes/vector). ``mode="cached"`` scans a materialized reconstruction
+    (pure matmuls, ``2*D`` bytes/vector; see :meth:`IVFIndex.enable_cache`).
+    The slicing / validity-masking / selection skeleton is shared; only
+    the per-slot block producer differs.
     """
-    num_q = q_pad.shape[0]
-    m = codes_pad.shape[1]
+    num_q = q_op.shape[0]
+    width = data_pad.shape[1]
     row_iota = jnp.arange(pmax, dtype=jnp.int32)
 
-    def per_query(qv, qn_v, gt_row, pids):
-        def per_slot(p):
-            active = p >= 0  # LimitVectors probe sets vary per query
-            p_safe = jnp.maximum(p, 0)
-            s = starts[p_safe]
-            cs = jax.lax.dynamic_slice(
-                codes_pad, (s, 0), (pmax, m)
-            ).astype(jnp.int32)
-            dec = scan_ops.decode_tile(codebooks, cs, "auto", precision)
-            rc = jax.lax.dynamic_slice(row_const_pad, (s,), (pmax,))
-            valid = active & (row_iota < sizes[p_safe])
-            rc = jnp.where(valid, rc + gt_row[p_safe], jnp.inf)
-            return dec, rc, s + row_iota
-
-        blocks, rcs, ids = jax.vmap(per_slot)(pids)  # [L, pmax, ...]
-        flat = blocks.reshape(num_probe * pmax, -1)
-        ip = jnp.matmul(
-            flat,
-            qv[:, None],
-            preferred_element_type=jnp.float32,
-            precision=scan_ops.resolve_precision(precision),
-        )[:, 0]
-        dist = qn_v + rcs.reshape(-1) - 2.0 * ip
+    def select(dist, ids_flat):
         if topk_impl == "approx" and num_probe * pmax >= 256 * k:
             vals, pos = jax.lax.approx_min_k(
                 dist[None], k, recall_target=recall_target
             )
         else:
             vals, pos = smallest_k(dist[None], k)
-        return vals[0], ids.reshape(-1)[pos[0]]
+        return vals[0], ids_flat[pos[0]]
 
-    dists, ids = jax.vmap(per_query)(q_pad, qn, group_term, probe_ids)
+    def slot_slices(p):
+        """Common per-probe plumbing: (active, start, aux chunk, ids)."""
+        active = p >= 0  # LimitVectors probe sets vary per query
+        p_safe = jnp.maximum(p, 0)
+        s = starts[p_safe]
+        aux = jax.lax.dynamic_slice(aux_pad, (s,), (pmax,))
+        valid = active & (row_iota < sizes[p_safe])
+        return p_safe, s, aux, valid
+
+    if mode == "cached":
+
+        def per_query(qv, qn_v, pids):
+            def per_slot(p):
+                _, s, bn, valid = slot_slices(p)
+                block = jax.lax.dynamic_slice(data_pad, (s, 0), (pmax, width))
+                return block, jnp.where(valid, bn, jnp.inf), s + row_iota
+
+            blocks, bns, ids = jax.vmap(per_slot)(pids)  # [L, pmax, ...]
+            flat = blocks.reshape(num_probe * pmax, width)
+            ip = jnp.matmul(
+                flat, qv.astype(flat.dtype)[:, None],
+                preferred_element_type=jnp.float32,
+            )[:, 0]
+            return select(qn_v + bns.reshape(-1) - 2.0 * ip, ids.reshape(-1))
+
+        dists, ids = jax.vmap(per_query)(q_op, qn, probe_ids)
+    else:
+
+        def per_query(qv, qn_v, gt_row, pids):
+            def per_slot(p):
+                p_safe, s, rc, valid = slot_slices(p)
+                cs = jax.lax.dynamic_slice(
+                    data_pad, (s, 0), (pmax, width)
+                ).astype(jnp.int32)
+                dec = scan_ops.decode_tile(codebooks, cs, "auto", precision)
+                rc = jnp.where(valid, rc + gt_row[p_safe], jnp.inf)
+                return dec, rc, s + row_iota
+
+            blocks, rcs, ids = jax.vmap(per_slot)(pids)  # [L, pmax, ...]
+            flat = blocks.reshape(num_probe * pmax, -1)
+            ip = jnp.matmul(
+                flat,
+                qv[:, None],
+                preferred_element_type=jnp.float32,
+                precision=scan_ops.resolve_precision(precision),
+            )[:, 0]
+            return select(qn_v + rcs.reshape(-1) - 2.0 * ip, ids.reshape(-1))
+
+        dists, ids = jax.vmap(per_query)(q_op, qn, group_term, probe_ids)
     ids = jnp.where(jnp.isinf(dists), -1, ids)
     return dists, ids
 
@@ -777,7 +755,14 @@ class IVFIndex(Index):
     precision: str = "default"
     topk_impl: str = "approx"
     recall_target: float = 0.95
-    # "masked" = single masked full scan (default; best when batched probes
+    # "auto" (default) = pick per batch from probed-work estimates: small
+    #   batches whose probes touch far less than the corpus go sublinear
+    #   (gathered, then bucketed as the batch grows); covering batches go
+    #   to the fused kernel on TPU, the masked full scan elsewhere — so
+    #   default single-query latency is sublinear in N, no knob required
+    #   (the reference's probed scan is the whole point at scale,
+    #   Index.scala:273-281);
+    # "masked" = single masked full scan (best when batched probes
     # jointly cover the corpus);
     # "pallas" = the fused block-min kernel over a partition-padded row
     #   layout: every 128-row selection block lies inside one partition, so
@@ -796,8 +781,7 @@ class IVFIndex(Index):
     # decoded in-flight, matching the reference's ranged code scan at
     # Index.scala:411-412); if enable_cache() materialized the bf16
     # reconstruction they use it automatically instead.
-    scan_strategy: str = "masked"
-    last_overflow: int = 0  # always 0: the entry schedule is lossless
+    scan_strategy: str = "auto"
     recon_cache: Optional[jax.Array] = None  # [N + pad, D], see enable_cache
     recon_norms_cache: Optional[jax.Array] = None  # [N + pad] f32
     _codes_pad: Optional[jax.Array] = None  # [N + pad, m], built lazily
@@ -913,6 +897,45 @@ class IVFIndex(Index):
             and self.size >= 1024
         )
 
+    def _resolve_auto(self, num_q: int, k_eff: int) -> str:
+        """Pick a scan strategy from batch size vs probed-work estimates.
+
+        Mirrors FlatIndex's "auto": the masked full scan reads all N rows
+        once per batch (best when the batch's probes jointly cover the
+        corpus — then it IS the probed result at flat-scan throughput),
+        while the sublinear paths read only probed rows, the regime where
+        the reference's probed scan is the whole point
+        (``Index.scala:273-281``). Estimates are host-side: exact probe
+        count for LimitGroups; LimitVectors probes ~count/mean_size
+        partitions. ``gathered`` (one jitted computation, per-query padded
+        slices) serves small batches; ``bucketed`` (host-planned lossless
+        entry schedule, no pmax padding) takes over as the batch grows;
+        covering batches go to the fused kernel on TPU, masked elsewhere.
+        """
+        sizes = self.partition_sizes()
+        if len(sizes) == 0 or self.size == 0:
+            return "masked"
+        pmax = int(sizes.max())
+        mean_size = self.size / len(sizes)
+        if isinstance(self.strategy, LimitGroups):
+            probes = min(self.strategy.count, self.num_partitions)
+        else:
+            probes = min(
+                self.num_partitions,
+                max(1, -(-self.strategy.count // max(int(mean_size), 1))),
+            )
+        gathered_rows = num_q * probes * pmax  # padded slices per query
+        bucketed_rows = num_q * probes * mean_size  # lossless schedule
+        if num_q <= 32 and gathered_rows * 2 < self.size:
+            return "gathered"
+        if bucketed_rows * 2 < self.size:
+            return "bucketed"
+        if jax.default_backend() == "tpu" and self._pallas_eligible(k_eff):
+            # measured at ivf1m: the fused block-min kernel beats the
+            # masked scan on both latency and recall (benchmarks/run.py)
+            return "pallas"
+        return "masked"
+
     def _query_pallas(self, q, qn, group_term, probe_mask, k_eff: int):
         """Fused-kernel masked scan (see scan_strategy comment).
 
@@ -987,9 +1010,12 @@ class IVFIndex(Index):
         )
 
         k_eff = min(k, self.size)
-        if self.scan_strategy == "pallas" and self._pallas_eligible(k_eff):
+        strategy = self.scan_strategy
+        if strategy == "auto":
+            strategy = self._resolve_auto(int(q.shape[0]), k_eff)
+        if strategy == "pallas" and self._pallas_eligible(k_eff):
             return self._query_pallas(q, qn, group_term, probe_mask, k_eff)
-        if self.scan_strategy in ("gathered", "bucketed"):
+        if strategy in ("gathered", "bucketed"):
             use_cache = self.recon_cache is not None
             sizes_np = self.partition_sizes()
             pmax = int(sizes_np.max()) if len(sizes_np) else 1
@@ -1015,7 +1041,7 @@ class IVFIndex(Index):
             starts = np.concatenate(
                 [[0], np.cumsum(sizes_np)[:-1]]
             ).astype(np.int32)
-            if self.scan_strategy == "bucketed":
+            if strategy == "bucketed":
                 probe_np = np.asarray(probe_ids)
                 flat_p = probe_np[probe_np >= 0]
                 max_occ = (
@@ -1060,7 +1086,6 @@ class IVFIndex(Index):
                         topk_impl=self.topk_impl,
                         recall_target=self.recall_target,
                     )
-                self.last_overflow = 0
                 return _regroup_pairs(
                     cand_v, cand_i, jnp.asarray(pair_slots), k=k_eff
                 )
@@ -1069,11 +1094,15 @@ class IVFIndex(Index):
             if use_cache:
                 dists, ids = _ivf_scan_gathered(
                     q,
+                    qn,
+                    None,
+                    None,
                     self.recon_cache,
                     self.recon_norms_cache,
                     jnp.asarray(starts),
                     jnp.asarray(sizes_np),
                     probe_ids,
+                    mode="cached",
                     num_probe=num_probe,
                     pmax=pmax,
                     k=k_g,
@@ -1082,7 +1111,7 @@ class IVFIndex(Index):
                 )
             else:
                 codes_pad, rc_pad = self._code_operands()
-                dists, ids = _ivf_scan_gathered_codes(
+                dists, ids = _ivf_scan_gathered(
                     self._q_subspace(q),
                     qn,
                     group_term,
@@ -1092,6 +1121,7 @@ class IVFIndex(Index):
                     jnp.asarray(starts),
                     jnp.asarray(sizes_np),
                     probe_ids,
+                    mode="codes",
                     num_probe=num_probe,
                     pmax=pmax,
                     k=k_g,
@@ -1105,13 +1135,13 @@ class IVFIndex(Index):
                                 constant_values=jnp.inf)
                 ids = jnp.pad(ids, ((0, 0), (0, pad)), constant_values=-1)
             return dists, ids
-        if self.scan_strategy not in ("masked", "pallas"):
+        if strategy not in ("masked", "pallas"):
             # "pallas" lands here when the kernel envelope doesn't fit
             # (tiny corpus / k > 128 / K > 1024): the masked scan is
             # semantically identical
             raise ValueError(
-                f"unknown ivf scan strategy {self.scan_strategy!r} "
-                "(expected masked|pallas|gathered|bucketed)"
+                f"unknown ivf scan strategy {strategy!r} "
+                "(expected auto|masked|pallas|gathered|bucketed)"
             )
         dists, ids = _ivf_scan(
             q,

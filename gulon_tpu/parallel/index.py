@@ -588,11 +588,14 @@ class ShardedIVFIndex(Index):
             raise ValueError(f"unknown strategy {strategy!r}")
 
         k_eff = min(k, self.size)
-        if self.base.scan_strategy == "pallas" and self.base._pallas_eligible(
-            k_eff
-        ):
+        scan_strategy = self.base.scan_strategy
+        if scan_strategy == "auto":
+            # same policy as the single-chip index (probed work vs corpus
+            # size, estimated per chip — each shard scans size/devices rows)
+            scan_strategy = self.base._resolve_auto(int(q.shape[0]), k_eff)
+        if scan_strategy == "pallas" and self.base._pallas_eligible(k_eff):
             return self._pallas_arrays(q, qn, group_term, probe_mask, k_eff)
-        if self.base.scan_strategy in ("bucketed", "gathered"):
+        if scan_strategy in ("bucketed", "gathered"):
             # sublinear probing scales out like the masked path: gathered
             # requests also run the (strictly more general) bucketed scan
             return self._bucketed_arrays(

@@ -185,7 +185,7 @@ def _ivf_gathered_callable(index, k: int):
     """
     from gulon_tpu.models.ivf import (
         LimitGroups,
-        _ivf_scan_gathered_codes,
+        _ivf_scan_gathered,
         _probe_mask_limit_groups,
     )
     from gulon_tpu.ops.distance import normalize_rows, sq_norms
@@ -233,9 +233,9 @@ def _ivf_gathered_callable(index, k: int):
         ).astype(jnp.int32)
         qs = split_subspaces(q, bounds, pad_width)
         qs = jnp.transpose(qs, (1, 0, 2)).reshape(q.shape[0], -1)
-        dists, ids = _ivf_scan_gathered_codes(
+        dists, ids = _ivf_scan_gathered(
             qs, qn, group_term, cb, codes_pad, rc_pad, starts, sizes,
-            probe_ids, num_probe=num_probe, pmax=pmax, k=k_g,
+            probe_ids, mode="codes", num_probe=num_probe, pmax=pmax, k=k_g,
             precision=precision, topk_impl=topk_impl, recall_target=rt,
         )
         if k_g < k_eff:

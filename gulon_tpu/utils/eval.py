@@ -178,25 +178,34 @@ def recall_of(
 
     start = time.monotonic()
     done = 0
+    # vectorized sub-batch bound: the gathered [q, max_k, D] difference
+    # tensor (kept in the direct sum((a-b)^2) form so d=0 stays exactly 0,
+    # see ground_truth_for_queries) is capped at ~20M f32 elements
+    d = true_vectors.shape[1]
+    sub = max(1, int(2e7) // max(max_k * d, 1))
     for b0 in range(0, q_total, batch_size):
         qb = truth.queries[b0 : b0 + batch_size]
         _, ids = index.query_arrays(max_k, qb)
         ids = np.asarray(ids)
-        for qi in range(len(qb)):
-            q = qb[qi]
-            row_ids = ids[qi]
-            valid = row_ids >= 0  # -1 = padding (k wider than coverage)
-            exact = np.full(row_ids.shape[0], np.inf, np.float32)
-            rows = idx_to_eval[row_ids[valid]]
-            exact[valid] = ((true_vectors[rows] - q[None, :]) ** 2).sum(
-                axis=1
+        for s0 in range(0, len(qb), sub):
+            qs = qb[s0 : s0 + sub]
+            ids_s = ids[s0 : s0 + sub]
+            nq = len(qs)
+            valid = ids_s >= 0  # -1 = padding (k wider than coverage)
+            rows = idx_to_eval[np.where(valid, ids_s, 0)]
+            diffs = (
+                true_vectors[rows.reshape(-1)].reshape(nq, max_k, d)
+                - qs[:, None, :]
             )
+            exact = np.where(
+                valid, (diffs ** 2).sum(axis=2), np.inf
+            )  # [nq, max_k]
             for k in truth.ks:
-                true_kth = truth.kth_distances[k][b0 + qi]
+                true_kth = truth.kth_distances[k][b0 + s0 : b0 + s0 + nq]
                 # cutoff = (sqrt(d_k) * (1+eps))^2  (``Tests.scala:33-35``)
                 cutoff = true_kth * (1.0 + epsilon) ** 2
-                hits = int(np.count_nonzero(exact[:k] <= cutoff))
-                per_k[k] = per_k[k].update(hits / k)
+                hits = (exact[:, :k] <= cutoff[:, None]).sum(axis=1)
+                per_k[k] = per_k[k] + SummaryStats.of(hits / k)
         done += len(qb)
         if report_fn is not None:
             elapsed = max(time.monotonic() - start, 1e-9)
