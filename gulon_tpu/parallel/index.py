@@ -38,9 +38,29 @@ from gulon_tpu.parallel import ops as pops
 from gulon_tpu.parallel.mesh import (
     ROWS,
     pad_rows_to_shards,
+    place_global,
     replicate,
     shard_rows,
 )
+
+
+def _global_queries(q: jax.Array, mesh: Mesh) -> jax.Array:
+    """Replicate a prepared query batch across the mesh for SPMD entry.
+
+    Single-process this is a no-op (jit replicates uncommitted arrays
+    itself). Multi-process, every jit argument must be a GLOBAL array:
+    each process holds the same query batch (the multi-host serving
+    contract) and contributes its addressable replicas.
+    """
+    if jax.process_count() == 1:
+        return q
+    return place_global(np.asarray(q), replicated_sharding(mesh))
+
+
+def replicated_sharding(mesh: Mesh):
+    from jax.sharding import NamedSharding
+
+    return NamedSharding(mesh, P())
 
 
 @dataclasses.dataclass
@@ -137,7 +157,9 @@ class ShardedFlatIndex(Index):
         return self._make_results(*self.query_arrays(k, vectors))
 
     def query_arrays(self, k: int, vectors):
-        q = self.base._prepare_queries(vectors)
+        q = _global_queries(
+            self.base._prepare_queries(vectors), self.mesh
+        )
         k_eff = min(k, self.size)
         if self.base.scan_strategy == "cached":
             if self.cache_sharded is None:
@@ -169,7 +191,7 @@ class ShardedFlatIndex(Index):
                     self.norms_sharded,
                     mesh=self.mesh,
                     k=k_eff,
-                    rescore=max(self.base.rerank_factor, 4),
+                    rescore=max(self.base.resolved_rerank_factor(), 4),
                 )
             q_pad = self.base._q_pad(q).astype(self.cache_sharded.dtype)
             return pops.sharded_exact_scan(
@@ -187,11 +209,12 @@ class ShardedFlatIndex(Index):
         # block-winner count and the rerank over-fetch, clamped to the
         # per-shard kernel envelope
         rerank_k = 0
-        if self.base.rerank_factor > 1:
+        rerank = self.base.resolved_rerank_factor()
+        if rerank > 1:
             local_n = self.codes_sharded.shape[0] // self.mesh.shape[ROWS]
             rerank_k = min(
                 local_n,
-                k_eff * self.base.rerank_factor,
+                k_eff * rerank,
                 128,
                 max(k_eff, local_n // 256),
             )
@@ -210,7 +233,7 @@ class ShardedFlatIndex(Index):
             precision=self.base.precision,
             topk_impl=self.base.topk_impl,
             recall_target=self.base.recall_target,
-            winners=self.base.pallas_winners,
+            winners=self.base.resolved_pallas_winners(),
             rerank_k=rerank_k,
         )
         return dists, ids
@@ -527,10 +550,10 @@ class ShardedIVFIndex(Index):
         return ShardedIVFIndex(
             base=index,
             mesh=mesh,
-            codes_sharded=jax.device_put(codes_s, row_sh),
-            row_const_sharded=jax.device_put(rc_s, row_sh2),
-            group_ids_sharded=jax.device_put(gid_s, row_sh2),
-            loc2glob_sharded=jax.device_put(l2g_s, row_sh2),
+            codes_sharded=place_global(codes_s, row_sh),
+            row_const_sharded=place_global(rc_s, row_sh2),
+            group_ids_sharded=place_global(gid_s, row_sh2),
+            loc2glob_sharded=place_global(l2g_s, row_sh2),
             codebooks_rep=replicate(np.asarray(index.pq.codebooks), mesh),
             centroids_rep=replicate(np.asarray(index.centroids), mesh),
             part_shard=part_shard,
@@ -567,7 +590,9 @@ class ShardedIVFIndex(Index):
 
     def query_arrays(self, k: int, vectors):
         # normalize + OPQ rotation, same prep as the single-chip path
-        q = self.base._prepare_queries(vectors)
+        q = _global_queries(
+            self.base._prepare_queries(vectors), self.mesh
+        )
 
         cn = sq_norms(self.centroids_rep)
         qc_ip = jnp.matmul(
@@ -903,6 +928,7 @@ class ShardedExactIndex(Index):
             )
         if self.base.metric.normalized:
             q = normalize_rows(q)
+        q = _global_queries(q, self.mesh)
         k_eff = min(k, self.size)
         local_n = self.vectors_sharded.shape[0] // self.mesh.shape[ROWS]
         strategy = self.base.scan_strategy

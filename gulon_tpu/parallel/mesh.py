@@ -102,12 +102,35 @@ def pad_rows_to_shards(
     return array, n_pad
 
 
+def place_global(full: np.ndarray, sharding: NamedSharding) -> jax.Array:
+    """Place a host value under ``sharding``, multi-process included.
+
+    Single-process this is ``jax.device_put``. Multi-process, the mesh
+    spans non-addressable devices; every process holds the SAME full host
+    value (the multi-host contract of this layer — each host parses or
+    builds the identical corpus) and contributes only its addressable
+    shards via ``jax.make_array_from_single_device_arrays`` — the same
+    decomposition ``device_put`` performs on a real multi-host TPU slice.
+    """
+    if jax.process_count() == 1:
+        return jax.device_put(full, sharding)
+    shards = [
+        jax.device_put(full[idx], d)
+        for d, idx in sharding.addressable_devices_indices_map(
+            full.shape
+        ).items()
+    ]
+    return jax.make_array_from_single_device_arrays(
+        full.shape, sharding, shards
+    )
+
+
 def shard_rows(array, mesh: Mesh, pad_value=0) -> jax.Array:
     """Pad + place an array row-sharded across the mesh."""
     arr = np.asarray(array)
     padded, _ = pad_rows_to_shards(arr, mesh, pad_value)
-    return jax.device_put(padded, row_sharding(mesh, padded.ndim))
+    return place_global(padded, row_sharding(mesh, padded.ndim))
 
 
 def replicate(array, mesh: Mesh) -> jax.Array:
-    return jax.device_put(np.asarray(array), replicated(mesh))
+    return place_global(np.asarray(array), replicated(mesh))

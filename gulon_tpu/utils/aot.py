@@ -69,10 +69,11 @@ def _flat_callable(index, k: int):
         # mirror the live path's serving knobs (models/flat.py:146-151,
         # 253-276): block-winner count and the exact-rescore over-fetch —
         # an AOT artifact must return the same results as the jitted path
-        winners = index.pallas_winners
+        winners = index.resolved_pallas_winners()
         k_scan = k_eff
-        if index.rerank_factor > 1:
-            k_scan = min(n, k_eff * index.rerank_factor)
+        rerank = index.resolved_rerank_factor()
+        if rerank > 1:
+            k_scan = min(n, k_eff * rerank)
             k_scan = min(k_scan, 128, max(k_eff, n // 256))
 
         if k_scan > k_eff:

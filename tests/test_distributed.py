@@ -126,3 +126,116 @@ def test_two_process_distributed_mesh(tmp_path):
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {i} failed:\n{out}"
         assert f"proc {i} OK" in out
+
+
+_INDEX_WORKER = r"""
+import os, sys
+import numpy as np
+
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+proc_id = int(sys.argv[1])
+port = sys.argv[2]
+
+from gulon_tpu.parallel.mesh import distributed_init, make_mesh, ROWS
+
+distributed_init(
+    coordinator_address=f"127.0.0.1:{port}",
+    num_processes=2,
+    process_id=proc_id,
+)
+assert jax.process_count() == 2
+mesh = make_mesh()
+assert mesh.shape[ROWS] == 8
+
+# Both processes build the IDENTICAL index from the same seeded host data
+# (the multi-host contract: each host parses the same corpus); the sharded
+# classes then place only their addressable shards
+# (parallel/mesh.place_global -> make_array_from_single_device_arrays).
+from gulon_tpu.models.build import build_flat_index, build_ivf_index
+from gulon_tpu.models.ivf import LimitGroups
+from gulon_tpu.ops.pq import PQConfig
+from gulon_tpu.parallel.index import shard_index
+
+rng = np.random.default_rng(7)
+cents = rng.normal(0, 1, (10, 16)).astype(np.float32)
+lab = rng.integers(0, 10, 3000)
+x = (cents[lab] + rng.normal(0, 0.08, (3000, 16))).astype(np.float32)
+keys = np.array([f"w{i:05d}" for i in range(3000)], dtype=object)
+q = (x[:16] + rng.normal(0, 0.01, (16, 16))).astype(np.float32)
+
+flat = build_flat_index(
+    keys, x, pq_config=PQConfig(num_clusters=16, num_quantizers=4,
+                                max_iters=6),
+)
+flat.scan_strategy = "decode"
+flat.topk_impl = "exact"
+d_ref, i_ref = map(np.asarray, flat.query_arrays(5, q))
+
+sh = shard_index(flat, mesh)  # REAL ShardedFlatIndex across 2 processes
+d_s, i_s = map(np.asarray, sh.query_arrays(5, q))
+np.testing.assert_allclose(d_s, d_ref, rtol=1e-5, atol=1e-5)
+for j in range(len(q)):
+    assert set(i_s[j]) == set(i_ref[j]), (j, i_s[j], i_ref[j])
+
+ivf = build_ivf_index(
+    keys, x,
+    pq_config=PQConfig(num_clusters=16, num_quantizers=4, max_iters=6),
+    num_partitions=12,
+    strategy=LimitGroups(4),
+    coarse_max_iters=6,
+)
+ivf.scan_strategy = "masked"
+ivf.topk_impl = "exact"
+d_ref2, i_ref2 = map(np.asarray, ivf.query_arrays(5, q))
+
+sh2 = shard_index(ivf, mesh)  # REAL ShardedIVFIndex across 2 processes
+d_s2, i_s2 = map(np.asarray, sh2.query_arrays(5, q))
+np.testing.assert_allclose(d_s2, d_ref2, rtol=1e-4, atol=1e-4)
+for j in range(len(q)):
+    assert set(i_s2[j]) == set(i_ref2[j]), (j, i_s2[j], i_ref2[j])
+
+print(f"proc {proc_id} INDEX OK")
+"""
+
+
+@pytest.mark.slow
+def test_two_process_sharded_index_classes(tmp_path):
+    """The full sharded index classes — not just the collective — execute
+    across two processes: each process assembles its local shards into a
+    real ShardedFlatIndex / ShardedIVFIndex and query_arrays matches the
+    single-process base result (VERDICT r3 item 6)."""
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    script = tmp_path / "index_worker.py"
+    script.write_text(_INDEX_WORKER)
+    env = dict(
+        os.environ,
+        XLA_FLAGS="--xla_force_host_platform_device_count=4",
+        PYTHONPATH=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        JAX_PLATFORMS="cpu",
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(i), str(port)],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=300)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("distributed index workers timed out")
+        outs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i} failed:\n{out}"
+        assert f"proc {i} INDEX OK" in out

@@ -274,3 +274,121 @@ def test_full_index_blob_golden_grouped_w12(tmp_path):
     assert isinstance(idx.strategy, LimitVectors) and idx.strategy.count == 2
     assert list(idx.key_index.keys) == ["a", "b", "x", "y"]
     np.testing.assert_array_equal(np.asarray(idx.group_ids), [0, 0, 1, 1])
+
+
+# --- round-4 fixtures: every Coder.scala:27-28 storage width and both ---
+# --- strategy enums as COMPLETE byte-pinned Index blobs (VERDICT item 5) ---
+
+# fixture -> (builder, oneof field, expected (enc fields) incl. the
+# hand-packed per-subspace code streams). All derived from Coder.scala:
+#   w2/w4: little-endian-within-byte sub-byte packing (Coder.scala:99-127)
+#   w8:    identity bytes (Coder.scala:128-140)
+#   w16:   BytePlus(8) = MSB byte-plane + raw low bytes (Coder.scala:142-168)
+_FULL_GOLDENS = {
+    # codes [[1,2],[3,0],[0,1]]: sub0 [1,3,0] -> 0b00_00_11_01; sub1
+    # [2,0,1] -> 0b00_01_00_10. Metric COSINE (enum 1).
+    "sorted_w2_cosine.pb": ("sorted_w2_cosine", 1, 2, 3,
+                            [bytes([0x0D]), bytes([0x12])]),
+    # codes [[10,3],[7,15],[1,0]]: sub0 [10,7,1] -> [0x7A, 0x01]; sub1
+    # [3,15,0] -> [0xF3, 0x00]
+    "sorted_w4.pb": ("sorted_w4", 1, 4, 3,
+                     [bytes([0x7A, 0x01]), bytes([0xF3, 0x00])]),
+    # K=5000 -> logical 13 rounds up to storage 16. codes [[4999,0],
+    # [1234,2]]: sub0 msb [19,4] + lsb [135,210]; sub1 msb [0,0] + [0,2]
+    "sorted_w16.pb": ("sorted_w16", 1, 16, 2,
+                      [bytes([19, 4, 135, 210]), bytes([0, 0, 0, 2])]),
+    # codes [[5],[254],[0],[7]] -> identity bytes
+    "grouped_w8_groups.pb": ("grouped_w8_groups", 2, 8, 4,
+                             [bytes([0x05, 0xFE, 0x00, 0x07])]),
+    # codes [[10],[3],[7],[0]] -> [0x3A, 0x07]
+    "grouped_w4_opq.pb": ("grouped_w4_opq", 2, 4, 4,
+                          [bytes([0x3A, 0x07])]),
+}
+
+
+def _scalar_fields(inner):
+    return {f: v for f, w, v in inner if w == 0}
+
+
+def test_full_index_blob_goldens_all_widths(tmp_path):
+    """Every remaining storage width (2/4/8/16 bits) and both strategy
+    enums pinned as complete serialized Index blobs: save_index must
+    reproduce each fixture byte-for-byte, the protobuf-independent wire
+    walk must find the hand-packed encodings, and load_index must serve
+    the result (codes, metric, strategy, rotation all round-trip)."""
+    import sys
+    import os
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "golden"))
+    import make_golden
+
+    from gulon_tpu.utils.serde import load_index, save_index
+
+    for name, (builder, oneof, width, nrows, encs) in _FULL_GOLDENS.items():
+        golden = open(_golden_path(name), "rb").read()
+        out = str(tmp_path / name)
+        built = getattr(make_golden, builder)()
+        save_index(built, out)
+        assert open(out, "rb").read() == golden, name
+
+        top = _top_level_fields(golden)
+        assert [(f, w) for f, w, _ in top] == [(oneof, 2)], name
+        inner = _top_level_fields(top[0][2])
+        vec = next(v for f, w, v in inner if f == 2 and w == 2)
+        pqi = _top_level_fields(vec)
+        assert [(f, w) for f, w, _ in pqi] == [(1, 2), (2, 2)], name
+        enc = _top_level_fields(pqi[1][2])
+        assert (enc[0][0], enc[0][2]) == (1, width), name  # code_width
+        assert (enc[1][0], enc[1][2]) == (2, nrows), name  # length
+        assert [bytes(v) for f, _, v in enc[2:] if f == 3] == encs, name
+
+        idx = load_index(_golden_path(name))
+        np.testing.assert_array_equal(
+            np.asarray(idx.codes), np.asarray(built.codes)
+        )
+        assert idx.metric == built.metric
+        assert type(idx) is type(built)
+
+
+def test_grouped_w8_groups_strategy_wire():
+    """LIMIT_GROUPS (enum 0) is written explicitly (field 6 present with
+    value 0 — proto2 presence semantics) with its limit (field 7)."""
+    golden = open(_golden_path("grouped_w8_groups.pb"), "rb").read()
+    inner = _top_level_fields(_top_level_fields(golden)[0][2])
+    scal = _scalar_fields(inner)
+    assert scal[3] == 0  # Metric.L2
+    assert scal[5] == 2  # offsets = [2]
+    assert scal[6] == 0  # Strategy.LIMIT_GROUPS
+    assert scal[7] == 2  # limit
+
+    from gulon_tpu.models.ivf import LimitGroups
+    from gulon_tpu.utils.serde import load_index
+
+    idx = load_index(_golden_path("grouped_w8_groups.pb"))
+    assert isinstance(idx.strategy, LimitGroups) and idx.strategy.count == 2
+
+
+def test_grouped_w4_opq_rotation_wire():
+    """The OPQ rotation rides the documented extension field 100 as a
+    FloatVector; it round-trips exactly (permutation matrix, exact f32)."""
+    golden = open(_golden_path("grouped_w4_opq.pb"), "rb").read()
+    inner = _top_level_fields(_top_level_fields(golden)[0][2])
+    scal = _scalar_fields(inner)
+    assert scal[6] == 2 and scal[7] == 3  # LIMIT_VECTORS(3)
+    rot_payload = next(v for f, w, v in inner if f == 100)
+    # FloatVector { repeated float values = 1 }: 4 fixed32 entries
+    rot_fields = _top_level_fields(rot_payload)
+    vals = [
+        np.frombuffer(v, "<f4")[0] for f, w, v in rot_fields
+        if f == 1 and w == 5
+    ]
+    assert vals == [0.0, 1.0, 1.0, 0.0]
+
+    from gulon_tpu.models.ivf import LimitVectors
+    from gulon_tpu.utils.serde import load_index
+
+    idx = load_index(_golden_path("grouped_w4_opq.pb"))
+    assert isinstance(idx.strategy, LimitVectors) and idx.strategy.count == 3
+    np.testing.assert_array_equal(
+        np.asarray(idx.rotation), [[0.0, 1.0], [1.0, 0.0]]
+    )

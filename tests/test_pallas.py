@@ -431,3 +431,51 @@ def test_epilogue_ties_break_toward_smaller_row_ids():
     expected = set(dup_rows[:k].tolist())
     got = set(i_p.tolist())
     assert got == expected, (sorted(got), sorted(expected))
+
+
+def test_auto_rerank_degeneracy_stat():
+    """rerank_factor=0 (default) resolves from the distinct-code stat:
+    healthy corpora -> 1 (no over-fetch), code-collapsed corpora -> >1
+    (VERDICT r3 item 3: the default config must express what its codes
+    can without an operator knob)."""
+    import dataclasses
+
+    rng = np.random.default_rng(3)
+    n, d = 4000, 16
+    # healthy: full-rank gaussian rows -> nearly all code tuples distinct
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    keys = random_keys(rng, n)
+    cfg = PQConfig(num_clusters=32, num_quantizers=4, max_iters=8)
+    healthy = build_flat_index(keys, x, pq_config=cfg)
+    assert healthy.rerank_factor == 0  # the auto default
+    assert healthy.resolved_rerank_factor() == 1
+
+    # degenerate: every row is one of 64 repeated prototypes -> ~64
+    # distinct code tuples over 4000 rows (dup ~ 62)
+    protos = rng.normal(size=(64, d)).astype(np.float32)
+    xd = protos[rng.integers(0, 64, n)]
+    degen = build_flat_index(keys, xd, pq_config=cfg)
+    rf = degen.resolved_rerank_factor()
+    assert rf >= 4, rf
+    # memoized, and reset by row updates
+    assert degen._auto_rerank == rf
+    degen2 = degen.remove([keys[0]])
+    assert degen2._auto_rerank is None
+    # explicit knob still wins
+    forced = dataclasses.replace(degen, rerank_factor=2)
+    assert forced.resolved_rerank_factor() == 2
+
+    # end-to-end on the degenerate corpus: the default (auto) pallas scan
+    # must reach the decode-scan ceiling under the distance protocol
+    q = (xd[:8] + rng.normal(0, 0.01, (8, d))).astype(np.float32)
+    ceiling = dataclasses.replace(degen, scan_strategy="decode",
+                                  precision="highest", topk_impl="exact")
+    d_c, _ = map(np.asarray, ceiling.query_arrays(10, q))
+    degen.scan_strategy = "pallas"  # interpret mode on CPU
+    d_p, i_p = map(np.asarray, degen.query_arrays(10, q))
+    # every returned distance within the ceiling's kth cutoff (eps=1e-5:
+    # the rescore's f32 LUT contraction differs from the ceiling scan's
+    # by ~1 ulp on identical-code cohorts — the protocol's eps exists for
+    # exactly this, Tests.scala:33-35)
+    cutoff = d_c[:, -1] * (1 + 1e-5)
+    assert (d_p <= cutoff[:, None]).mean() >= 0.99, (d_p, cutoff)
