@@ -158,6 +158,20 @@ def main():
         # amortize it: the serving-throughput configuration
         for nq in (1024, 2048, 4096):
             adc_shape(2_196_017, 300, 16, 256, num_q=nq)
+    elif which == "decode":
+        # the fifth attack on the deep-shape decode floor (VERDICT r3
+        # item 4): A/B the in-kernel decode formulations at both the
+        # headline and the decode-bound glove300 shape. Run each mode in
+        # a FRESH process (the env var is read at trace time):
+        #   for m in base bf16cmp take; do
+        #     GULON_ADC_DECODE=$m python benchmarks/kernel_ab.py decode
+        #   done
+        import os
+
+        mode = os.environ.get("GULON_ADC_DECODE", "base")
+        print(f"decode mode: {mode}")
+        adc_shape(400_000, 100, 8, 256)
+        adc_shape(2_196_017, 300, 16, 256)
     elif which == "dense":
         dense_shape()
     else:

@@ -112,6 +112,29 @@ def padded_depth(m: int, dsub: int) -> int:
     return _round_up(m * dsub + 2, 8)
 
 
+def _decode_mode() -> str:
+    """In-kernel decode formulation (the deep-shape bottleneck: m*K*N
+    one-hot compares dominate at glove300, ~4.5 ms of 13.5 per
+    1024-batch). Env-gated probes for the fifth attack on that floor
+    (VERDICT r3 item 4); read at trace time:
+
+    - ``base``  (default): i32 compare -> bf16 one-hot -> MXU matmul
+      (the measured v5-v7 path);
+    - ``bf16cmp``: the iota/code compare runs in bf16 (exact for
+      K <= 256 integers) and selects bf16 weights directly — if Mosaic
+      issues native 16-bit VPU compares this halves the per-element
+      compare+cast cost;
+    - ``take``: no one-hot at all — ``dec^T[s] = cbT[s][:, codes]``
+      as a lane-axis ``jnp.take`` ([dsub, K] gathered by [T] indices,
+      the reference's actual ADC table walk, Index.scala:393-409).
+      Whether Mosaic lowers this gather competitively (or at all) is
+      exactly what the probe settles.
+    """
+    import os
+
+    return os.environ.get("GULON_ADC_DECODE", "base")
+
+
 def _natural(mdp: int) -> bool:
     """Whether to transpose dec^T in-kernel and run the canonical
     natural-layout distance matmul. Measured at glove300 (depth 312,
@@ -219,6 +242,7 @@ def _adc_fused_kernel(
     winners: int = 1,
     natural: bool = False,
     interpret: bool = False,
+    decode_mode: str = "base",
 ):
     t = tile_rows
     qt = q_ref.shape[1] if natural else q_ref.shape[0]
@@ -233,7 +257,13 @@ def _adc_fused_kernel(
         if mdp > md + 2:  # zero ONLY the pad rows (a whole-scratch zero
             # is ~1 MB/row-tile of pure VMEM traffic at t=4096)
             decT_ref[md + 2 :, :] = jnp.zeros((mdp - md - 2, t), jnp.bfloat16)
-        row_iota = jax.lax.broadcasted_iota(jnp.int32, (k_codes, t), 0)
+        mode = decode_mode
+        if mode == "bf16cmp":
+            row_iota = jax.lax.broadcasted_iota(
+                jnp.bfloat16, (k_codes, t), 0
+            )
+        else:
+            row_iota = jax.lax.broadcasted_iota(jnp.int32, (k_codes, t), 0)
         for s in range(m):
             row = codes_ref[s, :]
             if codes_ref.dtype == jnp.int8:
@@ -242,9 +272,23 @@ def _adc_fused_kernel(
                 row = row.astype(jnp.int32) + 128
             elif codes_ref.dtype != jnp.int32:
                 row = row.astype(jnp.int32)
-            onehotT = (row.reshape(1, t) == row_iota).astype(
-                jnp.bfloat16
-            )  # [K, T]
+            if mode == "take":
+                # gather the codebook columns by code (lane-axis take):
+                # the table walk itself, no one-hot, no decode matmul
+                decT_ref[s * dsub : (s + 1) * dsub, :] = jnp.take(
+                    cbT_ref[s], row, axis=1
+                )
+                continue
+            if mode == "bf16cmp":
+                # bf16 holds integers <= 256 exactly; a 16-bit compare
+                # lane is 2x the elements per VPU op of the i32 one
+                onehotT = (
+                    row.astype(jnp.bfloat16).reshape(1, t) == row_iota
+                ).astype(jnp.bfloat16)
+            else:
+                onehotT = (row.reshape(1, t) == row_iota).astype(
+                    jnp.bfloat16
+                )  # [K, T]
             # [dsub, K] x [K, T]: streams only dsub rows through the MXU
             decT_ref[s * dsub : (s + 1) * dsub, :] = jax.lax.dot_general(
                 cbT_ref[s],
@@ -387,9 +431,13 @@ def _block_scan(
     n_qt = q_pad.shape[0] // qt
     nblk = t // _LANES
 
+    decode_mode = _decode_mode()
+    if decode_mode == "bf16cmp" and k_codes > 256:
+        decode_mode = "base"  # bf16 holds ints exactly only to 256
     kernel = functools.partial(
         _adc_fused_kernel, m=m, k_codes=k_codes, dsub=dsub, tile_rows=t,
         winners=winners, natural=natural, interpret=interpret,
+        decode_mode=decode_mode,
     )
     q_op = q_pad.astype(jnp.bfloat16)
     if natural:

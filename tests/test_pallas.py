@@ -479,3 +479,33 @@ def test_auto_rerank_degeneracy_stat():
     # exactly this, Tests.scala:33-35)
     cutoff = d_c[:, -1] * (1 + 1e-5)
     assert (d_p <= cutoff[:, None]).mean() >= 0.99, (d_p, cutoff)
+
+
+def test_decode_mode_variants_match(setup, monkeypatch):
+    """The env-gated in-kernel decode formulations (bf16 compare one-hot;
+    gather-based table walk — the deep-shape decode-floor probes) return
+    the base formulation's results in interpret mode."""
+    import gulon_tpu.ops.pallas.adc as adc
+
+    x, q, pq, codes, norms = setup
+    q8 = jnp.asarray(q[:8])
+
+    def run():
+        adc.adc_scan_pallas._clear_cache()
+        d_, i_ = adc.adc_scan_pallas(
+            q8, pq.codebooks, codes, norms,
+            bounds=pq.bounds, k=10, tile_rows=5120, interpret=True,
+        )
+        return np.asarray(d_), np.asarray(i_)
+
+    base = run()
+    for mode in ("bf16cmp", "take"):
+        monkeypatch.setenv("GULON_ADC_DECODE", mode)
+        d_v, i_v = run()
+        np.testing.assert_allclose(d_v, base[0], rtol=2e-2, atol=2e-2)
+        agree = np.mean(
+            [len(set(i_v[j]) & set(base[1][j])) / 10 for j in range(8)]
+        )
+        assert agree == 1.0, (mode, agree)
+    monkeypatch.delenv("GULON_ADC_DECODE")
+    adc.adc_scan_pallas._clear_cache()
