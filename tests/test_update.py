@@ -147,6 +147,10 @@ def test_flat_update_drops_stale_caches(corpus):
     base = build_flat_index(keys[:500], x[:500], pq_config=_PQ)
     base.enable_cache()
     base.scan_strategy = "cached"
+    # pin rerank off: this test checks cache staleness, and the auto
+    # degeneracy rerank would exact-rescore the cached path's candidates
+    # (different tie order than the unrescored decode scan)
+    base.rerank_factor = 1
     updated = base.remove(keys[:100])
     assert updated.decoded_cache is None
     # the cached strategy must rebuild over the NEW row set lazily
