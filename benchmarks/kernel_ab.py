@@ -169,7 +169,8 @@ def main():
         import os
 
         mode = os.environ.get("GULON_ADC_DECODE", "base")
-        print(f"decode mode: {mode}")
+        pipe = os.environ.get("GULON_ADC_PIPE", "")
+        print(f"decode mode: {mode}  pipe: {pipe or '0'}")
         adc_shape(400_000, 100, 8, 256)
         adc_shape(2_196_017, 300, 16, 256)
     elif which == "dense":

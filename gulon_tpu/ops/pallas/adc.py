@@ -135,6 +135,21 @@ def _decode_mode() -> str:
     return os.environ.get("GULON_ADC_DECODE", "base")
 
 
+def _pipe() -> bool:
+    """Software-pipelined decode (``GULON_ADC_PIPE=1``): decode row tile
+    r+1 into the alternate scratch during row tile r's LAST query step,
+    so the next tile's one-hot decode (VPU) can overlap this tile's
+    distance matmuls (MXU). At glove300 the decode (~4.5 ms/batch) runs
+    serially after the matmul (~7 ms) in the base schedule; if Mosaic
+    dual-issues the independent VPU/MXU streams this hides most of it.
+    The lookahead codes ride a second BlockSpec of the same operand
+    (index r+1) — ~2x code DMA traffic, irrelevant at m bytes/row.
+    Probe for VERDICT r3 item 4; default off until measured."""
+    import os
+
+    return os.environ.get("GULON_ADC_PIPE", "") not in ("", "0")
+
+
 def _natural(mdp: int) -> bool:
     """Whether to transpose dec^T in-kernel and run the canonical
     natural-layout distance matmul. Measured at glove300 (depth 312,
@@ -226,6 +241,161 @@ def pack_codes_t(codes, k_codes: int) -> jax.Array:
     return jnp.asarray(c.astype(np.int32).T)
 
 
+def _decode_columns(
+    dec_ref,     # [MDP, T] bf16 scratch to fill
+    codes_ref,   # [m, T'] code block (T' >= off + t)
+    norms_ref,   # [2, T'] bf16 norm block
+    cbT_ref,     # [m, dsub, K] bf16
+    *,
+    off: int,    # column offset into the code/norm blocks
+    t: int,
+    m: int,
+    k_codes: int,
+    dsub: int,
+    decode_mode: str,
+):
+    """One row tile's transposed decode (shared by the base and pipelined
+    kernels): one-hot (or gather) per subspace + the two norm rows."""
+    md = m * dsub
+    mdp = dec_ref.shape[0]
+    if mdp > md + 2:  # zero ONLY the pad rows
+        dec_ref[md + 2 :, :] = jnp.zeros((mdp - md - 2, t), jnp.bfloat16)
+    if decode_mode == "bf16cmp":
+        row_iota = jax.lax.broadcasted_iota(jnp.bfloat16, (k_codes, t), 0)
+    else:
+        row_iota = jax.lax.broadcasted_iota(jnp.int32, (k_codes, t), 0)
+    for s in range(m):
+        row = codes_ref[s, pl.ds(off, t)]
+        if codes_ref.dtype == jnp.int8:
+            # offset-encoded uint8 codes (code - 128 as i8): only the
+            # [1, T] slice pays the widening, not the [K, T] compare
+            row = row.astype(jnp.int32) + 128
+        elif codes_ref.dtype != jnp.int32:
+            row = row.astype(jnp.int32)
+        if decode_mode == "take":
+            # gather the codebook columns by code (lane-axis take):
+            # the table walk itself, no one-hot, no decode matmul
+            dec_ref[s * dsub : (s + 1) * dsub, :] = jnp.take(
+                cbT_ref[s], row, axis=1
+            )
+            continue
+        if decode_mode == "bf16cmp":
+            # bf16 holds integers <= 256 exactly; a 16-bit compare
+            # lane is 2x the elements per VPU op of the i32 one
+            onehotT = (
+                row.astype(jnp.bfloat16).reshape(1, t) == row_iota
+            ).astype(jnp.bfloat16)
+        else:
+            onehotT = (row.reshape(1, t) == row_iota).astype(
+                jnp.bfloat16
+            )  # [K, T]
+        # [dsub, K] x [K, T]: streams only dsub rows through the MXU
+        dec_ref[s * dsub : (s + 1) * dsub, :] = jax.lax.dot_general(
+            cbT_ref[s],
+            onehotT,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.bfloat16)
+    # the two norm rows: against the queries' unit lanes the fused
+    # matmul emits norms - 2<q, dec> directly — no VPU epilogue pass
+    dec_ref[md : md + 2, :] = norms_ref[:, pl.ds(off, t)]
+
+
+def _block_select(scores, packed_ref, *, row0: int, t: int, qt: int,
+                  winners: int):
+    """v7 lane-packed block-min selection of a [T, QT] score tile into
+    ``packed_ref`` rows [row0, row0 + winners*T/128)."""
+    nblk = t // _LANES
+    s3 = scores.reshape(nblk, _LANES, qt)
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (nblk, _LANES, qt), 1)
+    packed3 = jax.lax.bitcast_convert_type(
+        (jax.lax.bitcast_convert_type(s3, jnp.int32) & jnp.int32(~127))
+        | lane_iota,
+        jnp.float32,
+    )
+    if winners == 1:
+        packed_ref[row0 : row0 + nblk, :] = jnp.min(packed3, axis=1)
+        return
+    masked = packed3
+    for w in range(winners):
+        vmin = jnp.min(masked, axis=1)  # [NB, QT] packed
+        packed_ref[row0 + w * nblk : row0 + (w + 1) * nblk, :] = vmin
+        if w + 1 < winners:
+            masked = jnp.where(masked == vmin[:, None, :], _BIG, masked)
+
+
+def _adc_fused_kernel_pipe(
+    codes_ref,   # [m, 2T] code block for row-tile pair g (cols 2 tiles)
+    codes_nx_ref,  # [m, 2T] block for pair g+1 (lookahead; g+1 clamped)
+    norms_ref,   # [2, 2T] bf16 norms for pair g
+    norms_nx_ref,  # [2, 2T] norms for pair g+1
+    q_ref,       # [QT, MDP] bf16 block (-2x scaled, unit norm lanes)
+    cbT_ref,     # [m, dsub, K] bf16 (whole)
+    packed_ref,  # out [2*W*NB, QT] f32 block for the pair
+    dec0_ref,    # scratch [MDP, T] bf16 — even tile of the pair
+    dec1_ref,    # scratch [MDP, T] bf16 — odd tile
+    *,
+    m: int,
+    k_codes: int,
+    dsub: int,
+    tile_rows: int,
+    n_pairs: int,
+    n_qt: int,
+    winners: int = 1,
+    decode_mode: str = "base",
+):
+    """Software-pipelined schedule (GULON_ADC_PIPE=1): each grid step
+    owns a PAIR of row tiles with static scratch slots, and every decode
+    after the prologue is program-ordered AFTER an independent distance
+    matmul — Mosaic can overlap the one-hot decode (VPU) with the MXU
+    passes instead of serializing them (the glove300 bottleneck).
+
+    Steady state entering step (g, q=0): dec0 already holds tile 2g
+    (decoded during step (g-1, last q)). Schedule:
+      mm(dec0) -> [q == 0] decode tile 2g+1 -> mm(dec1)
+      -> [q == last] decode tile 2g+2 into dec0 (lookahead block).
+    """
+    t = tile_rows
+    qt = q_ref.shape[0]
+    nblk = t // _LANES
+    g = pl.program_id(0)
+    q_idx = pl.program_id(1)
+    dk = dict(t=t, m=m, k_codes=k_codes, dsub=dsub, decode_mode=decode_mode)
+
+    @pl.when(jnp.logical_and(g == 0, q_idx == 0))
+    def _():  # prologue: nothing decoded tile 0 yet
+        _decode_columns(dec0_ref, codes_ref, norms_ref, cbT_ref, off=0, **dk)
+
+    scores0 = jax.lax.dot_general(
+        dec0_ref[:],
+        q_ref[:],
+        dimension_numbers=(((0,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [T, QT]
+    _block_select(scores0, packed_ref, row0=0, t=t, qt=qt, winners=winners)
+
+    @pl.when(q_idx == 0)
+    def _():  # overlappable with scores0's MXU passes
+        _decode_columns(dec1_ref, codes_ref, norms_ref, cbT_ref, off=t, **dk)
+
+    scores1 = jax.lax.dot_general(
+        dec1_ref[:],
+        q_ref[:],
+        dimension_numbers=(((0,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    _block_select(
+        scores1, packed_ref, row0=winners * nblk, t=t, qt=qt,
+        winners=winners,
+    )
+
+    @pl.when(jnp.logical_and(q_idx == n_qt - 1, g + 1 < n_pairs))
+    def _():  # lookahead: tile 2(g+1) into dec0, overlappable with scores1
+        _decode_columns(
+            dec0_ref, codes_nx_ref, norms_nx_ref, cbT_ref, off=0, **dk
+        )
+
+
 def _adc_fused_kernel(
     codes_ref,   # [m, T] i32 block (transposed: rows on lanes)
     norms_ref,   # [2, T] bf16 block (hi/lo split of recon norms)
@@ -253,52 +423,11 @@ def _adc_fused_kernel(
     # --- decode (transposed), once per row tile ---
     @pl.when(qt_idx == 0)
     def _():
-        mdp = decT_ref.shape[0]
-        if mdp > md + 2:  # zero ONLY the pad rows (a whole-scratch zero
-            # is ~1 MB/row-tile of pure VMEM traffic at t=4096)
-            decT_ref[md + 2 :, :] = jnp.zeros((mdp - md - 2, t), jnp.bfloat16)
-        mode = decode_mode
-        if mode == "bf16cmp":
-            row_iota = jax.lax.broadcasted_iota(
-                jnp.bfloat16, (k_codes, t), 0
-            )
-        else:
-            row_iota = jax.lax.broadcasted_iota(jnp.int32, (k_codes, t), 0)
-        for s in range(m):
-            row = codes_ref[s, :]
-            if codes_ref.dtype == jnp.int8:
-                # offset-encoded uint8 codes (code - 128 as i8): only the
-                # [1, T] slice pays the widening, not the [K, T] compare
-                row = row.astype(jnp.int32) + 128
-            elif codes_ref.dtype != jnp.int32:
-                row = row.astype(jnp.int32)
-            if mode == "take":
-                # gather the codebook columns by code (lane-axis take):
-                # the table walk itself, no one-hot, no decode matmul
-                decT_ref[s * dsub : (s + 1) * dsub, :] = jnp.take(
-                    cbT_ref[s], row, axis=1
-                )
-                continue
-            if mode == "bf16cmp":
-                # bf16 holds integers <= 256 exactly; a 16-bit compare
-                # lane is 2x the elements per VPU op of the i32 one
-                onehotT = (
-                    row.astype(jnp.bfloat16).reshape(1, t) == row_iota
-                ).astype(jnp.bfloat16)
-            else:
-                onehotT = (row.reshape(1, t) == row_iota).astype(
-                    jnp.bfloat16
-                )  # [K, T]
-            # [dsub, K] x [K, T]: streams only dsub rows through the MXU
-            decT_ref[s * dsub : (s + 1) * dsub, :] = jax.lax.dot_general(
-                cbT_ref[s],
-                onehotT,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ).astype(jnp.bfloat16)
-        # the two norm rows: against the queries' unit lanes the fused
-        # matmul emits norms - 2<q, dec> directly — no VPU epilogue pass
-        decT_ref[md : md + 2, :] = norms_ref[:]
+        _decode_columns(
+            decT_ref, codes_ref, norms_ref, cbT_ref,
+            off=0, t=t, m=m, k_codes=k_codes, dsub=dsub,
+            decode_mode=decode_mode,
+        )
         if natural:
             scratch[0][:] = decT_ref[:].T
 
@@ -331,28 +460,11 @@ def _adc_fused_kernel(
     # view — no eq/where/second-min pass (v6's min-then-match cost ~2.3
     # VPU ops per score element; this is ~2.15 with half the output bytes
     # and no ids array in HBM at all). Ties pick the smallest row-in-block
-    # for positive scores (largest for negative — harmless).
-    s3 = scores.reshape(nblk, _LANES, qt)
-    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (nblk, _LANES, qt), 1)
-    packed3 = jax.lax.bitcast_convert_type(
-        (jax.lax.bitcast_convert_type(s3, jnp.int32) & jnp.int32(~127))
-        | lane_iota,
-        jnp.float32,
-    )
-    if winners == 1:
-        packed_ref[:] = jnp.min(packed3, axis=1)
-    else:
-        # ranked candidates per block: min, mask the winner (its packed
-        # bits are unique in the block — lanes differ), repeat. Losing a
-        # true top-k member needs ``winners + 1`` of them in one block.
-        masked = packed3
-        for w in range(winners):
-            vmin = jnp.min(masked, axis=1)  # [NB, QT] packed
-            packed_ref[w * nblk : (w + 1) * nblk] = vmin
-            if w + 1 < winners:
-                masked = jnp.where(
-                    masked == vmin[:, None, :], _BIG, masked
-                )
+    # for positive scores (largest for negative — harmless). >1 winners:
+    # min, mask the winner (its packed bits are unique in the block),
+    # repeat — losing a true top-k member needs ``winners + 1`` in one
+    # block.
+    _block_select(scores, packed_ref, row0=0, t=t, qt=qt, winners=winners)
 
 
 def _block_scan(
@@ -434,6 +546,14 @@ def _block_scan(
     decode_mode = _decode_mode()
     if decode_mode == "bf16cmp" and k_codes > 256:
         decode_mode = "base"  # bf16 holds ints exactly only to 256
+    pipe = _pipe() and not natural
+    if pipe:
+        return _block_scan_pipe(
+            codes_t, norms, q_pad, codebooks, qs,
+            m=m, k_codes=k_codes, dsub=dsub, mdp=mdp, qt=qt, t=t,
+            num_q=num_q, winners=winners, interpret=interpret,
+            decode_mode=decode_mode, pretransposed=pretransposed,
+        )
     kernel = functools.partial(
         _adc_fused_kernel, m=m, k_codes=k_codes, dsub=dsub, tile_rows=t,
         winners=winners, natural=natural, interpret=interpret,
@@ -481,6 +601,93 @@ def _block_scan(
     # rank w of block j sits at column r*W*nblk + w*nblk + j)
     wn = winners * nblk
     cols = np.arange(n_rt * wn, dtype=np.int64)
+    base_cols = ((cols // wn) * t + (cols % wn) % nblk * _LANES).astype(
+        np.int32
+    )
+    return (
+        block_p.T[:num_q],
+        jnp.asarray(base_cols),
+        qs,
+        codes_t,
+        pretransposed,
+    )
+
+
+def _block_scan_pipe(
+    codes_t, norms, q_pad, codebooks, qs, *,
+    m, k_codes, dsub, mdp, qt, t, num_q, winners, interpret,
+    decode_mode, pretransposed,
+):
+    """Pipelined launch (see ``_adc_fused_kernel_pipe``): pair-of-row-tiles
+    grid with static scratch slots; same winner-column layout as the base
+    launch, so the epilogue and ``base_cols`` math are unchanged."""
+    budget = 14 * 1024 * 1024
+    while t > 1024 and (
+        2 * 4 * qt * t  # scores0/scores1 may coexist
+        + 2 * 2 * mdp * t  # two dec scratches
+        + 2 * 2 * t * k_codes  # one-hot temp
+        + 2 * 4 * m * 2 * t  # current + lookahead code blocks
+    ) >= budget:
+        t //= 2
+    pad2 = (-codes_t.shape[1]) % (2 * t)
+    if pad2:
+        codes_t = jnp.pad(codes_t, ((0, 0), (0, pad2)))
+        norms = jnp.pad(norms, (0, pad2), constant_values=_BIG)
+    n_pairs = codes_t.shape[1] // (2 * t)
+    n_qt = q_pad.shape[0] // qt
+    nblk = t // _LANES
+    wn2 = 2 * winners * nblk
+
+    kernel = functools.partial(
+        _adc_fused_kernel_pipe, m=m, k_codes=k_codes, dsub=dsub,
+        tile_rows=t, n_pairs=n_pairs, n_qt=n_qt, winners=winners,
+        decode_mode=decode_mode,
+    )
+
+    def cur(g, q):
+        return (0, g)
+
+    def nxt(g, q):
+        return (0, jnp.minimum(g + 1, n_pairs - 1))
+
+    norms_hl = _split_hi_lo(norms)
+    block_p = pl.pallas_call(
+        kernel,
+        grid=(n_pairs, n_qt),  # query axis innermost, like the base
+        in_specs=[
+            pl.BlockSpec((m, 2 * t), cur, memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, 2 * t), nxt, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, 2 * t), cur, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, 2 * t), nxt, memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (qt, mdp), lambda g, q: (q, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # codebooks^T (whole)
+        ],
+        out_specs=pl.BlockSpec(
+            (wn2, qt), lambda g, q: (g, q), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (n_pairs * wn2, q_pad.shape[0]), jnp.float32
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((mdp, t), jnp.bfloat16),
+            pltpu.VMEM((mdp, t), jnp.bfloat16),
+        ],
+        interpret=interpret,
+    )(
+        codes_t,
+        codes_t,
+        norms_hl,
+        norms_hl,
+        q_pad.astype(jnp.bfloat16),
+        jnp.transpose(codebooks, (0, 2, 1)).astype(jnp.bfloat16),
+    )
+
+    # identical winner-column geometry to the base launch with
+    # n_rt = 2 * n_pairs consecutive row tiles
+    wn = winners * nblk
+    cols = np.arange(2 * n_pairs * wn, dtype=np.int64)
     base_cols = ((cols // wn) * t + (cols % wn) % nblk * _LANES).astype(
         np.int32
     )

@@ -509,3 +509,31 @@ def test_decode_mode_variants_match(setup, monkeypatch):
         assert agree == 1.0, (mode, agree)
     monkeypatch.delenv("GULON_ADC_DECODE")
     adc.adc_scan_pallas._clear_cache()
+
+
+def test_pipe_schedule_matches_base(setup, monkeypatch):
+    """GULON_ADC_PIPE=1 (pair-grid software-pipelined decode) returns
+    bit-identical results to the base schedule in interpret mode, for
+    winners 1 and 2 and for odd row-tile counts (pair padding)."""
+    import gulon_tpu.ops.pallas.adc as adc
+
+    x, q, pq, codes, norms = setup  # n=5000 -> odd tile count at t=1024
+    q8 = jnp.asarray(q[:8])
+
+    def run(winners):
+        adc.adc_scan_pallas._clear_cache()
+        d_, i_ = adc.adc_scan_pallas(
+            q8, pq.codebooks, codes, norms,
+            bounds=pq.bounds, k=10, tile_rows=1024, interpret=True,
+            winners=winners,
+        )
+        return np.asarray(d_), np.asarray(i_)
+
+    base1, base2 = run(1), run(2)
+    monkeypatch.setenv("GULON_ADC_PIPE", "1")
+    pipe1, pipe2 = run(1), run(2)
+    monkeypatch.delenv("GULON_ADC_PIPE")
+    adc.adc_scan_pallas._clear_cache()
+    for (bd, bi), (pd, pi) in ((base1, pipe1), (base2, pipe2)):
+        np.testing.assert_allclose(pd, bd, rtol=1e-6, atol=1e-6)
+        np.testing.assert_array_equal(pi, bi)
