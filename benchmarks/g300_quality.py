@@ -87,6 +87,35 @@ def main():
             f"{dist_recall(i_rr):.4f}"
         )
 
+    # the VERDICT r3 item-3 acceptance measurement: DEFAULT FlatIndex
+    # construction (auto rerank/winners from the code-degeneracy stat) —
+    # the fused path must reach >= 0.99x of the decode ceiling
+    from gulon_tpu.models.flat import FlatIndex
+    from gulon_tpu.models.keyindex import SortedKeyIndex
+    from gulon_tpu.models.metric import Metric
+
+    keys = np.empty(n, dtype=object)
+    keys[:] = ""
+    index = FlatIndex(
+        _key_index=SortedKeyIndex(keys), pq=pq, codes=codes,
+        recon_norms=norms, metric=Metric.L2,
+    )
+    index._pallas_codes_t = codes_t
+    rf = index.resolved_rerank_factor()
+    w = index.resolved_pallas_winners()
+    print(
+        f"auto knobs: dup={index._code_duplication():.2f} "
+        f"rerank={rf} winners={w}"
+    )
+    index.scan_strategy = "pallas"
+    _, i_def = index.query_arrays(10, q)
+    ceiling = dist_recall(i_hi)
+    got = dist_recall(i_def)
+    print(
+        f"DEFAULT FlatIndex (auto):     {got:.4f} "
+        f"({got / max(ceiling, 1e-9):.4f}x of ceiling)"
+    )
+
 
 if __name__ == "__main__":
     main()
