@@ -628,7 +628,9 @@ def _block_scan_pipe(
         + 2 * 2 * t * k_codes  # one-hot temp
         + 2 * 4 * m * 2 * t  # current + lookahead code blocks
     ) >= budget:
-        t //= 2
+        # keep the 1024-multiple invariant (winner blocks need t/128 to be
+        # a sublane multiple of 8)
+        t = max(1024, (t // 2) // 1024 * 1024)
     pad2 = (-codes_t.shape[1]) % (2 * t)
     if pad2:
         codes_t = jnp.pad(codes_t, ((0, 0), (0, pad2)))
