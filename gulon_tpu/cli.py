@@ -265,14 +265,31 @@ def build_parser() -> argparse.ArgumentParser:
             "--scan-strategy",
             default=None,
             help="device scan strategy (flat index: auto|decode|lut|cached|"
-            "pallas; partitioned index: masked|pallas|gathered|bucketed; "
-            "exact index: auto|xla|pallas)",
+            "pallas; partitioned index: auto|masked|pallas|gathered|"
+            "bucketed; exact index: auto|xla|pallas)",
         )
         sp.add_argument(
             "--precision",
             default=None,
             choices=["default", "highest"],
             help="scan matmul precision (default: fast bf16-pass MXU)",
+        )
+        sp.add_argument(
+            "--rerank-factor",
+            type=int,
+            default=None,
+            metavar="R",
+            help="over-fetch R*k kernel candidates and exact-rescore to k "
+            "(flat index; 0 = auto from the code-degeneracy statistic, "
+            "1 = off)",
+        )
+        sp.add_argument(
+            "--pallas-winners",
+            type=int,
+            default=None,
+            metavar="W",
+            help="ranked candidates the fused kernel keeps per 128-row "
+            "block (flat: 0 = auto; ivf: 1..4)",
         )
     for sp in (q, w, t, srv):
         sp.add_argument(
@@ -337,6 +354,30 @@ def _load_serving_index(args, reporter):
         index.scan_strategy = strategy
     if getattr(args, "precision", None):
         index.precision = args.precision
+    rerank = getattr(args, "rerank_factor", None)
+    if rerank is not None:
+        if not isinstance(index, FlatIndex):
+            raise ValueError("--rerank-factor applies to flat indices")
+        if rerank < 0:
+            raise ValueError("--rerank-factor must be >= 0 (0 = auto)")
+        index.rerank_factor = rerank
+    winners = getattr(args, "pallas_winners", None)
+    if winners is not None:
+        if isinstance(index, FlatIndex):
+            if not 0 <= winners <= 4:
+                raise ValueError(
+                    "--pallas-winners must be 0..4 for a flat index"
+                )
+        elif isinstance(index, IVFIndex):
+            if not 1 <= winners <= 4:
+                raise ValueError(
+                    "--pallas-winners must be 1..4 for a partitioned index"
+                )
+        else:
+            raise ValueError(
+                "--pallas-winners applies to flat/partitioned indices"
+            )
+        index.pallas_winners = winners
     if getattr(args, "mesh", None):
         import jax
 

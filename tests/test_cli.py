@@ -515,3 +515,52 @@ def test_build_binary_input_and_streaming_guard(corpus_file, tmp_path, capsys):
         "-o", idx, bpath,
     ]) == 1
     assert "binary" in capsys.readouterr().err
+
+
+def test_serving_knob_flags(corpus_file, tmp_path, capsys):
+    """--rerank-factor / --pallas-winners apply to the loaded index and
+    reject out-of-range / wrong-index-kind values."""
+    vecs, keys, x = corpus_file
+    idx = str(tmp_path / "knobs.idx")
+    assert _run([
+        "build-index", "--metric", "l2", "-k", "16", "-m", "4",
+        "-n", "8", "-o", idx, vecs,
+    ]) == 0
+    qfile = str(tmp_path / "kq.txt")
+    with open(qfile, "w") as f:
+        write_word2vec(WordVectors(keys[:2], x[:2]), f, header=False)
+    capsys.readouterr()
+    assert _run([
+        "query", "-k", "2", "--index", idx,
+        "--rerank-factor", "4", "--pallas-winners", "2", qfile,
+    ]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out[0].startswith(f"{keys[0]}: {keys[0]}")
+    # 0 = auto is accepted
+    assert _run([
+        "query", "-k", "2", "--index", idx, "--rerank-factor", "0", qfile,
+    ]) == 0
+    capsys.readouterr()
+    # negative rerank / out-of-range winners rejected
+    assert _run([
+        "query", "-k", "2", "--index", idx, "--rerank-factor", "-1", qfile,
+    ]) == 1
+    assert _run([
+        "query", "-k", "2", "--index", idx, "--pallas-winners", "9", qfile,
+    ]) == 1
+    capsys.readouterr()
+
+    ividx = str(tmp_path / "knobs_ivf.idx")
+    assert _run([
+        "build-index", "--metric", "l2", "-k", "16", "-m", "4",
+        "-n", "8", "-p", "--partitions", "6", "-o", ividx, vecs,
+    ]) == 0
+    capsys.readouterr()
+    assert _run([
+        "query", "-k", "2", "--index", ividx,
+        "--scan-strategy", "auto", "--pallas-winners", "3", qfile,
+    ]) == 0
+    # winners=0 (flat auto) is not meaningful for ivf
+    assert _run([
+        "query", "-k", "2", "--index", ividx, "--pallas-winners", "0", qfile,
+    ]) == 1
