@@ -1,0 +1,96 @@
+"""bench.py parent-side unit tests: event draining, bookkeeping, and the
+always-emit contract (no jax, no TPU — the parent is deliberately
+jax-free so nothing can hang it)."""
+
+import importlib.util
+import json
+import os
+import sys
+
+import numpy as np  # noqa: F401  (parity with suite imports)
+
+
+def _load_bench():
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "bench.py")
+    spec = importlib.util.spec_from_file_location("bench_mod", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_drain_apply_and_emit(tmp_path, capsys, monkeypatch):
+    bench = _load_bench()
+    monkeypatch.setenv("GULON_BENCH_CONFIGS", "glove100,kmeans,deep10m")
+    orch = bench._Orchestrator()
+    orch.results_path = str(tmp_path / "ev.jsonl")
+
+    events = [
+        {"event": "init", "device": "TPU v5 lite0", "t": 1.0},
+        {"event": "start", "config": "glove100", "t": 2.0},
+        {"event": "result", "config": "glove100",
+         "data": {"us_per_query": 1.2, "qps_per_chip": 853333.0,
+                  "index_build_s": 3.0, "program_load_s": 100.0}},
+        {"event": "skip", "config": "kmeans",
+         "reason": "insufficient budget (10s left, est 60s)"},
+        {"event": "start", "config": "deep10m", "t": 5.0},
+    ]
+    with open(orch.results_path, "w") as f:
+        for ev in events:
+            f.write(json.dumps(ev) + "\n")
+        f.write('{"event": "truncated"')  # incomplete line: must NOT drain
+
+    for ev in orch.drain_events():
+        orch.apply(ev)
+    assert orch.device == "TPU v5 lite0"
+    assert "glove100" in orch.completed
+    assert orch.skipped["kmeans"].startswith("insufficient")
+    assert "deep10m" in orch.started
+
+    # the incomplete line stays buffered; completing it drains exactly it
+    with open(orch.results_path, "a") as f:
+        f.write(', "config": "x"}\n')
+    more = orch.drain_events()
+    assert [e.get("event") for e in more] == ["truncated"]
+
+    # pending excludes completed/skipped; includes the started-but-unended
+    assert [c[0] for c in orch.pending()] == ["deep10m"]
+
+    orch.emit()
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 1
+    payload = json.loads(out[0])
+    assert payload["value"] == 1.2
+    assert payload["vs_baseline"] == round(5000.0 / 1.2, 1)
+    assert payload["configs"]["kmeans"]["skipped"].startswith("insufficient")
+    assert payload["configs"]["deep10m"]["skipped"].startswith("killed")
+    assert payload["device"] == "TPU v5 lite0"
+    # emit is once-only (signal handler + finally can both call it)
+    orch.emit()
+    assert capsys.readouterr().out == ""
+
+
+def test_emit_without_headline_reports_error(tmp_path, capsys, monkeypatch):
+    bench = _load_bench()
+    monkeypatch.setenv("GULON_BENCH_CONFIGS", "glove100")
+    orch = bench._Orchestrator()
+    orch.results_path = str(tmp_path / "ev2.jsonl")
+    orch.errors.append("init: no jax init within 330s (tunnel hang?)")
+    orch.emit()
+    payload = json.loads(capsys.readouterr().out.strip())
+    assert payload["value"] is None
+    assert payload["vs_baseline"] is None
+    assert "tunnel hang" in payload["error"]
+    assert payload["configs"]["glove100"]["skipped"].startswith("deadline")
+
+
+def test_failure_bookkeeping_two_strikes(monkeypatch, tmp_path):
+    bench = _load_bench()
+    monkeypatch.setenv("GULON_BENCH_CONFIGS", "glove100,kmeans")
+    orch = bench._Orchestrator()
+    orch.results_path = str(tmp_path / "ev3.jsonl")
+    orch.apply({"event": "error", "config": "glove100", "error": "boom"})
+    assert [c[0] for c in orch.pending()] == ["glove100", "kmeans"]
+    orch.apply({"event": "error", "config": "glove100", "error": "boom"})
+    # two strikes: dropped from pending (the respawned child skips it)
+    assert [c[0] for c in orch.pending()] == ["kmeans"]
