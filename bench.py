@@ -377,6 +377,7 @@ class _Orchestrator:
         self.completed: dict = {}  # name -> payload
         self.skipped: dict = {}  # name -> reason
         self.started: set = set()  # configs that got a start event
+        self.config_errors: dict = {}  # name -> last error message
         self.failures: dict = {}  # name -> count
         self.errors: list = []
         self.device = None
@@ -422,6 +423,7 @@ class _Orchestrator:
         elif kind == "error":
             name = ev.get("config", "?")
             self.failures[name] = self.failures.get(name, 0) + 1
+            self.config_errors[name] = ev.get("error", "?")
             self.errors.append(f"{name}: {ev.get('error', '?')}")
         elif kind == "fatal":
             self.errors.append(f"init: {ev.get('error', '?')}")
@@ -539,8 +541,10 @@ class _Orchestrator:
                 if outcome == "deadline":
                     break
                 rc = self.child.returncode
-                if outcome == "exit" and rc == 0:
-                    break  # child walked the whole plan
+                if outcome == "exit" and rc == 0 and not self.pending():
+                    break  # child walked the whole plan, nothing retryable
+                # rc == 0 with pending configs: a config errored once
+                # non-transiently — respawn for its second (last) attempt
                 # transient failure or hang: brief backoff, then respawn
                 remaining = self.deadline - time.time() - PARENT_RESERVE_S
                 if remaining < 120 or self.attempts >= self.max_attempts:
@@ -577,6 +581,10 @@ class _Orchestrator:
                 configs[name] = self.completed[name]
             elif name in self.skipped:
                 configs[name] = {"skipped": self.skipped[name]}
+            elif name in self.config_errors:
+                configs[name] = {
+                    "skipped": f"error: {self.config_errors[name]}"
+                }
             elif name in self.started:
                 configs[name] = {"skipped": "killed mid-run (deadline/cap)"}
             else:

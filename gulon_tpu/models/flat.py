@@ -154,9 +154,13 @@ class FlatIndex(Index):
                 strategy = "pallas"
             else:
                 strategy = "decode"
-        # bf16-ranked strategies over-fetch, then rescore exactly below
+        # bf16-ranked strategies over-fetch, then rescore exactly below.
+        # The degeneracy statistic resolves lazily and ONLY on the
+        # strategies that consume it (it costs a 65536-row readback once)
         k_scan = k_eff
-        rerank = self.resolved_rerank_factor()
+        rerank = 1
+        if strategy in ("pallas", "cached"):
+            rerank = self.resolved_rerank_factor()
         if strategy in ("pallas", "cached") and rerank > 1:
             k_scan = min(self.size, k_eff * rerank)
             if strategy == "pallas":

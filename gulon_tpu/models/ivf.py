@@ -919,13 +919,24 @@ class IVFIndex(Index):
         mean_size = self.size / len(sizes)
         if isinstance(self.strategy, LimitGroups):
             probes = min(self.strategy.count, self.num_partitions)
+            bucketed_rows = num_q * probes * mean_size
         else:
+            # LimitVectors probes until cumulative size >= count, so rows
+            # probed per query are bounded by count + pmax (exact bound);
+            # the PROBE COUNT is data-dependent — estimate conservatively
+            # with the 25th-percentile partition size (a mean-based
+            # estimate undercounts badly under skew, and gathered pays
+            # probes * pmax of PADDED rows per query)
+            nz = sizes[sizes > 0]
+            p25 = max(int(np.percentile(nz, 25)), 1) if len(nz) else 1
             probes = min(
                 self.num_partitions,
-                max(1, -(-self.strategy.count // max(int(mean_size), 1))),
+                max(1, -(-self.strategy.count // p25)),
+            )
+            bucketed_rows = num_q * min(
+                self.strategy.count + pmax, self.size
             )
         gathered_rows = num_q * probes * pmax  # padded slices per query
-        bucketed_rows = num_q * probes * mean_size  # lossless schedule
         if num_q <= 32 and gathered_rows * 2 < self.size:
             return "gathered"
         if bucketed_rows * 2 < self.size:

@@ -50,17 +50,12 @@ def _global_queries(q: jax.Array, mesh: Mesh) -> jax.Array:
     Single-process this is a no-op (jit replicates uncommitted arrays
     itself). Multi-process, every jit argument must be a GLOBAL array:
     each process holds the same query batch (the multi-host serving
-    contract) and contributes its addressable replicas.
+    contract) and contributes its addressable replicas via
+    ``parallel.mesh.replicate``.
     """
     if jax.process_count() == 1:
         return q
-    return place_global(np.asarray(q), replicated_sharding(mesh))
-
-
-def replicated_sharding(mesh: Mesh):
-    from jax.sharding import NamedSharding
-
-    return NamedSharding(mesh, P())
+    return replicate(np.asarray(q), mesh)
 
 
 @dataclasses.dataclass

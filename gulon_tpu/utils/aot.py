@@ -380,23 +380,38 @@ def _ivf_pallas_callable(index, k: int):
     return fn, ops + ((index.rotation,) if has_rot else ())
 
 
-def _callable_for(index, k: int):
+def _callable_for(index, k: int, batch: int = 1):
     from gulon_tpu.models.exact import ExactIndex
     from gulon_tpu.models.flat import FlatIndex
-    from gulon_tpu.models.ivf import IVFIndex
+    from gulon_tpu.models.ivf import IVFIndex, LimitGroups
 
     if isinstance(index, ExactIndex):
         return _exact_callable(index, k)
     if isinstance(index, FlatIndex):
         return _flat_callable(index, k)
     if isinstance(index, IVFIndex):
-        if index.scan_strategy == "pallas" and index._pallas_eligible(
+        strategy = index.scan_strategy
+        if strategy == "auto":
+            # resolve for THIS export shape, like the live path does per
+            # batch — an artifact must serve what the default serves
+            strategy = index._resolve_auto(batch, min(k, index.size))
+            if strategy in ("gathered", "bucketed"):
+                # gathered is the exportable sublinear form (static
+                # shapes); it needs a LimitGroups probe width. Bucketed's
+                # host-planned schedule and LimitVectors' data-dependent
+                # widths fall back to the masked scan.
+                strategy = (
+                    "gathered"
+                    if isinstance(index.strategy, LimitGroups)
+                    else "masked"
+                )
+        if strategy == "pallas" and index._pallas_eligible(
             min(k, index.size)
         ):
             return _ivf_pallas_callable(index, k)
-        if index.scan_strategy == "gathered":
+        if strategy == "gathered":
             return _ivf_gathered_callable(index, k)
-        if index.scan_strategy == "bucketed":
+        if strategy == "bucketed":
             raise ValueError(
                 "scan_strategy='bucketed' plans its entry schedule host-"
                 "side per batch and cannot be AOT-exported; use 'gathered' "
@@ -432,7 +447,7 @@ def export_serving(
     """
     artifacts = {}
     for batch, k in shapes:
-        fn, operands = _callable_for(index, k)
+        fn, operands = _callable_for(index, k, batch=batch)
         q_spec = jax.ShapeDtypeStruct((batch, index.dimension), jnp.float32)
         exp = jax.export.export(jax.jit(fn))(q_spec, *operands)
         blob = exp.serialize()
@@ -506,10 +521,13 @@ class AOTServing:
         num_q = q.shape[0]
         if num_q < batch:
             q = jnp.pad(q, ((0, batch - num_q), (0, 0)))
-        if kk not in self._operands:
-            _, ops = _callable_for(self.index, kk)
-            self._operands[kk] = ops
-        d, ids = self._fns[key].call(q, *self._operands[kk])
+        if key not in self._operands:
+            # keyed by the full (batch, k): with scan_strategy="auto" the
+            # resolved strategy — and thus the operand set — can differ
+            # per exported batch size
+            _, ops = _callable_for(self.index, kk, batch=batch)
+            self._operands[key] = ops
+        d, ids = self._fns[key].call(q, *self._operands[key])
         return d[:num_q, :k], ids[:num_q, :k]
 
     def batch_query(self, k: int, vectors) -> List:

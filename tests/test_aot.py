@@ -237,3 +237,39 @@ def test_aot_serves_smaller_k_by_truncation(tmp_path, data):
     # k above every exported k' falls back to the jitted path
     d_fb, _ = serving.query_arrays(20, q)
     assert np.asarray(d_fb).shape == (len(q), 20)
+
+
+def test_ivf_auto_strategy_aot_resolves_per_batch(tmp_path, data):
+    """With the default scan_strategy='auto', export resolves the SAME
+    strategy the live path serves at each exported batch size: a
+    single-query artifact of a LimitGroups index gets the sublinear
+    gathered computation, and results match the live auto path."""
+    from gulon_tpu.utils.aot import _callable_for
+
+    keys, x, q = data
+    index = build_ivf_index(
+        keys, x,
+        pq_config=PQConfig(num_clusters=16, num_quantizers=4, max_iters=8),
+        num_partitions=10,
+        strategy=LimitGroups(3),
+        max_partition_size=400,
+    )
+    assert index.scan_strategy == "auto"
+    # the export resolves like the live policy (sublinear at Q=1 here)
+    assert index._resolve_auto(1, 5) == "gathered"
+    bundle = export_serving(index, shapes=[(1, 5)])
+    path = str(tmp_path / "ivf_auto.aot")
+    save_serving(path, bundle)
+    serving = load_serving(path, index)
+    d_ref, i_ref = index.query_arrays(5, q[:1])
+    d_aot, i_aot = serving.query_arrays(5, q[:1])
+    np.testing.assert_allclose(
+        np.asarray(d_aot), np.asarray(d_ref), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_array_equal(np.asarray(i_aot), np.asarray(i_ref))
+    # LimitVectors auto falls back to the masked callable (exportable)
+    import dataclasses
+
+    lv = dataclasses.replace(index, strategy=LimitVectors(600))
+    fn, ops = _callable_for(lv, 5, batch=1)  # must not raise
+    assert fn is not None and len(ops) >= 5
