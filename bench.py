@@ -355,6 +355,13 @@ def child_main(results_path: str, deadline_epoch: float, skip: set):
             emit({"event": "error", "config": name, "error": msg})
             if _is_transient(msg):
                 sys.exit(3)  # fresh interpreter needed (poisoned backend)
+        finally:
+            # configs run back to back in one process: drop the previous
+            # config's device buffers (multi-GB corpora/caches) before the
+            # next one allocates
+            import gc
+
+            gc.collect()
     sys.exit(0)
 
 
