@@ -187,3 +187,38 @@ def test_words_batched_single_dispatch(server, index):
     assert calls == [6]
     assert resp["keys"][6] is None
     assert all(r[0] == str(keys[i]) for i, r in enumerate(resp["keys"][:6]))
+
+
+def test_ivf_index_server_roundtrip():
+    """The server serves a partitioned index too — single-vector queries
+    ride the IVF auto (sublinear) default and batch queries still answer
+    correctly."""
+    from gulon_tpu.models.build import build_ivf_index
+    from gulon_tpu.models.ivf import LimitGroups
+
+    rng = np.random.default_rng(21)
+    x, _, _ = planted_clusters(rng, 1200, 16, 8, scale=0.2)
+    keys = random_keys(rng, 1200)
+    idx = build_ivf_index(
+        keys, x,
+        pq_config=PQConfig(num_clusters=16, num_quantizers=4, max_iters=8),
+        num_partitions=10,
+        strategy=LimitGroups(3),
+    )
+    assert idx.scan_strategy == "auto"
+    srv = QueryServer(idx, port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        info, single, word = _rpc(
+            srv,
+            {"op": "info"},
+            {"k": 5, "vector": x[7].tolist()},
+            {"k": 3, "words": [str(keys[7])]},
+        )
+        assert info["type"] == "IVFIndex"
+        assert single["keys"][0][0] == str(keys[7])
+        assert single["distances"][0] == sorted(single["distances"][0])
+        assert word["keys"][0][0] == str(keys[7])
+    finally:
+        srv.shutdown()
