@@ -628,7 +628,9 @@ class _Orchestrator:
             payload["device"] = self.device
         if self.errors:
             payload["errors"] = self.errors[-6:]
-        if head is None:
+        if head is None and any(n == "glove100" for n, _e, _c in _plan()):
+            # only an error when the headline was actually planned — a
+            # GULON_BENCH_CONFIGS-restricted run legitimately omits it
             payload["error"] = (
                 self.errors[-1]
                 if self.errors

@@ -20,6 +20,7 @@ and defaults —
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 from typing import List, Optional
 
@@ -858,6 +859,16 @@ def main(argv: Optional[List[str]] = None) -> int:
     from gulon_tpu.utils.progress import Reporter
 
     enable_persistent_cache()
+
+    # GULON_PLATFORM=cpu forces the jax platform AFTER import — needed on
+    # hosts whose site hooks pre-register an accelerator plugin and
+    # override the JAX_PLATFORMS env var (a downed remote accelerator
+    # would otherwise hang or fail every CLI invocation).
+    platform = os.environ.get("GULON_PLATFORM")
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
 
     args = build_parser().parse_args(argv)
     reporter = Reporter()

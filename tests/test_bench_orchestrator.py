@@ -84,6 +84,24 @@ def test_emit_without_headline_reports_error(tmp_path, capsys, monkeypatch):
     assert payload["configs"]["glove100"]["skipped"].startswith("deadline")
 
 
+def test_restricted_plan_without_headline_is_not_an_error(
+    tmp_path, capsys, monkeypatch
+):
+    bench = _load_bench()
+    monkeypatch.setenv("GULON_BENCH_CONFIGS", "kmeans")
+    orch = bench._Orchestrator()
+    orch.results_path = str(tmp_path / "ev4.jsonl")
+    orch.apply({
+        "event": "result", "config": "kmeans",
+        "data": {"us_per_iteration": 20.0},
+    })
+    orch.emit()
+    payload = json.loads(capsys.readouterr().out.strip())
+    assert payload["value"] is None  # headline shape was never planned
+    assert "error" not in payload  # ...so its absence is not an error
+    assert payload["configs"]["kmeans"]["us_per_iteration"] == 20.0
+
+
 def test_failure_bookkeeping_two_strikes(monkeypatch, tmp_path):
     bench = _load_bench()
     monkeypatch.setenv("GULON_BENCH_CONFIGS", "glove100,kmeans")
