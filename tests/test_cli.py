@@ -564,3 +564,28 @@ def test_serving_knob_flags(corpus_file, tmp_path, capsys):
     assert _run([
         "query", "-k", "2", "--index", ividx, "--pallas-winners", "0", qfile,
     ]) == 1
+
+
+def test_gulon_platform_env_subprocess(corpus_file, tmp_path):
+    """GULON_PLATFORM=cpu must make the CLI runnable as a real subprocess
+    on hosts whose site hooks pre-register a remote accelerator backend
+    and override JAX_PLATFORMS (a downed tunnel otherwise hangs or fails
+    every invocation). In-process tests can't cover this: the conftest
+    already forces the platform for the suite's interpreter."""
+    import os
+    import subprocess
+
+    vecs, _keys, _x = corpus_file
+    out = tmp_path / "plat.pb"
+    env = dict(os.environ, GULON_PLATFORM="cpu")
+    env.pop("JAX_PLATFORMS", None)  # the knob alone must be enough
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    r = subprocess.run(
+        [sys.executable, "-m", "gulon_tpu.cli", "build-index",
+         "--metric", "l2", "-k", "8", "-m", "2", "--max-iters", "4",
+         "-o", str(out), vecs],
+        env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert out.exists() and out.stat().st_size > 0
