@@ -240,6 +240,13 @@ def build_parser() -> argparse.ArgumentParser:
         help="compile/warm the query program for this k at startup "
         "(first request then runs at device speed; default 10)",
     )
+    srv.add_argument(
+        "--batch-window-ms", type=float, default=0.0, metavar="MS",
+        help="micro-batching: coalesce query requests arriving within "
+        "this window into one device batch (0 = off, the default; "
+        "many-small-client deployments gain up to the batch factor in "
+        "throughput at up to MS added latency)",
+    )
 
     t = sub.add_parser("test", help="measure recall@k of an index")
     t.add_argument("--vectors", required=True, help="word2vec-format source")
@@ -802,6 +809,7 @@ def cmd_serve(args, reporter) -> int:
         host=args.host,
         port=args.port,
         ready_fn=lambda h, p: print(f"serving on {h}:{p}", flush=True),
+        micro_batch_window_ms=args.batch_window_ms,
     )
     return 0
 

@@ -25,19 +25,146 @@ on bad input (the connection stays open).
 Concurrency: connections are handled on threads, but device work is
 serialized under a lock — one TPU executes one program at a time anyway,
 and batching inside a request is the throughput lever (see SERVING.md).
+
+Micro-batching (``micro_batch_window_ms > 0``, CLI ``--batch-window-ms``):
+many independent clients each sending small queries is the worst case for
+a serialized device — every request pays a full dispatch. The batcher
+coalesces query requests that arrive within the window into ONE device
+batch (padded to a power-of-two bucket so the live jit path compiles a
+bounded set of shapes), runs it at the largest requested k, and slices
+each caller's rows/k back out (top-k truncation of a sorted top-k_max is
+exact). Latency cost: at most the window; throughput gain: up to the
+batch factor. Off by default — single-tenant batch clients lose nothing.
 """
 
 from __future__ import annotations
 
 import json
+import queue as _queue_mod
 import socketserver
 import threading
+import time
 from typing import Optional
 
 import numpy as np
 
 
 _MAX_LINE = 64 << 20  # 64 MiB: far above any sane query batch, far below RAM
+
+
+class _Pending:
+    """One in-flight query request inside the micro-batcher."""
+
+    __slots__ = ("q", "k", "event", "dists", "ids", "error")
+
+    def __init__(self, q: np.ndarray, k: int):
+        self.q = q
+        self.k = k
+        self.event = threading.Event()
+        self.dists = None
+        self.ids = None
+        self.error = None
+
+
+class _MicroBatcher:
+    """Coalesce concurrent query requests into one device batch.
+
+    A dedicated worker thread blocks on the queue, sleeps ``window_s``
+    after the first arrival to let a cohort accumulate, drains everything
+    waiting (capped at ``max_rows`` rows), and answers the whole cohort
+    with a single ``query_arrays`` call at ``k = max(k_i)``.
+    """
+
+    _SENTINEL = object()
+
+    def __init__(self, server, window_s: float, max_rows: int):
+        self._server = server
+        self._window_s = window_s
+        self._max_rows = max_rows
+        self._queue: _queue_mod.Queue = _queue_mod.Queue()
+        self._worker = threading.Thread(
+            target=self._run, name="gulon-microbatch", daemon=True
+        )
+        self._worker.start()
+
+    def submit(self, q: np.ndarray, k: int):
+        """Block until the cohort containing this request is answered."""
+        p = _Pending(q, k)
+        self._queue.put(p)
+        p.event.wait()
+        if p.error is not None:
+            raise p.error
+        return p.dists, p.ids
+
+    def close(self):
+        self._queue.put(self._SENTINEL)
+
+    # -- worker ----------------------------------------------------------
+
+    def _drain(self, first) -> list:
+        cohort = [first]
+        rows = first.q.shape[0]
+        deadline = time.monotonic() + self._window_s
+        while rows < self._max_rows:
+            timeout = deadline - time.monotonic()
+            try:
+                item = (
+                    self._queue.get(timeout=timeout)
+                    if timeout > 0
+                    else self._queue.get_nowait()
+                )
+            except _queue_mod.Empty:
+                break
+            if item is self._SENTINEL:
+                self._queue.put(item)  # re-raise for the outer loop
+                break
+            cohort.append(item)
+            rows += item.q.shape[0]
+        return cohort
+
+    def _run(self):
+        while True:
+            first = self._queue.get()
+            if first is self._SENTINEL:
+                return
+            cohort = self._drain(first)
+            try:
+                self._answer(cohort)
+            except Exception as e:  # noqa: BLE001 — fail the cohort, not
+                # the worker: each caller re-raises in its own handler and
+                # the serving loop turns it into an error reply
+                for p in cohort:
+                    p.error = e
+                    p.event.set()
+
+    def _answer(self, cohort: list):
+        rows = np.concatenate([p.q for p in cohort], axis=0)
+        n = rows.shape[0]
+        # pad to a power-of-two bucket: the live jit path compiles one
+        # program per (batch, k) shape — unbounded cohort sizes would
+        # compile unboundedly many
+        bucket = 1
+        while bucket < n:
+            bucket <<= 1
+        if bucket > n:
+            rows = np.concatenate(
+                [rows, np.zeros((bucket - n, rows.shape[1]), rows.dtype)],
+                axis=0,
+            )
+        k_max = max(p.k for p in cohort)
+        server = self._server
+        with server._device_lock:
+            dists, ids = server.index.query_arrays(k_max, rows)
+        dists = np.asarray(dists)
+        ids = np.asarray(ids)
+        at = 0
+        for p in cohort:
+            stop = at + p.q.shape[0]
+            # top-k truncation of the sorted top-k_max is exact
+            p.dists = dists[at:stop, : p.k]
+            p.ids = ids[at:stop, : p.k]
+            at = stop
+            p.event.set()
 
 
 class _Handler(socketserver.StreamRequestHandler):
@@ -79,14 +206,40 @@ class QueryServer(socketserver.ThreadingTCPServer):
     allow_reuse_address = True
     daemon_threads = True
 
-    def __init__(self, index, host: str = "127.0.0.1", port: int = 0):
+    def __init__(
+        self,
+        index,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        micro_batch_window_ms: float = 0.0,
+        max_micro_batch: int = 1024,
+    ):
         super().__init__((host, port), _Handler)
         self.index = index
         self._device_lock = threading.Lock()
+        self._batcher = (
+            _MicroBatcher(
+                self, micro_batch_window_ms / 1000.0, max_micro_batch
+            )
+            if micro_batch_window_ms > 0
+            else None
+        )
 
     @property
     def address(self):
         return self.server_address  # (host, bound_port)
+
+    def server_close(self):
+        if self._batcher is not None:
+            self._batcher.close()
+        super().server_close()
+
+    def _query_arrays(self, k: int, q: np.ndarray):
+        """Device query via the micro-batcher when enabled."""
+        if self._batcher is not None:
+            return self._batcher.submit(q, k)
+        with self._device_lock:
+            return self.index.query_arrays(k, q)
 
     def handle_payload(self, req: dict) -> dict:
         # NOT named handle_request: socketserver.BaseServer already has a
@@ -128,11 +281,11 @@ class QueryServer(socketserver.ThreadingTCPServer):
             dists_out = [None] * len(words)
             if rows:
                 q = np.stack([v for _, v in rows]).astype(np.float32)
-                with self._device_lock:
-                    results = self.index.batch_query(k, q)
-                for (i, _), res in zip(rows, results):
-                    keys_out[i] = [str(x) for x in res.keys]
-                    dists_out[i] = [float(d) for d in res.distances]
+                dists, ids = self._query_arrays(k, q)
+                found_keys, found_dists = self._format_rows(dists, ids)
+                for (i, _), kk, dd in zip(rows, found_keys, found_dists):
+                    keys_out[i] = kk
+                    dists_out[i] = dd
             return {"keys": keys_out, "distances": dists_out}
 
         if "vector" in req:
@@ -148,8 +301,11 @@ class QueryServer(socketserver.ThreadingTCPServer):
                 f"queries must be [n, {self.index.dimension}], "
                 f"got {list(q.shape)}"
             )
-        with self._device_lock:
-            dists, ids = self.index.query_arrays(k, q)
+        dists, ids = self._query_arrays(k, q)
+        keys_out, dists_out = self._format_rows(dists, ids)
+        return {"keys": keys_out, "distances": dists_out}
+
+    def _format_rows(self, dists, ids):
         dists = np.asarray(dists)
         ids = np.asarray(ids)
         # same validity rule as Index._make_results: drop -1 padding AND
@@ -164,7 +320,7 @@ class QueryServer(socketserver.ThreadingTCPServer):
         dists_out = [
             [float(d) for d in drow[v]] for drow, v in zip(dists, valid)
         ]
-        return {"keys": keys_out, "distances": dists_out}
+        return keys_out, dists_out
 
 
 def serve(
@@ -172,13 +328,16 @@ def serve(
     host: str = "127.0.0.1",
     port: int = 0,
     ready_fn: Optional[callable] = None,
+    micro_batch_window_ms: float = 0.0,
 ) -> None:
     """Run a :class:`QueryServer` until interrupted.
 
     ``ready_fn(host, port)`` is called once the socket is bound (the CLI
     prints the address; tests grab the ephemeral port).
     """
-    with QueryServer(index, host, port) as server:
+    with QueryServer(
+        index, host, port, micro_batch_window_ms=micro_batch_window_ms
+    ) as server:
         h, p = server.address[0], server.address[1]
         if ready_fn is not None:
             ready_fn(h, p)

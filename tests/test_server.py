@@ -116,7 +116,8 @@ def test_cli_serve_smoke(index, tmp_path):
     event = threading.Event()
     real_serve = server_mod.serve
 
-    def capture_serve(index_, host="127.0.0.1", port=0, ready_fn=None):
+    def capture_serve(index_, host="127.0.0.1", port=0, ready_fn=None,
+                      **kwargs):
         def on_ready(h, p):
             ready["addr"] = (h, p)
             event.set()
@@ -170,20 +171,20 @@ def test_words_batched_single_dispatch(server, index):
     """The words form issues ONE batched device query, not per-word."""
     idx, keys, _ = index
     calls = []
-    orig = type(idx).batch_query
+    orig = type(idx).query_arrays
 
     def counting(self, k, vectors):
         calls.append(len(vectors))
         return orig(self, k, vectors)
 
-    type(idx).batch_query = counting
+    type(idx).query_arrays = counting
     try:
         (resp,) = _rpc(
             server,
             {"k": 2, "words": [str(k) for k in keys[:6]] + ["missing"]},
         )
     finally:
-        type(idx).batch_query = orig
+        type(idx).query_arrays = orig
     assert calls == [6]
     assert resp["keys"][6] is None
     assert all(r[0] == str(keys[i]) for i, r in enumerate(resp["keys"][:6]))
@@ -222,3 +223,143 @@ def test_ivf_index_server_roundtrip():
         assert word["keys"][0][0] == str(keys[7])
     finally:
         srv.shutdown()
+
+
+# -- micro-batching ---------------------------------------------------------
+
+
+class _CountingIndex:
+    """Proxy that counts device-query calls (delegates everything else)."""
+
+    def __init__(self, idx):
+        self._idx = idx
+        self.calls = 0
+        self.batch_sizes = []
+
+    def query_arrays(self, k, q):
+        self.calls += 1
+        self.batch_sizes.append(int(np.asarray(q).shape[0]))
+        return self._idx.query_arrays(k, q)
+
+    def __getattr__(self, name):
+        return getattr(self._idx, name)
+
+
+@pytest.fixture()
+def batched_server(index):
+    idx, _, _ = index
+    counting = _CountingIndex(idx)
+    srv = QueryServer(counting, port=0, micro_batch_window_ms=150.0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield srv, counting
+    srv.shutdown()
+    srv.server_close()
+
+
+def test_micro_batch_coalesces_and_matches(batched_server, index):
+    """Concurrent single-vector clients are coalesced into fewer device
+    batches, and every client gets exactly the unbatched answer."""
+    srv, counting = batched_server
+    idx, keys, x = index
+    n_clients = 8
+    sorted_keys = np.asarray(idx.key_index.keys, dtype=object)
+    rows = list(range(0, n_clients * 7, 7))
+    want = {}
+    for r in rows:
+        d, i = idx.query_arrays(5, x[r : r + 1].astype(np.float32))
+        want[r] = [str(sorted_keys[j]) for j in np.asarray(i)[0]]
+    counting.calls = 0
+    counting.batch_sizes = []
+
+    results = {}
+    barrier = threading.Barrier(n_clients)
+
+    def client(r):
+        barrier.wait()
+        (resp,) = _rpc(srv, {"k": 5, "vector": x[r].tolist()})
+        results[r] = resp
+
+    threads = [threading.Thread(target=client, args=(r,)) for r in rows]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=30)
+    assert len(results) == n_clients
+    for r in rows:
+        got_keys = results[r]["keys"][0]
+        assert got_keys[0] == str(keys[r])
+        # identical ids to the direct (unbatched) query
+        assert got_keys == want[r]
+    # the whole burst coalesced into fewer device calls than clients
+    assert counting.calls < n_clients, counting.batch_sizes
+    # cohorts are padded to power-of-two buckets
+    assert all(b & (b - 1) == 0 for b in counting.batch_sizes)
+
+
+def test_micro_batch_mixed_k(batched_server, index):
+    """A cohort mixing k values answers each caller at its own k (top-k
+    truncation of the cohort's k_max results)."""
+    srv, _ = batched_server
+    idx, keys, x = index
+    results = {}
+    barrier = threading.Barrier(3)
+
+    def client(r, k):
+        barrier.wait()
+        (resp,) = _rpc(srv, {"k": k, "vector": x[r].tolist()})
+        results[(r, k)] = resp
+
+    specs = [(2, 1), (3, 4), (5, 9)]
+    threads = [threading.Thread(target=client, args=s) for s in specs]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=30)
+    sorted_keys = np.asarray(idx.key_index.keys, dtype=object)
+    for r, k in specs:
+        resp = results[(r, k)]
+        assert len(resp["keys"][0]) == k
+        assert resp["keys"][0][0] == str(keys[r])
+        d, i = idx.query_arrays(k, x[r : r + 1].astype(np.float32))
+        assert resp["keys"][0] == [
+            str(sorted_keys[j]) for j in np.asarray(i)[0]
+        ]
+
+
+def test_micro_batch_error_isolated_and_worker_survives(index):
+    """A device-side failure fails its cohort with error replies but the
+    worker (and the connection) survive for the next request."""
+    idx, keys, x = index
+
+    class _FlakyIndex(_CountingIndex):
+        def query_arrays(self, k, q):
+            self.calls += 1
+            if self.calls == 1:
+                raise RuntimeError("injected device failure")
+            return self._idx.query_arrays(k, q)
+
+    flaky = _FlakyIndex(idx)
+    srv = QueryServer(flaky, port=0, micro_batch_window_ms=20.0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        first, second = _rpc(
+            srv,
+            {"k": 3, "vector": x[1].tolist()},
+            {"k": 3, "vector": x[1].tolist()},
+        )
+        assert "injected device failure" in first["error"]
+        assert second["keys"][0][0] == str(keys[1])
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_micro_batch_words_path(batched_server, index):
+    """The words path routes through the batcher too."""
+    srv, counting = batched_server
+    _, keys, _ = index
+    (resp,) = _rpc(srv, {"k": 2, "words": [str(keys[11]), "nope"]})
+    assert resp["keys"][0][0] == str(keys[11])
+    assert resp["keys"][1] is None
