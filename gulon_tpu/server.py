@@ -81,6 +81,9 @@ class _MicroBatcher:
         self._server = server
         self._window_s = window_s
         self._max_rows = max_rows
+        self.cohorts = 0  # device batches dispatched
+        self.requests = 0  # requests served through the batcher
+        self.rows = 0  # query rows served (excludes bucket padding)
         self._queue: _queue_mod.Queue = _queue_mod.Queue()
         self._worker = threading.Thread(
             target=self._run, name="gulon-microbatch", daemon=True
@@ -140,6 +143,9 @@ class _MicroBatcher:
     def _answer(self, cohort: list):
         rows = np.concatenate([p.q for p in cohort], axis=0)
         n = rows.shape[0]
+        self.cohorts += 1
+        self.requests += len(cohort)
+        self.rows += n
         # pad to a power-of-two bucket: the live jit path compiles one
         # program per (batch, k) shape — unbounded cohort sizes would
         # compile unboundedly many
@@ -253,12 +259,21 @@ class QueryServer(socketserver.ThreadingTCPServer):
             return {"ok": True}
         if op == "info":
             idx = self.index
-            return {
+            info = {
                 "type": type(getattr(idx, "index", idx)).__name__,
                 "size": int(idx.size),
                 "dimension": int(idx.dimension),
                 "metric": idx.metric.name.lower(),
             }
+            if self._batcher is not None:
+                b = self._batcher
+                info["micro_batch"] = {
+                    "window_ms": round(b._window_s * 1000.0, 3),
+                    "cohorts": b.cohorts,
+                    "requests": b.requests,
+                    "rows": b.rows,
+                }
+            return info
         if op == "lookup":
             vec = self.index.lookup(str(req["word"]))
             return {"vector": None if vec is None else

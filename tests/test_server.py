@@ -363,3 +363,16 @@ def test_micro_batch_words_path(batched_server, index):
     (resp,) = _rpc(srv, {"k": 2, "words": [str(keys[11]), "nope"]})
     assert resp["keys"][0][0] == str(keys[11])
     assert resp["keys"][1] is None
+
+
+def test_micro_batch_info_counters(batched_server):
+    """info exposes batcher counters when micro-batching is enabled."""
+    srv, _ = batched_server
+    (_q, info) = _rpc(
+        srv,
+        {"k": 1, "vector": [0.0] * 16},
+        {"op": "info"},
+    )
+    mb = info["micro_batch"]
+    assert mb["window_ms"] == 150.0
+    assert mb["cohorts"] >= 1 and mb["requests"] >= 1 and mb["rows"] >= 1
