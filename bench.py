@@ -52,6 +52,7 @@ import signal
 import subprocess
 import sys
 import time
+from typing import Optional
 
 import numpy as np
 
@@ -304,7 +305,13 @@ def _is_transient(msg: str) -> bool:
 # --------------------------------------------------------------------------
 
 
-def child_main(results_path: str, deadline_epoch: float, skip: set):
+def child_main(
+    results_path: str,
+    deadline_epoch: float,
+    skip: set,
+    force_cpu: bool = False,
+    only: Optional[set] = None,
+):
     def emit(ev):
         with open(results_path, "a") as f:
             f.write(json.dumps(ev) + "\n")
@@ -317,9 +324,10 @@ def child_main(results_path: str, deadline_epoch: float, skip: set):
     enable_persistent_cache()
     import jax
 
-    if os.environ.get("GULON_BENCH_FORCE_CPU"):
+    if force_cpu or os.environ.get("GULON_BENCH_FORCE_CPU"):
         # the axon sitecustomize overrides JAX_PLATFORMS; the config update
         # after import is the only way to force CPU here
+        force_cpu = True
         jax.config.update("jax_platforms", "cpu")
 
     try:
@@ -331,7 +339,7 @@ def child_main(results_path: str, deadline_epoch: float, skip: set):
 
     fns = _config_fns()
     for name, est, _cap in _plan():
-        if name in skip:
+        if name in skip or (only is not None and name not in only):
             continue
         remaining = deadline_epoch - time.time() - CHILD_RESERVE_S
         if remaining < est:
@@ -349,6 +357,10 @@ def child_main(results_path: str, deadline_epoch: float, skip: set):
         try:
             data = fns[name]()
             data["measure_s"] = round(time.time() - t0, 1)
+            if force_cpu:
+                # an honestly-labeled degraded measurement, never to be
+                # read as a TPU number (the device field also says CPU)
+                data["cpu_fallback"] = True
             emit({"event": "result", "config": name, "data": data})
         except Exception as e:  # noqa: BLE001 - classify, record, continue
             msg = str(e).splitlines()[0][:500] if str(e) else repr(e)[:500]
@@ -442,7 +454,7 @@ class _Orchestrator:
         done |= {n for n, c in self.failures.items() if c >= 2}
         return [c for c in _plan() if c[0] not in done]
 
-    def spawn(self):
+    def spawn(self, extra_args=()):
         self.attempts += 1
         skip = set(self.completed) | set(self.skipped)
         skip |= {n for n, c in self.failures.items() if c >= 2}
@@ -453,6 +465,7 @@ class _Orchestrator:
         ]
         if skip:
             cmd += ["--skip", ",".join(sorted(skip))]
+        cmd += list(extra_args)
         # child stdout (run.py's own _emit prints, progress lines) must not
         # pollute the parent's single-line stdout contract
         self.child = subprocess.Popen(
@@ -557,6 +570,7 @@ class _Orchestrator:
                 if remaining < 120 or self.attempts >= self.max_attempts:
                     break
                 time.sleep(min(30.0 * self.attempts, max(remaining - 90, 0), 90))
+            self.maybe_cpu_fallback()
         finally:
             self.kill_child()
             self.emit()
@@ -564,6 +578,34 @@ class _Orchestrator:
                 os.unlink(self.results_path)
             except OSError:
                 pass
+
+    def should_cpu_fallback(self) -> bool:
+        """True when the whole TPU plan produced nothing (e.g. tunnel down
+        for the entire run) and there is budget for one degraded CPU
+        measurement of the kmeans config (the reference's own JMH unit).
+        The result is honestly labeled (cpu_fallback flag + CPU device
+        string) — it proves the harness, never the TPU performance."""
+        if self.completed:
+            return False
+        if not any(n == "kmeans" for n, _e, _c in _plan()):
+            return False
+        remaining = self.deadline - time.time() - PARENT_RESERVE_S
+        return remaining > 150
+
+    def maybe_cpu_fallback(self):
+        if not self.should_cpu_fallback():
+            return
+        # kmeans left the pending set only if it failed twice or was
+        # skipped; the fallback child is told to run exactly it anyway
+        self.skipped.pop("kmeans", None)
+        self.failures.pop("kmeans", None)
+        self.completed.pop("kmeans", None)
+        spawned_at = self.spawn(
+            extra_args=["--force-cpu", "--only", "kmeans"]
+        )
+        self.supervise_child(spawned_at)
+        for ev in self.drain_events():
+            self.apply(ev)
 
     def _on_signal(self, signum, frame):
         self.kill_child()
@@ -648,9 +690,15 @@ def main():
         p.add_argument("--results", required=True)
         p.add_argument("--deadline", required=True)
         p.add_argument("--skip", default="")
+        p.add_argument("--force-cpu", action="store_true")
+        p.add_argument("--only", default="")
         a = p.parse_args()
         skip = set(s for s in a.skip.split(",") if s)
-        child_main(a.results, float(a.deadline), skip)
+        only = set(s for s in a.only.split(",") if s) or None
+        child_main(
+            a.results, float(a.deadline), skip,
+            force_cpu=a.force_cpu, only=only,
+        )
     else:
         _Orchestrator().run()
 

@@ -112,3 +112,77 @@ def test_failure_bookkeeping_two_strikes(monkeypatch, tmp_path):
     orch.apply({"event": "error", "config": "glove100", "error": "boom"})
     # two strikes: dropped from pending (the respawned child skips it)
     assert [c[0] for c in orch.pending()] == ["kmeans"]
+
+
+def test_should_cpu_fallback_logic(monkeypatch, tmp_path):
+    bench = _load_bench()
+    monkeypatch.setenv("GULON_BENCH_CONFIGS", "glove100,kmeans")
+    orch = bench._Orchestrator()
+    orch.results_path = str(tmp_path / "ev5.jsonl")
+    # nothing completed, kmeans planned, budget remains -> fallback
+    assert orch.should_cpu_fallback()
+    # anything completed -> no fallback
+    orch.completed["glove100"] = {"us_per_query": 1.0}
+    assert not orch.should_cpu_fallback()
+    orch.completed.clear()
+    # kmeans not in the plan -> no fallback
+    monkeypatch.setenv("GULON_BENCH_CONFIGS", "glove100")
+    assert not orch.should_cpu_fallback()
+    monkeypatch.setenv("GULON_BENCH_CONFIGS", "glove100,kmeans")
+    # budget exhausted -> no fallback
+    orch.deadline = __import__("time").time() + 60
+    assert not orch.should_cpu_fallback()
+
+
+def test_maybe_cpu_fallback_applies_child_events(monkeypatch, tmp_path):
+    bench = _load_bench()
+    monkeypatch.setenv("GULON_BENCH_CONFIGS", "glove100,kmeans")
+    orch = bench._Orchestrator()
+    orch.results_path = str(tmp_path / "ev6.jsonl")
+    orch.errors.append("init: no jax init within 330s (tunnel hang?)")
+    orch.skipped["kmeans"] = "deadline: not attempted"
+    calls = {}
+
+    def fake_spawn(extra_args=()):
+        calls["args"] = list(extra_args)
+        with open(orch.results_path, "a") as f:
+            f.write(json.dumps({
+                "event": "result", "config": "kmeans",
+                "data": {"us_per_iteration": 30.0, "cpu_fallback": True,
+                         "device": "TFRT_CPU_0"},
+            }) + "\n")
+        return 0.0
+
+    orch.spawn = fake_spawn
+    orch.supervise_child = lambda t: "exit"
+    orch.maybe_cpu_fallback()
+    assert calls["args"] == ["--force-cpu", "--only", "kmeans"]
+    assert orch.completed["kmeans"]["cpu_fallback"] is True
+
+
+def test_child_force_cpu_only_kmeans(tmp_path):
+    """Real child subprocess: --force-cpu --only kmeans produces exactly
+    one honestly-labeled result event."""
+    import subprocess
+    import sys
+    import time as _t
+
+    bench_path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "bench.py")
+    results = str(tmp_path / "ev7.jsonl")
+    r = subprocess.run(
+        [sys.executable, bench_path, "--child",
+         "--results", results,
+         "--deadline", repr(_t.time() + 240),
+         "--force-cpu", "--only", "kmeans"],
+        capture_output=True, text=True, timeout=220,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    events = [json.loads(line) for line in open(results)]
+    kinds = [e["event"] for e in events]
+    assert kinds[0] == "init"
+    results_ev = [e for e in events if e["event"] == "result"]
+    assert [e["config"] for e in results_ev] == ["kmeans"]
+    data = results_ev[0]["data"]
+    assert data["cpu_fallback"] is True
+    assert "CPU" in data["device"].upper()
