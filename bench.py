@@ -75,6 +75,7 @@ CONFIG_PLAN = [
 PARENT_RESERVE_S = 20  # kept back for kill + assembly + print
 CHILD_RESERVE_S = 30  # child stops starting configs this close to deadline
 INIT_CAP_S = 330  # child must report jax init within this window
+FALLBACK_RESERVE_S = 200  # headroom kept for the CPU-fallback child
 
 
 def _plan():
@@ -553,6 +554,15 @@ class _Orchestrator:
             while self.pending() and self.attempts < self.max_attempts:
                 remaining = self.deadline - time.time() - PARENT_RESERVE_S
                 if remaining < 90:
+                    break
+                if (
+                    self.attempts > 0
+                    and not self.completed
+                    and remaining < INIT_CAP_S + FALLBACK_RESERVE_S
+                ):
+                    # every attempt so far produced nothing (tunnel-down
+                    # hang mode): another init-cap-long attempt would eat
+                    # the headroom the CPU fallback needs
                     break
                 spawned_at = self.spawn()
                 outcome = self.supervise_child(spawned_at)

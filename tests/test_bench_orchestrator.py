@@ -186,3 +186,56 @@ def test_child_force_cpu_only_kmeans(tmp_path):
     data = results_ev[0]["data"]
     assert data["cpu_fallback"] is True
     assert "CPU" in data["device"].upper()
+
+
+def test_hang_ladder_reserves_fallback_headroom(monkeypatch, tmp_path):
+    """In tunnel-down hang mode the retry ladder must stop while the CPU
+    fallback still has headroom (attempt caps would otherwise eat the
+    whole deadline and the emitted line would carry zero measurements)."""
+    import time as _t
+
+    bench = _load_bench()
+    monkeypatch.setenv("GULON_BENCH_CONFIGS", "glove100,kmeans")
+    monkeypatch.setenv("GULON_BENCH_DEADLINE_S", "900")
+    orch = bench._Orchestrator()
+    orch.results_path = str(tmp_path / "ev8.jsonl")
+
+    timeline = {"now": orch.t_start}
+    monkeypatch.setattr(bench.time, "time", lambda: timeline["now"])
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    spawns = []
+
+    def fake_spawn(extra_args=()):
+        spawns.append(list(extra_args))
+        orch.attempts += 1  # the real spawn() counts attempts
+        orch.child = type(
+            "C", (), {"returncode": 3, "poll": lambda self: 3}
+        )()
+        return timeline["now"]
+
+    def fake_supervise(spawned_at):
+        if spawns[-1]:  # the fallback child: completes instantly
+            with open(orch.results_path, "a") as f:
+                f.write(json.dumps({
+                    "event": "result", "config": "kmeans",
+                    "data": {"us_per_iteration": 30.0,
+                             "cpu_fallback": True},
+                }) + "\n")
+            timeline["now"] += 40
+            return "exit"
+        # a TPU attempt: hangs for the whole init cap, produces nothing
+        timeline["now"] += bench.INIT_CAP_S
+        orch.errors.append("init: no jax init (tunnel hang?)")
+        return "hang"
+
+    orch.spawn = fake_spawn
+    orch.supervise_child = fake_supervise
+    orch.kill_child = lambda: None
+    monkeypatch.setattr(
+        bench._Orchestrator, "emit", lambda self: None, raising=False
+    )
+    orch.run()
+    # at least one TPU attempt, then the fallback got its headroom
+    assert spawns[-1] == ["--force-cpu", "--only", "kmeans"]
+    assert orch.completed["kmeans"]["cpu_fallback"] is True
+    assert timeline["now"] - orch.t_start < 900
