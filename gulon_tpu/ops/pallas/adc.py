@@ -261,7 +261,11 @@ def _decode_columns(
     if mdp > md + 2:  # zero ONLY the pad rows
         dec_ref[md + 2 :, :] = jnp.zeros((mdp - md - 2, t), jnp.bfloat16)
     if decode_mode == "bf16cmp":
-        row_iota = jax.lax.broadcasted_iota(jnp.bfloat16, (k_codes, t), 0)
+        # tpu.iota only emits integer vectors; build i32 and convert once
+        # per tile (amortized over the m compares below)
+        row_iota = jax.lax.broadcasted_iota(jnp.int32, (k_codes, t), 0).astype(
+            jnp.bfloat16
+        )
     else:
         row_iota = jax.lax.broadcasted_iota(jnp.int32, (k_codes, t), 0)
     for s in range(m):
@@ -273,11 +277,23 @@ def _decode_columns(
         elif codes_ref.dtype != jnp.int32:
             row = row.astype(jnp.int32)
         if decode_mode == "take":
-            # gather the codebook columns by code (lane-axis take):
-            # the table walk itself, no one-hot, no decode matmul
-            dec_ref[s * dsub : (s + 1) * dsub, :] = jnp.take(
-                cbT_ref[s], row, axis=1
-            )
+            # gather the codebook columns by code (lane-axis take): the
+            # table walk itself, no one-hot, no decode matmul. Mosaic's
+            # gather lowering requires input/indices/output shapes to
+            # match, so gather in K-wide column chunks with the code
+            # slice broadcast over the dsub sublanes.
+            assert t % k_codes == 0, (t, k_codes)
+            cb = cbT_ref[s]  # [dsub, K]
+            for c0 in range(0, t, k_codes):
+                idx = jnp.broadcast_to(
+                    jax.lax.dynamic_slice_in_dim(row, c0, k_codes).reshape(
+                        1, k_codes
+                    ),
+                    (dsub, k_codes),
+                )
+                dec_ref[
+                    s * dsub : (s + 1) * dsub, c0 : c0 + k_codes
+                ] = jnp.take_along_axis(cb, idx, axis=1)
             continue
         if decode_mode == "bf16cmp":
             # bf16 holds integers <= 256 exactly; a 16-bit compare
@@ -546,6 +562,8 @@ def _block_scan(
     decode_mode = _decode_mode()
     if decode_mode == "bf16cmp" and k_codes > 256:
         decode_mode = "base"  # bf16 holds ints exactly only to 256
+    if decode_mode == "take" and t % k_codes != 0:
+        decode_mode = "base"  # chunked gather needs K-aligned tiles
     pipe = _pipe() and not natural
     if pipe:
         return _block_scan_pipe(
