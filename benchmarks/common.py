@@ -72,11 +72,20 @@ def time_device_loop(step_fn: Callable, carry_probe: Callable, iters: int = 16):
         return time.perf_counter() - t0
 
     # each readback carries ~10-25 ms of tunnel RTT with tens-of-ms
-    # jitter; min-of-repeats on both points keeps the difference from
-    # being swallowed (or driven negative) by one slow round trip
-    t_many = min(timed(iters) for _ in range(5))
-    t_one = min(timed(1) for _ in range(5))
-    return max((t_many - t_one) / (iters - 1), 1e-9)
+    # jitter. min-of-repeats taken INDEPENDENTLY on the two points can
+    # cross (t_many_min < t_one_min) when the per-iter signal is thin —
+    # observed as a 0.0 ms "measurement" for a ~1.8 ms step at iters=16.
+    # Pair the points and take the median of the differenced estimates
+    # instead (same estimator bench.py's headline uses): the median is
+    # robust to one slow round trip without the min's downward bias.
+    estimates = []
+    for _ in range(5):
+        t_many = timed(iters)
+        t_one = timed(1)
+        estimates.append((t_many - t_one) / (iters - 1))
+    import numpy as np
+
+    return max(float(np.median(estimates)), 1e-9)
 
 
 def dist_recall_fn(x, queries, exact_ids, k: int = 10, eps: float = 1e-6):

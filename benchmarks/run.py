@@ -711,8 +711,8 @@ def bench_ivf1m(n=300_000, d=96, n_queries=1024, partitions=300, probe=15):
             return acc + d_[0, 0] * 1e-30 + jnp.float32(i_[0, 0] % 3) * 1e-30 + 1.0
         return step
 
-    dev_masked = time_device_loop(mk_step("masked"), float, iters=16)
-    dev_pallas = time_device_loop(mk_step("pallas"), float, iters=16)
+    dev_masked = time_device_loop(mk_step("masked"), float, iters=48)
+    dev_pallas = time_device_loop(mk_step("pallas"), float, iters=48)
 
     # default 4-winner setting (collision loss needs 5 true members in
     # one 128-row block)
@@ -720,7 +720,7 @@ def bench_ivf1m(n=300_000, d=96, n_queries=1024, partitions=300, probe=15):
     index.pallas_winners = 4
     dd_p4, ii_p4 = index.query_arrays(10, q_dev)
     results_pallas4 = index._make_results(dd_p4, ii_p4)
-    dev_pallas4 = time_device_loop(mk_step("pallas"), float, iters=16)
+    dev_pallas4 = time_device_loop(mk_step("pallas"), float, iters=48)
 
     # 2 winners + exact f32 ADC rescore of 4k over-fetched candidates:
     # decouples in-kernel selection width (latency) from ranking fidelity
@@ -728,7 +728,7 @@ def bench_ivf1m(n=300_000, d=96, n_queries=1024, partitions=300, probe=15):
     index.pallas_rescore = 4
     dd_pr, ii_pr = index.query_arrays(10, q_dev)
     results_pallas_rs = index._make_results(dd_pr, ii_pr)
-    dev_pallas_rs = time_device_loop(mk_step("pallas"), float, iters=16)
+    dev_pallas_rs = time_device_loop(mk_step("pallas"), float, iters=48)
     index.pallas_rescore = 0
     index.scan_strategy = "masked"
 

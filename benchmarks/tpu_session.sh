@@ -26,6 +26,9 @@ run bench_full       4400 env GULON_BENCH_DEADLINE_S=4200 python bench.py
 
 run g300_quality     2400 python benchmarks/g300_quality.py
 
+# XLA-only noise bisection of the g300 gap (no novel kernel compiles)
+run g300_bisect      2400 python benchmarks/g300_bisect.py
+
 run decode_base      1800 python benchmarks/kernel_ab.py decode
 run decode_pipe      1800 env GULON_ADC_PIPE=1 \
     python benchmarks/kernel_ab.py decode

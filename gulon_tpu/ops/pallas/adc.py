@@ -107,9 +107,12 @@ def _round_up(x: int, m: int) -> int:
 
 
 def padded_depth(m: int, dsub: int) -> int:
-    """The kernel's contraction depth: ``m * dsub`` decode rows plus the
-    two norm rows (hi/lo bf16 split), sublane-aligned."""
-    return _round_up(m * dsub + 2, 8)
+    """The kernel's contraction depth: ``m * dsub`` decode rows plus four
+    constant rows — the hi/lo bf16 norm split and two ones rows that face
+    the per-query ``||q||^2 + mean(norms)`` lanes in centered mode —
+    sublane-aligned. (At the common shapes md=104/304 the alignment
+    absorbs the two extra rows: same depth as the 2-row layout.)"""
+    return _round_up(m * dsub + 4, 8)
 
 
 def _decode_mode() -> str:
@@ -133,6 +136,18 @@ def _decode_mode() -> str:
     import os
 
     return os.environ.get("GULON_ADC_DECODE", "base")
+
+
+def _center() -> bool:
+    """Centered scoring for the flat fused scan (default ON; env
+    ``GULON_ADC_CENTER=0`` restores the round-3 convention for A/B):
+    the kernel's score is the true ADC distance instead of
+    ``norms - 2<q, dec>``, making the hi/lo norm split and the 7-bit
+    lane-pack coarsening relative-to-distance noise. Read at trace time
+    (callers switching the env must ``_clear_cache()``)."""
+    import os
+
+    return os.environ.get("GULON_ADC_CENTER", "1") not in ("", "0")
 
 
 def _pipe() -> bool:
@@ -211,16 +226,18 @@ def block_layout(
     return qt, t, n_pad // t, t // _LANES
 
 
-def _split_hi_lo(norms: jax.Array) -> jax.Array:
-    """``[N] f32 -> [2, N] bf16`` such that ``hi + lo ~= norms`` to
-    ~2^-17 relative — the two rows ride the fused matmul against
+def _split_hi_lo(norms: jax.Array, center=0.0) -> jax.Array:
+    """``[N] f32 -> [2, N] bf16`` such that ``hi + lo ~= norms - center``
+    to ~2^-17 relative — the two rows ride the fused matmul against
     unit query lanes, injecting the row constant at MXU cost instead of
-    a full VPU pass over the score matrix.
+    a full VPU pass over the score matrix. ``center`` (the mean norm in
+    centered mode) shrinks the rows' magnitude so the split error is
+    relative to the norm DEVIATION, not the norm itself.
 
     +inf padding norms (the sharded paths pad with inf) clamp to _BIG
     first: ``inf - inf = NaN`` would otherwise poison the split and NaN
     fails the ``>= _INVALID_MIN`` padding check downstream."""
-    norms = jnp.minimum(norms, _BIG)
+    norms = jnp.minimum(norms, _BIG) - center
     hi = norms.astype(jnp.bfloat16)
     lo = (norms - hi.astype(jnp.float32)).astype(jnp.bfloat16)
     return jnp.stack([hi, lo])
@@ -258,8 +275,8 @@ def _decode_columns(
     kernels): one-hot (or gather) per subspace + the two norm rows."""
     md = m * dsub
     mdp = dec_ref.shape[0]
-    if mdp > md + 2:  # zero ONLY the pad rows
-        dec_ref[md + 2 :, :] = jnp.zeros((mdp - md - 2, t), jnp.bfloat16)
+    if mdp > md + 4:  # zero ONLY the pad rows
+        dec_ref[md + 4 :, :] = jnp.zeros((mdp - md - 4, t), jnp.bfloat16)
     if decode_mode == "bf16cmp":
         # tpu.iota only emits integer vectors; build i32 and convert once
         # per tile (amortized over the m compares below)
@@ -283,17 +300,24 @@ def _decode_columns(
             # match, so gather in K-wide column chunks with the code
             # slice broadcast over the dsub sublanes.
             assert t % k_codes == 0, (t, k_codes)
-            cb = cbT_ref[s]  # [dsub, K]
+            # tpu.dynamic_gather needs indices and result at the SAME
+            # bitwidth, and Pallas upcasts gather indices to i32 — so the
+            # take launch ships the codebook operand as f32 (311 KB at
+            # glove300) and converts the gathered columns to bf16 on store
+            cb = cbT_ref[s]  # [dsub, K] f32 in take mode
             for c0 in range(0, t, k_codes):
+                # static python-slice offsets: lax.dynamic_slice_in_dim
+                # emits the dynamic_slice primitive even for constant
+                # starts, which Mosaic's TC lowering rejects
                 idx = jnp.broadcast_to(
-                    jax.lax.dynamic_slice_in_dim(row, c0, k_codes).reshape(
-                        1, k_codes
-                    ),
+                    row[c0 : c0 + k_codes].reshape(1, k_codes),
                     (dsub, k_codes),
                 )
                 dec_ref[
                     s * dsub : (s + 1) * dsub, c0 : c0 + k_codes
-                ] = jnp.take_along_axis(cb, idx, axis=1)
+                ] = jnp.take_along_axis(cb, idx, axis=1).astype(
+                    jnp.bfloat16
+                )
             continue
         if decode_mode == "bf16cmp":
             # bf16 holds integers <= 256 exactly; a 16-bit compare
@@ -315,6 +339,9 @@ def _decode_columns(
     # the two norm rows: against the queries' unit lanes the fused
     # matmul emits norms - 2<q, dec> directly — no VPU epilogue pass
     dec_ref[md : md + 2, :] = norms_ref[:, pl.ds(off, t)]
+    # two ones rows facing the per-query hi/lo ``||q||^2 + mean`` lanes
+    # (zero lanes in the uncentered block-scan convention — contribute 0)
+    dec_ref[md + 2 : md + 4, :] = jnp.ones((2, t), jnp.bfloat16)
 
 
 def _block_select(scores, packed_ref, *, row0: int, t: int, qt: int,
@@ -494,6 +521,7 @@ def _block_scan(
     interpret: bool,
     num_rows: int,
     winners: int = 1,
+    center_scores: bool = False,
 ):
     """Launch the fused kernel; returns per-128-row-block winners.
 
@@ -515,7 +543,7 @@ def _block_scan(
             f"pallas ADC kernel supports K <= 1024, got {k_codes}"
         )
 
-    mdp = padded_depth(m, dsub)  # decode rows + 2 norm rows, aligned
+    mdp = padded_depth(m, dsub)  # decode rows + 4 constant rows, aligned
     natural = _natural(mdp)
     if tile_rows and tile_rows % 1024:
         raise ValueError(
@@ -525,15 +553,41 @@ def _block_scan(
 
     # queries in the padded subspace layout, scaled by -2 so the fused
     # matmul emits norm - 2<q, dec> directly, with two unit lanes facing
-    # the norm rows of dec^T; zero-padded to mdp
+    # the norm rows of dec^T; zero-padded to mdp.
+    #
+    # center_scores (the flat scan's default): the norm rows carry
+    # ``norms - mean(norms)`` and two extra hi/lo lanes of
+    # ``||q||^2 + mean`` face the kernel's ones rows, so the matmul emits
+    # the TRUE ADC distance. Both per-row noise sources — the ~2^-17 hi/lo
+    # split error and the v7 selection's 7-bit mantissa clear — then scale
+    # with the distance rather than with |norms| / |score - ||q||^2|,
+    # which on tie-heavy corpora (glove300) is what separated the fused
+    # kernel from its own decode-scan ceiling (benchmarks/g300_bisect.py).
     md = m * dsub
     qs = split_subspaces(queries, bounds, dsub)
     q_pad = jnp.transpose(qs, (1, 0, 2)).reshape(num_q, md) * -2.0
+    if center_scores:
+        nf = jnp.minimum(recon_norms.astype(jnp.float32), _BIG)
+        valid = nf < _INVALID_MIN
+        center = jnp.sum(jnp.where(valid, nf, 0.0)) / jnp.maximum(
+            jnp.sum(valid.astype(jnp.float32)), 1.0
+        )
+        qc = sq_norms(queries) + center  # [Q]
+        qc_hi = qc.astype(jnp.bfloat16).astype(jnp.float32)
+        qn_lanes = jnp.stack([qc_hi, qc - qc_hi], axis=1)  # [Q, 2]
+    else:
+        center = jnp.float32(0.0)
+        qn_lanes = jnp.zeros((num_q, 2), q_pad.dtype)
     q_pad = jnp.concatenate(
-        [q_pad, jnp.ones((num_q, 2), q_pad.dtype)], axis=1
+        [
+            q_pad,
+            jnp.ones((num_q, 2), q_pad.dtype),
+            qn_lanes.astype(q_pad.dtype),
+        ],
+        axis=1,
     )
-    if mdp > md + 2:
-        q_pad = jnp.pad(q_pad, ((0, 0), (0, mdp - md - 2)))
+    if mdp > md + 4:
+        q_pad = jnp.pad(q_pad, ((0, 0), (0, mdp - md - 4)))
     q_npad = (-num_q) % qt
     if q_npad:
         q_pad = jnp.pad(q_pad, ((0, q_npad), (0, 0)))
@@ -571,6 +625,7 @@ def _block_scan(
             m=m, k_codes=k_codes, dsub=dsub, mdp=mdp, qt=qt, t=t,
             num_q=num_q, winners=winners, interpret=interpret,
             decode_mode=decode_mode, pretransposed=pretransposed,
+            center=center,
         )
     kernel = functools.partial(
         _adc_fused_kernel, m=m, k_codes=k_codes, dsub=dsub, tile_rows=t,
@@ -610,9 +665,14 @@ def _block_scan(
         interpret=interpret,
     )(
         codes_t,
-        _split_hi_lo(norms),
+        _split_hi_lo(norms, center),
         q_op,
-        jnp.transpose(codebooks, (0, 2, 1)).astype(jnp.bfloat16),
+        jnp.transpose(codebooks, (0, 2, 1)).astype(
+            # take mode gathers the codebook (f32 values match the
+            # i32 gather-index bitwidth Mosaic requires); matmul
+            # modes feed it to the MXU as bf16
+            jnp.float32 if decode_mode == "take" else jnp.bfloat16
+        ),
     )
 
     # winner column c -> first row of its block (rank-major within a tile:
@@ -634,7 +694,7 @@ def _block_scan(
 def _block_scan_pipe(
     codes_t, norms, q_pad, codebooks, qs, *,
     m, k_codes, dsub, mdp, qt, t, num_q, winners, interpret,
-    decode_mode, pretransposed,
+    decode_mode, pretransposed, center=0.0,
 ):
     """Pipelined launch (see ``_adc_fused_kernel_pipe``): pair-of-row-tiles
     grid with static scratch slots; same winner-column layout as the base
@@ -670,7 +730,7 @@ def _block_scan_pipe(
     def nxt(g, q):
         return (0, jnp.minimum(g + 1, n_pairs - 1))
 
-    norms_hl = _split_hi_lo(norms)
+    norms_hl = _split_hi_lo(norms, center)
     block_p = pl.pallas_call(
         kernel,
         grid=(n_pairs, n_qt),  # query axis innermost, like the base
@@ -701,7 +761,12 @@ def _block_scan_pipe(
         norms_hl,
         norms_hl,
         q_pad.astype(jnp.bfloat16),
-        jnp.transpose(codebooks, (0, 2, 1)).astype(jnp.bfloat16),
+        jnp.transpose(codebooks, (0, 2, 1)).astype(
+            # take mode gathers the codebook (f32 values match the
+            # i32 gather-index bitwidth Mosaic requires); matmul
+            # modes feed it to the MXU as bf16
+            jnp.float32 if decode_mode == "take" else jnp.bfloat16
+        ),
     )
 
     # identical winner-column geometry to the base launch with
@@ -761,6 +826,12 @@ def adc_block_scan_pallas(
     padding. Used by the IVF pallas strategy, whose per-(query, partition)
     term is block-constant under a partition-padded row layout and
     therefore commutes with the in-kernel block min.
+
+    NOTE: unlike :func:`adc_scan_pallas`, the raw block scan keeps the
+    UNCENTERED score convention (no ``||q||^2`` term, norms not mean-
+    shifted) — callers fold their own per-query/per-partition constants
+    into the winners and typically repair ranking with an exact rescore
+    (``ivf_block_rescore``, the sharded flat per-shard rescore).
     """
     if not 1 <= winners <= 4:
         raise ValueError(f"winners must be in 1..4, got {winners}")
@@ -814,10 +885,11 @@ def adc_scan_pallas(
             f"pallas ADC kernel needs corpus >= 256*k rows (n={n}, k={kk}); "
             "use the XLA scan for small corpora"
         )
+    centered = _center()
     packed, base_cols, qs, codes_t, pretransposed = _block_scan(
         queries, codebooks, codes, recon_norms,
         bounds=bounds, tile_rows=tile_rows, interpret=interpret,
-        num_rows=num_rows, winners=winners,
+        num_rows=num_rows, winners=winners, center_scores=centered,
     )
 
     # XLA epilogue over the N/128 block winners: strip the lane bits FIRST
@@ -873,12 +945,16 @@ def adc_scan_pallas(
         best_d, pos2 = smallest_k(exact, kk)
         best_ids = jnp.take_along_axis(best_ids, pos2, axis=1)
     else:
-        # kernel values (f32 coarsened <=2^-16 by the lane packing) + the
-        # per-query ||q||^2 term; the dominant noise is the ~2^-8 bf16
-        # operand rounding every strategy's matmul scores carry
-        # (rescore=True removes both)
-        qn = sq_norms(queries)
-        best_d = jnp.where(invalid, jnp.inf, best_v + qn[:, None])
+        # kernel values (f32 coarsened <=2^-16 by the lane packing); in
+        # centered mode the matmul already emitted the full distance, else
+        # add the per-query ||q||^2 term here. The dominant noise is the
+        # ~2^-8 bf16 operand rounding every strategy's matmul scores carry
+        # (rescore=True removes it)
+        if centered:
+            best_d = jnp.where(invalid, jnp.inf, best_v)
+        else:
+            qn = sq_norms(queries)
+            best_d = jnp.where(invalid, jnp.inf, best_v + qn[:, None])
         best_ids = jnp.where(invalid, -1, best_ids)
     if kk < k:
         best_d = jnp.pad(

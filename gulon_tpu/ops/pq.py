@@ -93,6 +93,17 @@ class PQConfig(NamedTuple):
     # Codebook seeding: "sample" (reference-faithful uniform rows) or
     # "kmeans++" (D^2-weighted; see KMeansConfig.init).
     init: str = "sample"
+    # Snap trained centroids to bf16-representable values (default on, a
+    # TPU-native choice): every scan strategy's hot matmul casts the
+    # decoded operand to bf16, so snapping makes the reconstruction
+    # points EXACTLY what the kernels compute against — the decode-
+    # operand rounding noise class vanishes and the f32 "decode ceiling"
+    # becomes achievable by the fused kernel by construction. The snap
+    # moves each centroid by <= 2^-9 relative, orders of magnitude under
+    # the PQ quantization error itself (measured no recall change vs
+    # exact ground truth). Wire format unaffected (snapped floats are
+    # ordinary f32; loaded foreign indices keep their exact centroids).
+    snap_bf16: bool = True
 
 
 @dataclasses.dataclass(frozen=True)
@@ -324,8 +335,11 @@ def train_product_quantizer(
         res = sharded_fit_kmeans(np.asarray(xs), kmeans_cfg, mesh)
     else:
         res = fit_kmeans(xs, kmeans_cfg, report_fn=report_fn)
+    centroids = res.centroids
+    if config.snap_bf16:
+        centroids = centroids.astype(jnp.bfloat16).astype(jnp.float32)
     return ProductQuantizer(
-        codebooks=res.centroids,
+        codebooks=centroids,
         bounds=bounds,
         num_clusters=config.num_clusters,
     )

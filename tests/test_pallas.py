@@ -537,3 +537,52 @@ def test_pipe_schedule_matches_base(setup, monkeypatch):
     for (bd, bi), (pd, pi) in ((base1, pipe1), (base2, pipe2)):
         np.testing.assert_allclose(pd, bd, rtol=1e-6, atol=1e-6)
         np.testing.assert_array_equal(pi, bi)
+
+
+def test_centered_scores_report_true_adc_distances(setup):
+    """Centered mode (the default): the matmul itself emits the full ADC
+    distance (norms centered by their mean + per-query ``||q||^2 + mean``
+    lanes), so reported non-rescore distances equal the exact f32 LUT
+    distances of the returned rows within lane-pack coarsening + bf16
+    operand noise. GULON_ADC_CENTER=0 (the round-3 convention, query norm
+    added in the epilogue) must return the same neighbours."""
+    import gulon_tpu.ops.pallas.adc as adc
+    from gulon_tpu.ops.pq import _lut, split_subspaces
+
+    x, q, pq, codes, norms = setup
+    qd = jnp.asarray(q)
+    d_c, i_c = adc.adc_scan_pallas(
+        qd, pq.codebooks, codes, norms,
+        bounds=pq.bounds, k=10, tile_rows=5120, interpret=True,
+    )
+    d_c, i_c = np.asarray(d_c), np.asarray(i_c)
+    # exact f32 ADC distance of each returned row
+    qs = split_subspaces(qd, pq.bounds, pq.pad_width)
+    lut = np.asarray(_lut(qs, pq.codebooks))  # [Q, m, K]
+    sel = np.asarray(codes)[i_c.reshape(-1)].reshape(*i_c.shape, -1)
+    exact = np.take_along_axis(
+        lut[np.arange(len(q))[:, None, None],
+            np.arange(sel.shape[-1])[None, None, :], :],
+        sel[..., None].astype(np.int64),
+        axis=-1,
+    )[..., 0].sum(-1)
+    np.testing.assert_allclose(d_c, exact, rtol=3e-2, atol=3e-2)
+
+    import os
+
+    os.environ["GULON_ADC_CENTER"] = "0"
+    adc.adc_scan_pallas._clear_cache()
+    try:
+        d_u, i_u = adc.adc_scan_pallas(
+            qd, pq.codebooks, codes, norms,
+            bounds=pq.bounds, k=10, tile_rows=5120, interpret=True,
+        )
+        agree = np.mean(
+            [len(set(np.asarray(i_u)[j]) & set(i_c[j])) / 10
+             for j in range(len(q))]
+        )
+        assert agree >= 0.9, agree
+        np.testing.assert_allclose(np.asarray(d_u), d_c, rtol=5e-2, atol=5e-2)
+    finally:
+        del os.environ["GULON_ADC_CENTER"]
+        adc.adc_scan_pallas._clear_cache()

@@ -140,3 +140,41 @@ def test_centroid_code_dot_matches_decode():
     dec = np.asarray(pq.decode(jnp.asarray(codes)))
     ref = np.einsum("nd,nd->n", cents[gids], dec)
     assert np.abs(fast - ref).max() < 1e-4
+
+
+def test_snap_bf16_default_and_opt_out():
+    """Trained codebooks are bf16-representable by default (every scan
+    strategy's hot matmul casts the decoded operand to bf16; snapping
+    makes the reconstruction points exactly what kernels compute
+    against). snap_bf16=False keeps the raw k-means means."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(3)
+    x, _, _ = planted_clusters(rng, 400, 12, 6, scale=0.4)
+    pq = train_product_quantizer(
+        x, PQConfig(num_clusters=8, num_quantizers=3, max_iters=10, seed=1)
+    )
+    cb = np.asarray(pq.codebooks)
+    snapped = np.asarray(
+        jnp.asarray(cb).astype(jnp.bfloat16).astype(jnp.float32)
+    )
+    np.testing.assert_array_equal(cb, snapped)
+
+    pq_raw = train_product_quantizer(
+        x,
+        PQConfig(
+            num_clusters=8, num_quantizers=3, max_iters=10, seed=1,
+            snap_bf16=False,
+        ),
+    )
+    raw = np.asarray(pq_raw.codebooks)
+    # raw means are generically NOT bf16-exact, and the snap of raw equals
+    # the default codebooks (same training, snap applied after)
+    assert not np.array_equal(
+        raw,
+        np.asarray(jnp.asarray(raw).astype(jnp.bfloat16).astype(jnp.float32)),
+    )
+    np.testing.assert_array_equal(
+        cb,
+        np.asarray(jnp.asarray(raw).astype(jnp.bfloat16).astype(jnp.float32)),
+    )
