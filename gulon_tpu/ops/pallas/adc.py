@@ -295,29 +295,46 @@ def _decode_columns(
             row = row.astype(jnp.int32)
         if decode_mode == "take":
             # gather the codebook columns by code (lane-axis take): the
-            # table walk itself, no one-hot, no decode matmul. Mosaic's
-            # gather lowering requires input/indices/output shapes to
-            # match, so gather in K-wide column chunks with the code
-            # slice broadcast over the dsub sublanes.
-            assert t % k_codes == 0, (t, k_codes)
-            # tpu.dynamic_gather needs indices and result at the SAME
-            # bitwidth, and Pallas upcasts gather indices to i32 — so the
-            # take launch ships the codebook operand as f32 (311 KB at
-            # glove300) and converts the gathered columns to bf16 on store
+            # table walk itself, no one-hot, no decode matmul — dsub*T
+            # gathered elements per subspace vs the one-hot's K*T
+            # compares. Mosaic's tpu.dynamic_gather constraints (all
+            # learned by probe, see RESULTS.md):
+            #   * indices/result at the SAME bitwidth (Pallas upcasts
+            #     indices to i32 -> ship the codebook operand as f32 and
+            #     convert to bf16 on store);
+            #   * source, indices, and output SHAPES must match;
+            #   * the source spans ONE 128-lane vreg along the gather
+            #     dim — an intra-register lane shuffle. K=256 therefore
+            #     gathers from the two 128-lane halves and selects on
+            #     the code's high bit.
             cb = cbT_ref[s]  # [dsub, K] f32 in take mode
-            for c0 in range(0, t, k_codes):
+            chunk = min(k_codes, _LANES)
+            assert t % chunk == 0, (t, chunk)
+            n_src = -(-k_codes // _LANES)
+            for c0 in range(0, t, chunk):
                 # static python-slice offsets: lax.dynamic_slice_in_dim
                 # emits the dynamic_slice primitive even for constant
                 # starts, which Mosaic's TC lowering rejects
+                rslice = row[c0 : c0 + chunk]
                 idx = jnp.broadcast_to(
-                    row[c0 : c0 + k_codes].reshape(1, k_codes),
-                    (dsub, k_codes),
+                    (rslice % _LANES if n_src > 1 else rslice).reshape(
+                        1, chunk
+                    ),
+                    (dsub, chunk),
                 )
+                out = jnp.take_along_axis(cb[:, :chunk], idx, axis=1)
+                for v in range(1, n_src):
+                    gv = jnp.take_along_axis(
+                        cb[:, v * _LANES : (v + 1) * _LANES], idx, axis=1
+                    )
+                    hit = jnp.broadcast_to(
+                        (rslice // _LANES == v).reshape(1, chunk),
+                        (dsub, chunk),
+                    )
+                    out = jnp.where(hit, gv, out)
                 dec_ref[
-                    s * dsub : (s + 1) * dsub, c0 : c0 + k_codes
-                ] = jnp.take_along_axis(cb, idx, axis=1).astype(
-                    jnp.bfloat16
-                )
+                    s * dsub : (s + 1) * dsub, c0 : c0 + chunk
+                ] = out.astype(jnp.bfloat16)
             continue
         if decode_mode == "bf16cmp":
             # bf16 holds integers <= 256 exactly; a 16-bit compare
@@ -616,8 +633,12 @@ def _block_scan(
     decode_mode = _decode_mode()
     if decode_mode == "bf16cmp" and k_codes > 256:
         decode_mode = "base"  # bf16 holds ints exactly only to 256
-    if decode_mode == "take" and t % k_codes != 0:
-        decode_mode = "base"  # chunked gather needs K-aligned tiles
+    if decode_mode == "take" and (
+        k_codes > 256 or t % min(k_codes, _LANES) != 0
+    ):
+        # >2 gather sources per chunk (K > 2 vregs) or misaligned tiles:
+        # fall back to the one-hot decode
+        decode_mode = "base"
     pipe = _pipe() and not natural
     if pipe:
         return _block_scan_pipe(
