@@ -143,6 +143,60 @@ def dense_shape(n=2_000_000, d=300, num_q=1024, k=10):
         )
 
 
+def dense_i8_shape(n=2_000_000, d=300, num_q=1024, k=10):
+    """A/B the int8 dense kernel against bf16 at the fasttext shape and
+    the deep10m-like 96d shape: is the 2x int8 MXU rate realized?"""
+    import jax
+    import jax.numpy as jnp
+
+    from benchmarks.common import time_device_loop_args as tdla
+    from gulon_tpu.ops.distance import sq_norms
+    from gulon_tpu.ops.pallas.dense import (
+        dense_scan_pallas,
+        dense_scan_pallas_i8,
+        prepare_data,
+        prepare_data_i8,
+    )
+
+    key = jax.random.key(1)
+    k1, k2 = jax.random.split(key)
+    x = jax.random.normal(k1, (n, d), jnp.float32) * 0.3
+    norms = sq_norms(x)
+    q_pool = jax.random.normal(k2, (num_q * 2, d), jnp.float32) * 0.3
+    data_bf = prepare_data(x, norms)
+    data8, meta, _ = prepare_data_i8(x, norms)
+    print(f"[dense n={n} d={d}] i8 gain={meta.gain}")
+
+    def step_bf(acc, qp, dt, nrm, rows):
+        qs = jax.lax.dynamic_slice_in_dim(
+            qp, (jnp.int32(acc) % 2) * num_q, num_q, 0
+        )
+        dd, ii = dense_scan_pallas(
+            qs + acc * 1e-30, dt, nrm, k=k, rescore=4, rescore_rows=rows
+        )
+        return acc + dd[0, 0] * 1e-30 + jnp.float32(ii[0, 0]) * 1e-30 + 1.0
+
+    def step_i8(acc, qp, dt, nrm, rows):
+        qs = jax.lax.dynamic_slice_in_dim(
+            qp, (jnp.int32(acc) % 2) * num_q, num_q, 0
+        )
+        dd, ii = dense_scan_pallas_i8(
+            qs + acc * 1e-30, dt, meta, nrm, k=k, rescore=4,
+            rescore_rows=rows,
+        )
+        return acc + dd[0, 0] * 1e-30 + jnp.float32(ii[0, 0]) * 1e-30 + 1.0
+
+    for name, fn, dt in (
+        ("bf16 + f32 rescore", step_bf, data_bf),
+        ("int8 + f32 rescore", step_i8, data8),
+    ):
+        per = tdla(fn, (q_pool, dt, norms, x), iters=16)
+        print(
+            f"  dense {name:20s} {per*1e3:9.3f} ms/batch "
+            f"{per/num_q*1e6:8.3f} us/query ({num_q/per:,.0f} QPS)"
+        )
+
+
 def main():
     _setup()
     which = sys.argv[1] if len(sys.argv) > 1 else "adc100"
@@ -175,6 +229,9 @@ def main():
         adc_shape(2_196_017, 300, 16, 256)
     elif which == "dense":
         dense_shape()
+    elif which == "dense_i8":
+        dense_i8_shape(2_000_000, 300)   # fasttext shape
+        dense_i8_shape(4_000_000, 96)    # deep10m-class shape
     else:
         raise SystemExit(f"unknown mode {which}")
 

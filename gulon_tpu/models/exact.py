@@ -48,7 +48,20 @@ class ExactIndex(Index):
     # the gather bytes, +0.40 ms; distances carry ~2^-9 bf16 rounding) —
     # the max-throughput setting.
     exact_rescore: bool = True
+    # Kernel operand precision: "bf16" (default) or "int8". The int8
+    # operand (centered-norm digit-pair encoding, prepare_data_i8)
+    # HALVES the operand HBM bytes — a capacity option for corpora that
+    # would not otherwise fit — with candidate coverage measured equal
+    # to bf16 under the same exact f32 rescore on realistic corpora and
+    # exact distances via exact_rescore. It is NOT a latency option: on
+    # v5e the i8 x i8 -> i32 matmul measured SLOWER than bf16 (20.6 vs
+    # 16.8 ms/batch at 2M x 300d, 38.3 vs 15.0 at 4M x 96d) — this
+    # toolchain does not realize the int8 MXU rate (matches the round-3
+    # i8-decode null result). Falls back to bf16 when the corpus norms
+    # do not fit the encoding.
+    operand: str = "bf16"
     _data_t: Optional[jax.Array] = None  # lazy [N, Dp] bf16 kernel operand
+    _data_i8: Optional[tuple] = None  # lazy (data_i8, meta) int8 operand
     _norms: Optional[jax.Array] = None  # lazy [N] f32 ||x||^2 (hoisted: a
     # per-call sq_norms would re-stream the full f32 corpus from HBM)
 
@@ -91,11 +104,36 @@ class ExactIndex(Index):
         if strategy == "pallas":
             from gulon_tpu.ops.pallas.dense import (
                 dense_scan_pallas,
+                dense_scan_pallas_i8,
                 prepare_data,
+                prepare_data_i8,
             )
 
             if self._norms is None:
                 self._norms = sq_norms(self.vectors)
+            operand = self.operand
+            if operand == "int8" and self._data_i8 is None:
+                try:
+                    d8, meta, _ = prepare_data_i8(
+                        self.vectors, self._norms
+                    )
+                    self._data_i8 = (d8, meta)
+                except ValueError:
+                    operand = "bf16"  # wild-norm corpus: bf16 fallback
+            if operand == "int8":
+                d8, meta = self._data_i8
+                return dense_scan_pallas_i8(
+                    q,
+                    d8,
+                    meta,
+                    self._norms,
+                    k=k_eff,
+                    interpret=jax.default_backend() != "tpu",
+                    rescore_rows=(
+                        self.vectors if self.exact_rescore else None
+                    ),
+                    rescore=self.rescore_factor,
+                )
             if self._data_t is None:
                 # pass the norms in: prepare_data would otherwise run its
                 # own einsum — a second full pass over the f32 corpus
@@ -171,6 +209,7 @@ class ExactIndex(Index):
             _key_index=SortedKeyIndex(keys),
             vectors=vectors,
             _data_t=None,
+            _data_i8=None,
             _norms=None,
         )
 

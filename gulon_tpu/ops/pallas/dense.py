@@ -305,3 +305,299 @@ def prepare_data_t(data) -> jax.Array:  # pragma: no cover - legacy alias
     """Deprecated: the kernel now takes the natural layout; use
     :func:`prepare_data`."""
     return prepare_data(data)
+
+
+# ---------------------------------------------------------------------------
+# int8 variant: 2x MXU throughput for the MXU-bound deep-shape cached scans
+# ---------------------------------------------------------------------------
+
+_N14_MAX = 127 * 127 + 126  # base-127 two-lane integer range
+
+
+class DenseI8Meta:
+    """Static dequantization metadata for the int8 dense operand.
+
+    ``scale`` is the shared symmetric step of the data AND query lanes
+    (``x_i8 = round(x/scale)``, ``q_i8 = round(-q/scale)``), ``nmean``
+    the norm centering constant. A kernel score ``v`` dequantizes to
+    ``v * 2*scale^2 + ||q||^2 + nmean`` (see :func:`prepare_data_i8`).
+    Hashable + comparable so it can ride a jit static argument.
+    """
+
+    __slots__ = ("scale", "nmean", "d", "dp", "gain")
+
+    def __init__(
+        self, scale: float, nmean: float, d: int, dp: int, gain: int = 1
+    ):
+        self.scale = float(scale)
+        self.nmean = float(nmean)
+        self.d = int(d)
+        self.dp = int(dp)
+        self.gain = int(gain)
+
+    def _key(self):
+        return (self.scale, self.nmean, self.d, self.dp, self.gain)
+
+    def __hash__(self):
+        return hash(self._key())
+
+    def __eq__(self, other):
+        return (
+            isinstance(other, DenseI8Meta) and self._key() == other._key()
+        )
+
+
+def padded_dim_i8(d: int) -> int:
+    """Lane count of the int8 operand: D data lanes + 2 norm lanes,
+    32-aligned (the int8 sublane tile of the transposed query block)."""
+    return _round_up(d + 2, 32)
+
+
+def prepare_data_i8(data, norms: Optional[jax.Array] = None):
+    """Quantize a corpus (or decoded cache) into the int8 kernel operand.
+
+    Returns ``(data_i8 [N, padded_dim_i8(D)] int8, meta, norms f32)``.
+
+    The whole score rides the int8 matmul — no per-element epilogue:
+
+    - data lanes: ``round(x / s)`` with the global symmetric step
+      ``s = max|x| / 127``;
+    - two norm lanes hold the base-127 digit pair of
+      ``n_int = round((||x||^2 - mean) / (2 s^2 g))`` (range +-16255),
+      facing CONSTANT query lanes ``(127, 1)`` — their matmul
+      contribution is exactly ``n_int``, the centered-norm term in score
+      units. Centering (the same trick as the ADC kernel's centered
+      scores) shrinks the range; the integer ``gain g >= 1`` coarsens
+      the score unit to ``2 s^2 g`` when the deviation still does not
+      fit two digits;
+    - query lanes: ``round(-q / (s g))`` (clipped; out-of-distribution
+      queries saturate and degrade gracefully — the rescore re-ranks).
+      Only the QUERY side coarsens with g; data lanes keep the full
+      int8 step s.
+
+    So ``score_i32 ~= (||x||^2 - mean - 2<q,x>) / (2 s^2 g)`` and
+    ordering matches ADC distance ordering per query. Raises ValueError
+    for corpora needing g > 64 (wild-norm: use the bf16 kernel).
+    """
+    x = jnp.asarray(data)
+    n, d = x.shape
+    dp = padded_dim_i8(d)
+    xf = x.astype(jnp.float32)
+    if norms is None:
+        norms = jnp.einsum(
+            "nd,nd->n", xf, xf,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    norms = jnp.minimum(norms, jnp.float32(_BIG))
+    s = float(jnp.max(jnp.abs(xf))) / 127.0
+    s = max(s, 1e-30)
+    nmean = float(jnp.mean(norms))
+    dev_max = float(jnp.max(jnp.abs(norms - nmean)))
+    gain = max(1, int(np.ceil(dev_max / (2.0 * s * s * _N14_MAX))))
+    if gain > 64:
+        raise ValueError(
+            f"norm deviation range {dev_max:.3g} needs gain {gain} > 64 "
+            f"(query step would coarsen {gain}x); use the bf16 dense "
+            "kernel for this corpus"
+        )
+    unit = 2.0 * s * s * gain
+    n_int = jnp.clip(
+        jnp.round((norms - nmean) / unit), -_N14_MAX, _N14_MAX
+    ).astype(jnp.int32)
+    hi = jnp.floor_divide(n_int, 127)
+    lo = n_int - hi * 127  # in [0, 126]
+    out = jnp.zeros((n, dp), jnp.int8)
+    out = out.at[:, :d].set(
+        jnp.clip(jnp.round(xf / s), -127, 127).astype(jnp.int8)
+    )
+    out = out.at[:, dp - 2].set(hi.astype(jnp.int8))
+    out = out.at[:, dp - 1].set(lo.astype(jnp.int8))
+    return out, DenseI8Meta(s, nmean, d, dp, gain), norms
+
+
+def _dense_kernel_i8(data_ref, qT_ref, packed_ref, *, tile_rows: int):
+    t = tile_rows
+    qt = qT_ref.shape[1]
+    nblk = t // _LANES
+
+    # [T, Dp] i8 x [Dp, QT] i8 -> i32: the matmul IS the centered score
+    # (norm digit lanes against the constant (127, 1) query lanes)
+    scores = jax.lax.dot_general(
+        data_ref[:],
+        qT_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    # v7 lane packing in the INT domain: (score & ~127) | lane coarsens
+    # toward -inf (two's complement) and keeps integer ordering, so one
+    # sublane int-min per 128-row block yields a self-identifying winner
+    s3 = scores.reshape(nblk, _LANES, qt)
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (nblk, _LANES, qt), 1)
+    packed_ref[:] = jnp.min(
+        (s3 & jnp.int32(~127)) | lane_iota, axis=1
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("meta", "k", "tile_rows", "interpret", "rescore"),
+)
+def dense_scan_pallas_i8(
+    queries: jax.Array,  # [Q, D] f32
+    data_i8: jax.Array,  # [N', Dp] int8 (prepare_data_i8 layout)
+    meta: DenseI8Meta,
+    norms: jax.Array,  # [N] f32 (rescore term + reported distances)
+    *,
+    k: int,
+    tile_rows: int = 0,
+    interpret: bool = False,
+    rescore_rows: Optional[jax.Array] = None,  # [N, D]: exact re-rank
+    #   rows (f32/bf16 — removes the int8 data rounding entirely)
+    rescore: int = 0,  # >0: over-fetch rescore*k winners, re-rank from
+    #   rescore_rows if given, else the dequantized int8 rows + f32
+    #   norms (removes the norm-digit and lane-pack coarsening; the
+    #   data lanes' own int8 rounding remains, ~0.4% of |x| / element)
+) -> Tuple[jax.Array, jax.Array]:
+    """Fused exact scan over the int8 operand (2x MXU rate vs bf16).
+
+    Returns ([Q, k] squared-L2 asc, [Q, k] row ids). Same selection
+    granularity as :func:`dense_scan_pallas` (one winner per 128-row
+    block). Distances are dequantized kernel scores (coarsened by the
+    lane packing and the 2 s^2 norm step) unless ``rescore`` re-ranks.
+    """
+    num_q, d = queries.shape
+    n, dp = data_i8.shape
+    if d != meta.d or dp != meta.dp:
+        raise ValueError(
+            f"operand/meta mismatch: data {(n, dp)}, queries D={d}, "
+            f"meta (d={meta.d}, dp={meta.dp})"
+        )
+    kk = min(k, n)
+    if kk > _LANES:
+        raise ValueError(f"dense kernel supports k <= 128, got {k}")
+    if n < 256 * kk:
+        raise ValueError(
+            f"dense kernel needs n >= 256*k rows (n={n}, k={kk}); use "
+            "the XLA exact_scan for small corpora"
+        )
+
+    qt, t = _pick_tiles(num_q, dp)
+    if tile_rows:
+        if tile_rows % 1024:
+            raise ValueError(
+                f"tile_rows must be a 1024-multiple, got {tile_rows}"
+            )
+        t = tile_rows
+    if n < t:
+        t = _round_up(n, 1024)
+
+    # query operand: -q/(s g) data lanes (clipped), (127, 1) digit lanes
+    qi = jnp.clip(
+        jnp.round(
+            -queries.astype(jnp.float32) / (meta.scale * meta.gain)
+        ),
+        -127,
+        127,
+    )
+    q_aug = jnp.concatenate(
+        [
+            qi,
+            jnp.zeros((num_q, dp - d - 2), jnp.float32),
+            jnp.full((num_q, 1), 127.0, jnp.float32),
+            jnp.ones((num_q, 1), jnp.float32),
+        ],
+        axis=1,
+    )
+    q_pad = q_aug
+    q_npad = (-num_q) % qt
+    if q_npad:
+        q_pad = jnp.pad(q_pad, ((0, q_npad), (0, 0)))
+    qT = q_pad.astype(jnp.int8).T  # [Dp, Q']
+
+    dt = data_i8
+    if n % t:
+        # padding rows: zero data lanes and a maximal norm digit pair —
+        # they can only win all-terrible blocks, and the epilogue masks
+        # ids >= n regardless
+        pad = jnp.zeros(((-n) % t, dp), jnp.int8)
+        pad = pad.at[:, dp - 2].set(jnp.int8(127))
+        pad = pad.at[:, dp - 1].set(jnp.int8(126))
+        dt = jnp.concatenate([dt, pad], axis=0)
+    n_rt = dt.shape[0] // t
+    n_qt = qT.shape[1] // qt
+    nblk = t // _LANES
+
+    kernel = functools.partial(_dense_kernel_i8, tile_rows=t)
+    block_p = pl.pallas_call(
+        kernel,
+        grid=(n_rt, n_qt),
+        in_specs=[
+            pl.BlockSpec((t, dp), lambda r, q: (r, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((dp, qt), lambda r, q: (0, q),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((nblk, qt), lambda r, q: (r, q),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(
+            (n_rt * nblk, qT.shape[1]), jnp.int32
+        ),
+        interpret=interpret,
+    )(dt, qT)
+
+    packed = block_p.T[:num_q]  # [Q, NB] i32
+    fetch = min(max(kk, rescore * kk if rescore else kk), _LANES)
+    fetch = min(fetch, packed.shape[1])
+    # strip lane bits first, rank masked values with an exact top-k so
+    # score ties break by block = ascending row region (same epilogue
+    # contract as the bf16 kernel / reference heap semantics)
+    vals_all = packed & jnp.int32(~127)
+    best_v, pos = smallest_k(vals_all, fetch)
+    lanes = jnp.take_along_axis(packed & 127, pos, axis=1)
+    best_ids = pos * _LANES + lanes
+    invalid = best_ids >= n  # padding rows (no sentinel range in i32)
+
+    qn = sq_norms(queries)
+    unit = jnp.float32(2.0 * meta.scale * meta.scale * meta.gain)
+    if rescore:
+        safe = jnp.where(invalid, 0, best_ids)
+        if rescore_rows is not None:
+            rows = rescore_rows[safe].astype(jnp.float32)  # [Q, F, D]
+        else:
+            rows = jnp.take(data_i8, safe, axis=0)[
+                ..., : meta.d
+            ].astype(jnp.float32) * jnp.float32(
+                meta.scale
+            )  # [Q, F, D] dequantized
+        ip = jax.lax.dot_general(
+            rows,
+            queries.astype(jnp.float32),
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )  # [Q, F]
+        exact = norms[safe] + qn[:, None] - 2.0 * ip
+        exact = jnp.where(invalid, jnp.inf, exact)
+        best_d, pos2 = smallest_k(exact, kk)
+        best_ids = jnp.take_along_axis(
+            jnp.where(invalid, -1, best_ids), pos2, axis=1
+        )
+    else:
+        best_d = jnp.where(
+            invalid,
+            jnp.inf,
+            best_v.astype(jnp.float32) * unit
+            + qn[:, None]
+            + jnp.float32(meta.nmean),
+        )
+        best_ids = jnp.where(invalid, -1, best_ids)
+        best_d, best_ids = best_d[:, :kk], best_ids[:, :kk]
+    if kk < k:
+        best_d = jnp.pad(
+            best_d, ((0, 0), (0, k - kk)), constant_values=jnp.inf
+        )
+        best_ids = jnp.pad(
+            best_ids, ((0, 0), (0, k - kk)), constant_values=-1
+        )
+    return best_d, best_ids

@@ -97,3 +97,37 @@ def test_grouped_word_vectors_state(data):
     np.testing.assert_allclose(rec, grouped.vectors, rtol=1e-5, atol=1e-5)
     # cluster_of consistent
     assert grouped.cluster_of(0) == gids[0]
+
+
+def test_exact_index_int8_operand_matches_bf16():
+    """ExactIndex(operand='int8'): same neighbours and exact distances as
+    the default bf16 operand under the shared exact f32 rescore (the
+    pallas strategy forced via interpret on CPU)."""
+    import jax.numpy as jnp
+
+    from benchmarks.common import low_rank_corpus_device
+    from gulon_tpu.models.exact import ExactIndex, build_exact_index
+    from gulon_tpu.models.metric import Metric
+    import dataclasses
+
+    n, d, k = 20480, 48, 10
+    x = np.asarray(low_rank_corpus_device(9, n, d, intrinsic=12))
+    keys = np.array([f"w{i:06d}" for i in range(n)], dtype=object)
+    idx = build_exact_index(keys, x, Metric.L2)
+    idx_bf = dataclasses.replace(idx, scan_strategy="pallas")
+    idx_i8 = dataclasses.replace(idx, scan_strategy="pallas", operand="int8")
+    q = jnp.asarray(x[:8])
+    d_bf, i_bf = idx_bf.query_arrays(k, q)
+    d_i8, i_i8 = idx_i8.query_arrays(k, q)
+    d_bf, i_bf, d_i8, i_i8 = map(np.asarray, (d_bf, i_bf, d_i8, i_i8))
+    agree = np.mean(
+        [len(set(i_i8[j]) & set(i_bf[j])) / k for j in range(8)]
+    )
+    assert agree >= 0.9, agree
+    # both rescore from the same f32 rows: agreeing slots match exactly
+    for j in range(8):
+        common = set(i_i8[j]) & set(i_bf[j])
+        m_bf = {i_: v for i_, v in zip(i_bf[j], d_bf[j])}
+        m_i8 = {i_: v for i_, v in zip(i_i8[j], d_i8[j])}
+        for c in common:
+            np.testing.assert_allclose(m_bf[c], m_i8[c], rtol=1e-4, atol=1e-4)

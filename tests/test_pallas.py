@@ -586,3 +586,68 @@ def test_centered_scores_report_true_adc_distances(setup):
     finally:
         del os.environ["GULON_ADC_CENTER"]
         adc.adc_scan_pallas._clear_cache()
+
+
+def test_dense_i8_matches_bf16_under_exact_rescore():
+    """The int8 dense kernel (2x MXU rate; norms ride as a base-127
+    digit pair against constant (127, 1) query lanes) must match the
+    bf16 kernel's recall under the same exact f32 rescore, and its
+    rescored distances must be the true squared distances."""
+    from benchmarks.common import low_rank_corpus_device
+    from gulon_tpu.ops.distance import sq_norms
+    from gulon_tpu.ops.pallas.dense import (
+        dense_scan_pallas,
+        dense_scan_pallas_i8,
+        prepare_data,
+        prepare_data_i8,
+    )
+    from gulon_tpu.ops.scan import exact_scan
+
+    n, d, k = 20480, 64, 10
+    x = low_rank_corpus_device(3, n, d, intrinsic=16, n_clusters=1024)
+    rng = np.random.default_rng(2)
+    qi = np.sort(rng.choice(n, 8, replace=False))
+    q = jnp.take(x, jnp.asarray(qi), axis=0)
+    _, i_ex = exact_scan(q, x, k=k)
+    i_ex = np.asarray(i_ex)
+    norms = sq_norms(x)
+
+    _, ib = dense_scan_pallas(
+        q, prepare_data(x, norms), norms, k=k, tile_rows=5120,
+        interpret=True, rescore=4, rescore_rows=x,
+    )
+    data8, meta, _ = prepare_data_i8(x, norms)
+    assert 1 <= meta.gain <= 64
+    d8, i8 = dense_scan_pallas_i8(
+        q, data8, meta, norms, k=k, tile_rows=5120, interpret=True,
+        rescore=4, rescore_rows=x,
+    )
+    ib, i8, d8 = np.asarray(ib), np.asarray(i8), np.asarray(d8)
+    r_bf = np.mean([len(set(ib[j]) & set(i_ex[j])) / k for j in range(8)])
+    r_i8 = np.mean([len(set(i8[j]) & set(i_ex[j])) / k for j in range(8)])
+    assert r_i8 >= r_bf - 0.05, (r_i8, r_bf)
+    # exact-rescored distances are true squared L2 of the returned rows
+    xn = np.asarray(x)
+    qn_ = np.asarray(q)
+    true = np.array(
+        [[((xn[i_] - qn_[j]) ** 2).sum() for i_ in i8[j]] for j in range(8)]
+    )
+    np.testing.assert_allclose(d8, true, rtol=1e-3, atol=1e-3)
+
+    # raw (no-rescore) path: dequantized reported distances track the
+    # true distances within the documented quantization noise
+    d8r, i8r = dense_scan_pallas_i8(
+        q, data8, meta, norms, k=k, tile_rows=5120, interpret=True,
+    )
+    d8r, i8r = np.asarray(d8r), np.asarray(i8r)
+    true_r = np.array(
+        [[((xn[i_] - qn_[j]) ** 2).sum() for i_ in i8r[j]] for j in range(8)]
+    )
+    scale_ref = float(np.mean(true_r) + 1.0)
+    # mean-based: individual rows carry gaussian quantization-noise
+    # tails (query lanes coarsen with the gain), the rescore path above
+    # is what reports exact distances
+    assert np.abs(d8r - true_r).mean() <= 0.15 * scale_ref, (
+        np.abs(d8r - true_r).mean(), scale_ref
+    )
+    assert np.all(np.diff(d8r, axis=1) >= -1e-3)
