@@ -83,8 +83,6 @@ def time_device_loop(step_fn: Callable, carry_probe: Callable, iters: int = 16):
         t_many = timed(iters)
         t_one = timed(1)
         estimates.append((t_many - t_one) / (iters - 1))
-    import numpy as np
-
     return max(float(np.median(estimates)), 1e-9)
 
 
@@ -163,9 +161,15 @@ def time_device_loop_args(
         float(loop(n, *operands))
         return time.perf_counter() - t0
 
-    t_many = min(timed(iters) for _ in range(5))
-    t_one = min(timed(1) for _ in range(5))
-    return max((t_many - t_one) / (iters - 1), 1e-9)
+    # paired-difference median, same estimator as time_device_loop: two
+    # independent min-of-5 points can cross under tunnel RTT jitter when
+    # the per-iter signal is thin, clamping the difference to 0
+    estimates = []
+    for _ in range(5):
+        t_many = timed(iters)
+        t_one = timed(1)
+        estimates.append((t_many - t_one) / (iters - 1))
+    return max(float(np.median(estimates)), 1e-9)
 
 
 def time_direct(run_fn: Callable, reps: int = 8):

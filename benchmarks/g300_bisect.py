@@ -61,19 +61,10 @@ def main():
     dsub = pq.pad_width
 
     _, i_ex = exact_scan(q, x, k=10)
+    # the one shared dist-cutoff protocol definition (Tests.scala:22-40)
+    from benchmarks.common import dist_recall_fn
 
-    def true_d(ids):
-        rows = jnp.take(
-            x, jnp.asarray(np.maximum(np.asarray(ids), 0)).reshape(-1),
-            axis=0,
-        ).reshape(nq, -1, x.shape[1])
-        return np.asarray(jnp.sum((rows - q[:, None, :]) ** 2, axis=-1))
-
-    cutoff = true_d(i_ex)[:, -1] * (1 + 1e-6)
-
-    def dist_recall(ids):
-        dd = np.where(np.asarray(ids) >= 0, true_d(ids), np.inf)
-        return float((dd[:, :10] <= cutoff[:, None]).mean())
+    dist_recall = dist_recall_fn(x, q, np.asarray(i_ex), k=10)
 
     # ---- kernel-arithmetic emulation ------------------------------------
     # dec rows are bf16 codebook gathers; q is bf16 at -2x scale; the matmul
@@ -99,7 +90,9 @@ def main():
     def chunk_scores(c0, *, centered):
         ct = jax.lax.dynamic_slice(codes_p, (c0, 0), (CHUNK, m))
         nt = jax.lax.dynamic_slice(norms_p, (c0,), (CHUNK,))
-        nt = jnp.minimum(nt, 3.4e38)
+        # 3.0e38 like the kernel's _BIG: anything >= ~3.396e38 rounds to
+        # bf16 inf and hi_lo would produce inf - inf = NaN
+        nt = jnp.minimum(nt, 3.0e38)
         dec = jnp.take_along_axis(
             cb_bf, ct.astype(jnp.int32).T[:, :, None], axis=1
         )  # [m, CHUNK, dsub] bf16

@@ -119,7 +119,11 @@ class ExactIndex(Index):
                     )
                     self._data_i8 = (d8, meta)
                 except ValueError:
-                    operand = "bf16"  # wild-norm corpus: bf16 fallback
+                    # wild-norm corpus: remember the fallback — the
+                    # attempt is a full-corpus reduction, not per-query
+                    self._data_i8 = (None, None)
+            if operand == "int8" and self._data_i8[0] is None:
+                operand = "bf16"
             if operand == "int8":
                 d8, meta = self._data_i8
                 return dense_scan_pallas_i8(

@@ -730,6 +730,10 @@ def _block_scan_pipe(
         # keep the 1024-multiple invariant (winner blocks need t/128 to be
         # a sublane multiple of 8)
         t = max(1024, (t // 2) // 1024 * 1024)
+    if decode_mode == "take" and t % min(k_codes, _LANES) != 0:
+        # the pipe shrink can break the take alignment the pre-pipe
+        # guard checked (e.g. non-power-of-two K <= 128)
+        decode_mode = "base"
     pad2 = (-codes_t.shape[1]) % (2 * t)
     if pad2:
         codes_t = jnp.pad(codes_t, ((0, 0), (0, pad2)))
