@@ -70,6 +70,7 @@ CONFIG_PLAN = [
     ("kmeans", 60, 240),
     ("deep10m", 480, 960),
     ("sent1024", 360, 780),
+    ("opq100", 300, 600),
 ]
 
 PARENT_RESERVE_S = 20  # kept back for kill + assembly + print
@@ -267,12 +268,71 @@ def bench_glove100_headline():
     }
 
 
+def bench_opq100():
+    """OPQ vs plain PQ at the glove100 shape: identical code bytes,
+    driver-captured quality delta (the flagship capability the reference
+    lacks — learned orthogonal rotation before PQ, ops/opq.py)."""
+    import jax.numpy as jnp
+
+    from benchmarks.common import dist_recall_fn, low_rank_corpus_device
+    from gulon_tpu.ops.opq import reconstruction_mse, train_opq
+    from gulon_tpu.ops.pq import PQConfig, train_product_quantizer
+    from gulon_tpu.ops.scan import exact_scan, rescore_exact
+    from gulon_tpu.ops.pallas.adc import adc_scan_pallas, pack_codes_t
+
+    n, d, m, K, topk = 400_000, 100, 8, 256, 10
+    sample = 256
+    x = low_rank_corpus_device(0, n, d)
+    rng = np.random.default_rng(0)
+    q_idx = np.sort(rng.choice(n, sample, replace=False))
+    q = jnp.take(x, jnp.asarray(q_idx), axis=0)
+    _, i_ex = exact_scan(q, x, k=topk)
+    recall = dist_recall_fn(x, q, np.asarray(i_ex), k=topk)
+    cfg = PQConfig(
+        num_clusters=K, num_quantizers=m, max_iters=25,
+        train_sample=100_000,
+    )
+
+    def run(rot, pq):
+        z = x if rot is None else jnp.matmul(x, rot)
+        qz = q if rot is None else jnp.matmul(q, rot)
+        codes = pq.encode(z)
+        norms = pq.reconstruction_norms(codes)
+        codes_t = pack_codes_t(np.asarray(codes), K)
+        _, cand = adc_scan_pallas(
+            qz, pq.codebooks, codes_t, norms,
+            bounds=pq.bounds, k=4 * topk, num_rows=n,
+        )
+        _, ids = rescore_exact(
+            qz, pq.codebooks, codes, norms, cand,
+            bounds=pq.bounds, k=topk,
+        )
+        return recall(ids), reconstruction_mse(pq, x, rot)
+
+    pq_plain = train_product_quantizer(x, cfg)
+    r_plain, mse_plain = run(None, pq_plain)
+    rot, pq_opq = train_opq(x, cfg)
+    r_opq, mse_opq = run(rot, pq_opq)
+    return {
+        "benchmark": "opq100",
+        "corpus": f"{n}x{d}",
+        "code_bytes_per_vector": m,
+        "dist_recall_at_10_pq": round(r_plain, 4),
+        "dist_recall_at_10_opq": round(r_opq, 4),
+        "recall_ratio_opq_vs_pq": round(r_opq / max(r_plain, 1e-9), 3),
+        "reconstruction_mse_pq": round(mse_plain, 5),
+        "reconstruction_mse_opq": round(mse_opq, 5),
+        "mse_change_pct": round(100.0 * (mse_opq / mse_plain - 1.0), 1),
+    }
+
+
 def _config_fns():
     """Lazy map config name -> zero-arg callable returning a payload dict."""
     from benchmarks import run as bench_suite
 
     return {
         "glove100": bench_glove100_headline,
+        "opq100": bench_opq100,
         "glove300": lambda: bench_suite.bench_adc(
             2_200_000, 300, 16, 256, 1024, "glove300"
         ),
