@@ -430,10 +430,19 @@ def child_main(
                 sys.exit(3)  # fresh interpreter needed (poisoned backend)
         finally:
             # configs run back to back in one process: drop the previous
-            # config's device buffers (multi-GB corpora/caches) before the
-            # next one allocates
+            # config's device buffers (multi-GB corpora/caches) AND its
+            # compiled executables (program storage + captured constants
+            # also live in HBM; leaking them across configs produced a
+            # mid-matrix RESOURCE_EXHAUSTED) before the next one allocates
             import gc
 
+            gc.collect()
+            try:
+                import jax
+
+                jax.clear_caches()
+            except Exception:  # noqa: BLE001 - cleanup is best-effort
+                pass
             gc.collect()
     sys.exit(0)
 
