@@ -1,10 +1,15 @@
 """Driver benchmark: the full BASELINE config matrix, deadline-bounded.
 
-Prints ONE JSON line, ALWAYS — even if the TPU tunnel is down, flaps
-mid-run, or a config hangs. Round-3 lesson: a retry ladder that sleeps
-through the driver's wall-clock timeout ends the round with no captured
-number at all (BENCH_r03.json: rc=124, parsed=null), which is a reporting
-failure independent of the tunnel.
+Prints ONE COMPACT JSON line (<=1,500 bytes), ALWAYS — even if the TPU
+tunnel is down, flaps mid-run, or a config hangs — and writes the full
+per-config matrix to ``benchmarks/BENCH_FULL.json``. Round-3 lesson: a
+retry ladder that sleeps through the driver's wall-clock timeout ends the
+round with no captured number at all (BENCH_r03.json: rc=124,
+parsed=null). Round-4 lesson: the driver tail-captures only the last
+2,000 chars of stdout, so a single line carrying all nine config payloads
+got left-truncated and parsed as nothing (BENCH_r04.json: rc=0,
+parsed=null) — the stdout line now carries the headline plus one or two
+key numbers per config, with everything else in the repo file.
 
 Architecture (two processes):
 
@@ -699,7 +704,51 @@ class _Orchestrator:
 
     # -- output ----------------------------------------------------------------
 
+    # One or two key numbers per config for the compact stdout line; the
+    # full payloads go to benchmarks/BENCH_FULL.json. (name, source field,
+    # compact key, rounding)
+    _SUMMARY_FIELDS = {
+        "build10m": [("index_build_s", "build10m_s", 1),
+                     ("program_load_s", "build10m_cold_extra_s", 1)],
+        "glove300": [("us_per_query", "glove300_us", 2),
+                     ("dist_scan_efficiency", "glove300_eff", 3)],
+        "fasttext": [("us_per_query", "fasttext_exact_us", 2)],
+        "ivf1m": [("device_ms_pallas_w2_rescore4", "ivf1m_dev_ms", 2),
+                  ("scan_efficiency", "ivf1m_scan_eff", 3),
+                  ("coverage_ceiling_at_10", "ivf1m_cov_ceil", 3)],
+        "kmeans": [("us_per_iteration", "kmeans_us_iter", 1)],
+        "deep10m": [("us_per_query_cached_dense", "deep10m_cached_us", 2),
+                    ("us_per_query_sharded_adc", "deep10m_sharded_us", 2)],
+        "sent1024": [("scan_eff_m64", "sent1024_eff_m64", 3)],
+        "opq100": [("recall_ratio_opq_vs_pq", "opq_recall_ratio", 3)],
+    }
+
+    def _summary(self):
+        out = {}
+        for name, fields in self._SUMMARY_FIELDS.items():
+            data = self.completed.get(name)
+            if not data:
+                continue
+            for src, key, nd in fields:
+                v = data.get(src)
+                if isinstance(v, (int, float)):
+                    out[key] = round(v, nd)
+        s1024 = self.completed.get("sent1024")
+        if s1024 and isinstance(s1024.get("sweep"), list):
+            for entry in s1024["sweep"]:
+                m = entry.get("code_bytes")
+                r = entry.get("recall_at_10")
+                if m is not None and r is not None:
+                    out[f"sent1024_r@10_m{m}"] = r
+        return out
+
     def emit(self):
+        """Write the full config matrix to benchmarks/BENCH_FULL.json and
+        print ONE compact JSON line (<=1,500 bytes) as the FINAL stdout
+        line. Round-4 lesson: the driver keeps only the last 2,000 chars of
+        stdout, so a full-matrix line got left-truncated past recognition
+        (BENCH_r04: rc=0 but parsed=null); headline fields must fit the
+        capture window, details go to the repo file."""
         if self._emitted:
             return
         self._emitted = True
@@ -718,6 +767,25 @@ class _Orchestrator:
             else:
                 configs[name] = {"skipped": "deadline: not attempted"}
         head = self.completed.get("glove100")
+        full = {
+            "configs": configs,
+            "configs_captured": len(self.completed),
+            "attempts": self.attempts,
+            "elapsed_s": round(time.time() - self.t_start, 1),
+            "deadline_s": self.deadline_s,
+            "device": self.device,
+            "errors": self.errors[-8:],
+            "finished_utc": time.strftime(
+                "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+            ),
+        }
+        full_rel = os.path.join("benchmarks", "BENCH_FULL.json")
+        try:
+            with open(os.path.join(REPO, full_rel), "w") as f:
+                json.dump(full, f, indent=1, sort_keys=True)
+                f.write("\n")
+        except OSError as e:
+            full_rel = f"unwritable: {e}"
         payload = {
             "metric": (
                 "batched ADC per-query latency (fused Pallas scan),"
@@ -734,30 +802,42 @@ class _Orchestrator:
                     "scan_efficiency": head.get("scan_efficiency"),
                     "dist_recall_at_10": head.get("dist_recall_at_10"),
                     "index_build_s": head.get("index_build_s"),
-                    "program_load_s": head.get("program_load_s"),
                 }
                 if head
                 else {}
             ),
-            "configs": configs,
+            "summary": self._summary(),
             "configs_captured": len(self.completed),
+            "configs_planned": len(_plan()),
+            "full_results": full_rel,
             "attempts": self.attempts,
             "elapsed_s": round(time.time() - self.t_start, 1),
-            "deadline_s": self.deadline_s,
         }
         if self.device:
             payload["device"] = self.device
+        skipped = [n for n, _e, _c in _plan() if n not in self.completed]
+        if skipped:
+            payload["not_captured"] = skipped
         if self.errors:
-            payload["errors"] = self.errors[-6:]
+            payload["last_error"] = self.errors[-1][:160]
         if head is None and any(n == "glove100" for n, _e, _c in _plan()):
             # only an error when the headline was actually planned — a
             # GULON_BENCH_CONFIGS-restricted run legitimately omits it
             payload["error"] = (
-                self.errors[-1]
+                self.errors[-1][:300]
                 if self.errors
                 else "headline config did not complete within the deadline"
             )
-        print(json.dumps(payload), flush=True)
+        line = json.dumps(payload)
+        # hard size guard: the driver's capture window is 2,000 chars and
+        # the headline fields sit at the FRONT of the line, so anything
+        # over budget sheds detail from the back, never the headline
+        for drop in ("summary", "not_captured", "last_error"):
+            if len(line) <= 1500:
+                break
+            payload.pop(drop, None)
+            line = json.dumps(payload)
+        print(line, flush=True)
 
 
 def main():
