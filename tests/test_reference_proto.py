@@ -194,6 +194,183 @@ def test_grouped_index_parses_under_reference_schema(
     assert got["encodings"] == expect
 
 
+# ---------------------------------------------------------------------------
+# Reverse direction: a blob CONSTRUCTED by the reference-descriptor-generated
+# classes (field-by-field from raw arrays, never touching gulon_tpu's writer
+# or packer) must load and serve. This simulates the reader side of
+# ``Index.scala:176-207`` against bytes from a foreign writer — as foreign as
+# an image with no JVM allows. The subprocess script reimplements the
+# reference's byte layouts independently (Coder.scala:114-127 low-nibble-
+# first 4-bit packing; Coder.scala:142-168 MSB-plane + packed-LSB for >8-bit).
+# ---------------------------------------------------------------------------
+
+FOREIGN_BUILD = """\
+import sys
+import numpy as np
+sys.path.insert(0, sys.argv[1])
+import index_pb2
+
+
+def pack(ind, width):
+    n = len(ind)
+    if width == 8:
+        return bytes(int(v) & 0xFF for v in ind)
+    if width == 4:
+        out = bytearray((n + 1) // 2)
+        for i, v in enumerate(ind):
+            out[i >> 1] |= (int(v) & 0xF) << ((i & 1) * 4)
+        return bytes(out)
+    if width == 12:
+        msb = bytes((int(v) >> 4) & 0xFF for v in ind)
+        lsb = bytearray((n + 1) // 2)
+        for i, v in enumerate(ind):
+            lsb[i >> 1] |= (int(v) & 0xF) << ((i & 1) * 4)
+        return msb + bytes(lsb)
+    raise ValueError(width)
+
+
+z = np.load(sys.argv[2], allow_pickle=True)
+codebooks = z["codebooks"]  # [m, K, dsub]
+codes = z["codes"]          # [n, m]
+keys = list(z["keys"])
+width = int(z["width"])
+m, K, dsub = codebooks.shape
+n = codes.shape[0]
+
+msg = index_pb2.Index()
+if "centroids" in z:
+    body = msg.grouped
+    body.grouped_words.extend(str(w) for w in keys)
+    for row in z["centroids"]:
+        body.centroids.add().values.extend(row.tolist())
+    body.offsets.extend(int(o) for o in z["offsets"])
+    body.strategy = int(z["strategy"])
+    body.limit = int(z["limit"])
+else:
+    body = msg.sorted
+    body.sorted_words.extend(str(w) for w in keys)
+body.metric = int(z["metric"])
+pq = body.vector_index.product_quantizer
+pq.num_clusters = K
+for s in range(m):
+    q = pq.quantizers.add()
+    q.start_index = s * dsub
+    q.dimension = dsub
+    for row in codebooks[s]:
+        q.centroids.add().values.extend(row.tolist())
+data = body.vector_index.data
+data.code_width = width
+data.length = n
+for s in range(m):
+    data.encodings.append(pack(codes[:, s], width))
+open(sys.argv[3], "wb").write(msg.SerializeToString())
+"""
+
+
+def _foreign_blob(pb2_dir, tmp_path, arrays):
+    npz = tmp_path / "foreign_in.npz"
+    np.savez(npz, **arrays)
+    blob = tmp_path / "foreign.pb"
+    proc = subprocess.run(
+        [
+            sys.executable, "-c", FOREIGN_BUILD,
+            str(pb2_dir), str(npz), str(blob),
+        ],
+        capture_output=True, text=True,
+    )
+    assert proc.returncode == 0, proc.stderr
+    return blob
+
+
+def _numpy_adc_oracle(codebooks, codes, queries, k, add=None):
+    """Independent oracle: exact top-k over decoded vectors.
+
+    ``add``: per-row vector to add back after decode (IVF centroid)."""
+    m, _K, dsub = codebooks.shape
+    n = codes.shape[0]
+    decoded = np.concatenate(
+        [codebooks[s][codes[:, s]] for s in range(m)], axis=1
+    ).astype(np.float64)
+    if add is not None:
+        decoded = decoded + add
+    d = (
+        np.sum(decoded**2, axis=1)[None, :]
+        - 2.0 * queries.astype(np.float64) @ decoded.T
+        + np.sum(queries.astype(np.float64) ** 2, axis=1)[:, None]
+    )
+    ids = np.argsort(d, axis=1, kind="stable")[:, :k]
+    return ids, np.take_along_axis(d, ids, axis=1)
+
+
+@pytest.mark.parametrize(
+    "width,K,m",
+    [(8, 256, 4), (4, 16, 6), (12, 4096, 3)],
+    ids=["w8", "w4", "w12"],
+)
+def test_foreign_written_flat_blob_loads_and_serves(
+    reference_pb2_dir, tmp_path, width, K, m
+):
+    rng = np.random.default_rng(width)
+    dsub = 4
+    codebooks = rng.normal(0, 1, (m, K, dsub)).astype(np.float32)
+    codes = rng.integers(0, K, (320, m)).astype(np.int64)
+    keys = np.array([f"fw{i:04d}" for i in range(320)], dtype=object)
+    blob = _foreign_blob(
+        reference_pb2_dir, tmp_path,
+        dict(codebooks=codebooks, codes=codes, keys=keys,
+             width=width, metric=0),
+    )
+
+    idx = g.load_index(str(blob))
+    queries = rng.normal(0, 1, (8, m * dsub)).astype(np.float32)
+    ids_o, d_o = _numpy_adc_oracle(codebooks, codes, queries, k=5)
+    for qi in range(len(queries)):
+        res = idx.query(5, queries[qi])
+        got_rows = [int(w[2:]) for w in res.keys]
+        # same decoded set scanned by both: id sets must agree up to exact
+        # distance ties, distances to 1e-3 (f32 scan vs f64 oracle)
+        np.testing.assert_allclose(
+            np.sort(res.distances), np.sort(d_o[qi]), rtol=1e-3, atol=1e-3
+        )
+        assert len(set(got_rows) & set(ids_o[qi].tolist())) >= 4
+
+
+def test_foreign_written_grouped_blob_loads_and_serves(
+    reference_pb2_dir, tmp_path
+):
+    rng = np.random.default_rng(99)
+    m, K, dsub, n, P = 4, 16, 4, 300, 5
+    d = m * dsub
+    codebooks = (rng.normal(0, 0.2, (m, K, dsub))).astype(np.float32)
+    codes = rng.integers(0, K, (n, m)).astype(np.int64)
+    centroids = rng.normal(0, 3.0, (P, d)).astype(np.float32)
+    sizes = [60] * P
+    offsets = np.cumsum(sizes)[:-1]
+    group_of = np.repeat(np.arange(P), sizes)
+    keys = np.array([f"fg{i:04d}" for i in range(n)], dtype=object)
+    blob = _foreign_blob(
+        reference_pb2_dir, tmp_path,
+        dict(codebooks=codebooks, codes=codes, keys=keys, width=4,
+             metric=0, centroids=centroids, offsets=offsets,
+             strategy=0, limit=P),  # LIMIT_GROUPS probing ALL partitions
+    )
+
+    idx = g.load_index(str(blob))
+    queries = centroids[[1, 3]] + rng.normal(0, 0.3, (2, d)).astype(
+        np.float32
+    )
+    ids_o, d_o = _numpy_adc_oracle(
+        codebooks, codes, queries, k=5, add=centroids[group_of]
+    )
+    for qi in range(len(queries)):
+        res = idx.query(5, queries[qi])
+        got_rows = [int(w[2:]) for w in res.keys]
+        np.testing.assert_allclose(
+            np.sort(res.distances), np.sort(d_o[qi]), rtol=1e-3, atol=1e-3
+        )
+        assert len(set(got_rows) & set(ids_o[qi].tolist())) >= 4
+
+
 def test_round_trip_through_reference_schema_is_identity(
     reference_pb2_dir, tmp_path
 ):
