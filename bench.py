@@ -468,6 +468,10 @@ class _Orchestrator:
         self.results_path = os.path.join(
             REPO, f".bench_events_{uuid.uuid4().hex[:8]}.jsonl"
         )
+        # full per-config matrix lands here; tests point this at a tmp dir
+        self.full_results_path = os.path.join(
+            REPO, "benchmarks", "BENCH_FULL.json"
+        )
         self.completed: dict = {}  # name -> payload
         self.skipped: dict = {}  # name -> reason
         self.started: set = set()  # configs that got a start event
@@ -779,9 +783,9 @@ class _Orchestrator:
                 "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
             ),
         }
-        full_rel = os.path.join("benchmarks", "BENCH_FULL.json")
+        full_rel = os.path.relpath(self.full_results_path, REPO)
         try:
-            with open(os.path.join(REPO, full_rel), "w") as f:
+            with open(self.full_results_path, "w") as f:
                 json.dump(full, f, indent=1, sort_keys=True)
                 f.write("\n")
         except OSError as e:

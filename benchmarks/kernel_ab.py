@@ -3,9 +3,9 @@
 Shapes mirror the BASELINE configs without paying a PQ build (random codes
 and gaussian codebooks: scan latency is shape-dependent only).
 
-  adc100   headline 400k x 100d PQ 8x256  (depth 106 -> transposed mode)
-  adc300   glove300 2.2M x 300d PQ 16x256 (depth 306 -> natural mode);
-           also times the forced-transposed variant for the A/B
+  adc100   headline 400k x 100d PQ 8x256  (depth 106)
+  adc300   glove300 2.2M x 300d PQ 16x256 (depth 306); `adc300n` times
+           the natural-layout probe variant for the A/B
   dense    fasttext 2M x 300d exact scan: no-rescore / operand-rescore /
            exact-f32-rescore
 
@@ -26,7 +26,11 @@ def _setup():
     enable_persistent_cache()
 
 
-def adc_shape(n, d, m, K, num_q=1024, k=10, force_transposed=False):
+def adc_shape(n, d, m, K, num_q=1024, k=10, variant=None):
+    """``variant=None`` times the PRODUCTION kernel; a dict like
+    ``{"decode_mode": "take"}`` / ``{"natural": True}`` /
+    ``{"pipe": True}`` times the matching probe formulation from
+    ``benchmarks.adc_probes`` (the measured dead ends)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -51,17 +55,21 @@ def adc_shape(n, d, m, K, num_q=1024, k=10, force_transposed=False):
     q_pool = jax.random.normal(k3, (num_q * 2, d), jnp.float32)
 
     mdp = A.padded_depth(m, dsub)
-    natural = A._natural(mdp) and not force_transposed
-    if force_transposed:
-        A._natural = lambda _mdp: False
-    label = "natural" if natural else "transposed"
+    if variant:
+        from benchmarks.adc_probes import adc_scan_probe
+
+        label = ",".join(f"{k_}={v}" for k_, v in variant.items())
+        scan = lambda *a, **kw: adc_scan_probe(*a, **kw, **variant)
+    else:
+        label = "production"
+        scan = A.adc_scan_pallas
     print(f"[adc n={n} d={d} m={m}] depth={mdp} mode={label}")
 
     def step(acc, qp, ct, nrm, cb):
         qs = jax.lax.dynamic_slice_in_dim(
             qp, (jnp.int32(acc) % 2) * num_q, num_q, 0
         )
-        dd, ii = A.adc_scan_pallas(
+        dd, ii = scan(
             qs + acc * 1e-30, cb, ct, nrm, bounds=bounds, k=k, num_rows=n
         )
         return acc + dd[0, 0] * 1e-30 + jnp.float32(ii[0, 0]) * 1e-30 + 1.0
@@ -204,8 +212,9 @@ def main():
         adc_shape(400_000, 100, 8, 256)
     elif which == "adc300":
         adc_shape(2_196_017, 300, 16, 256)
-    elif which == "adc300t":
-        adc_shape(2_196_017, 300, 16, 256, force_transposed=True)
+    elif which == "adc300n":
+        # natural-layout probe (dead end #3: 13.90 vs 13.51 ms/batch)
+        adc_shape(2_196_017, 300, 16, 256, variant={"natural": True})
     elif which == "adc300batch":
         # the one-hot decode is a fixed per-batch cost (once per row
         # tile regardless of the query-tile count), so larger batches
@@ -213,20 +222,24 @@ def main():
         for nq in (1024, 2048, 4096):
             adc_shape(2_196_017, 300, 16, 256, num_q=nq)
     elif which == "decode":
-        # the fifth attack on the deep-shape decode floor (VERDICT r3
-        # item 4): A/B the in-kernel decode formulations at both the
-        # headline and the decode-bound glove300 shape. Run each mode in
-        # a FRESH process (the env var is read at trace time):
-        #   for m in base bf16cmp take; do
-        #     GULON_ADC_DECODE=$m python benchmarks/kernel_ab.py decode
-        #   done
+        # the attacks on the deep-shape decode floor (VERDICT r3 item 4):
+        # A/B the probe decode formulations (benchmarks/adc_probes.py)
+        # against the production kernel at both the headline and the
+        # decode-bound glove300 shape. Variants are explicit static
+        # arguments now — env vars still honored for script compat:
+        #   GULON_ADC_DECODE=take python benchmarks/kernel_ab.py decode
         import os
 
         mode = os.environ.get("GULON_ADC_DECODE", "base")
-        pipe = os.environ.get("GULON_ADC_PIPE", "")
-        print(f"decode mode: {mode}  pipe: {pipe or '0'}")
-        adc_shape(400_000, 100, 8, 256)
-        adc_shape(2_196_017, 300, 16, 256)
+        pipe = os.environ.get("GULON_ADC_PIPE", "") not in ("", "0")
+        variant = {}
+        if mode != "base":
+            variant["decode_mode"] = mode
+        if pipe:
+            variant["pipe"] = True
+        print(f"decode mode: {mode}  pipe: {int(pipe)}")
+        adc_shape(400_000, 100, 8, 256, variant=variant or None)
+        adc_shape(2_196_017, 300, 16, 256, variant=variant or None)
     elif which == "dense":
         dense_shape()
     elif which == "dense_i8":

@@ -109,6 +109,17 @@ class ExactIndex(Index):
                 prepare_data_i8,
             )
 
+            if self.exact_rescore and self.rescore_factor < 1:
+                # rescore=0 disables the re-rank entirely, which would
+                # silently turn exact_rescore into a no-op: an index
+                # named Exact would report dequantized int8 / raw-bf16
+                # approximate distances (ADVICE r4)
+                raise ValueError(
+                    "exact_rescore=True requires rescore_factor >= 1 "
+                    "(rescore_factor=0 disables re-ranking; set "
+                    "exact_rescore=False for raw kernel distances)"
+                )
+
             if self._norms is None:
                 self._norms = sq_norms(self.vectors)
             operand = self.operand

@@ -1,5 +1,5 @@
-"""Fused Pallas ADC-scan kernel (v6: norm-fused matmul + min-then-match
-block selection; natural-layout distance matmul for deep contractions).
+"""Fused Pallas ADC-scan kernel (v7: norm-fused matmul + lane-packed
+block-min selection).
 
 The XLA formulation of the ADC scan (``gulon_tpu.ops.scan.adc_scan_decode``)
 materializes a one-hot decode operand in HBM per row tile, making the scan
@@ -47,16 +47,17 @@ cleaner score pipeline). The stage budget measured by
 ``benchmarks/kernel_probe.py`` deltas + ``floor_probe.py``: launch+IO
 ~0.04 ms, one-hot decode ~0.3, distance matmul ~0.27 (MXU bound 0.23),
 selection ~0.4 (v5) -> v7's packing cuts it, epilogue ~0.2. Deep shapes
-(glove300, m=16) are DECODE-bound: the natural-layout matmul variant
-measured a null result there (13.9 vs 13.5 ms/batch) and sits behind
-``GULON_ADC_NATURAL=1``; an i8 one-hot + i8-MXU decode measured slower
-(2.07 vs 1.54 ms) and was rejected.
+(glove300, m=16) are DECODE-bound; seven attacks on that floor were
+measured and rejected (natural-layout matmul 13.9 vs 13.5 ms/batch, i8
+one-hot decode 2.07 vs 1.54 ms, bf16-compare one-hot Mosaic-unsupported,
+gather table walk 38% slower, software-pipelined decode null, ...) — the
+probe kernels live in ``benchmarks/adc_probes.py`` and the full dead-end
+ledger in ROADMAP.md. This module carries only the shipping paths.
 
 Per grid step (row tile r, query tile q; query axis innermost):
       q == 0:  codes [m, T] -> per-subspace one-hot^T (VMEM, bf16)
                -> dec^T [m*dsub(+2), T] bf16 (MXU, persists across query
-               tiles; rows md..md+1 = hi/lo norms; natural mode also
-               stores the [T, MDP] transposed copy)
+               tiles; rows md..md+1 = hi/lo norms)
       all q:   scores^T [T, QT] = dec^T' Q' (MXU, f32 accum — the matmul
                IS norms - 2<q, dec>)
                -> per-128-row-block lane-packed float min (VPU, sublane)
@@ -115,70 +116,15 @@ def padded_depth(m: int, dsub: int) -> int:
     return _round_up(m * dsub + 4, 8)
 
 
-def _decode_mode() -> str:
-    """In-kernel decode formulation (the deep-shape bottleneck: m*K*N
-    one-hot compares dominate at glove300, ~4.5 ms of 13.5 per
-    1024-batch). Env-gated probes for the fifth attack on that floor
-    (VERDICT r3 item 4); read at trace time:
-
-    - ``base``  (default): i32 compare -> bf16 one-hot -> MXU matmul
-      (the measured v5-v7 path);
-    - ``bf16cmp``: the iota/code compare runs in bf16 (exact for
-      K <= 256 integers) and selects bf16 weights directly — if Mosaic
-      issues native 16-bit VPU compares this halves the per-element
-      compare+cast cost;
-    - ``take``: no one-hot at all — ``dec^T[s] = cbT[s][:, codes]``
-      as a lane-axis ``jnp.take`` ([dsub, K] gathered by [T] indices,
-      the reference's actual ADC table walk, Index.scala:393-409).
-      Whether Mosaic lowers this gather competitively (or at all) is
-      exactly what the probe settles.
-    """
-    import os
-
-    return os.environ.get("GULON_ADC_DECODE", "base")
-
-
-def _center() -> bool:
-    """Centered scoring for the flat fused scan (default ON; env
-    ``GULON_ADC_CENTER=0`` restores the round-3 convention for A/B):
-    the kernel's score is the true ADC distance instead of
-    ``norms - 2<q, dec>``, making the hi/lo norm split and the 7-bit
-    lane-pack coarsening relative-to-distance noise. Read at trace time
-    (callers switching the env must ``_clear_cache()``)."""
+def _center_default() -> bool:
+    """Default for ``adc_scan_pallas``'s ``center_scores`` argument
+    (env ``GULON_ADC_CENTER=0`` restores the round-3 uncentered
+    convention for A/B runs). Resolved at CALL time by the un-jitted
+    wrapper, so the flag is part of the jit cache key — flipping the env
+    mid-process takes effect on the next call."""
     import os
 
     return os.environ.get("GULON_ADC_CENTER", "1") not in ("", "0")
-
-
-def _pipe() -> bool:
-    """Software-pipelined decode (``GULON_ADC_PIPE=1``): decode row tile
-    r+1 into the alternate scratch during row tile r's LAST query step,
-    so the next tile's one-hot decode (VPU) can overlap this tile's
-    distance matmuls (MXU). At glove300 the decode (~4.5 ms/batch) runs
-    serially after the matmul (~7 ms) in the base schedule; if Mosaic
-    dual-issues the independent VPU/MXU streams this hides most of it.
-    The lookahead codes ride a second BlockSpec of the same operand
-    (index r+1) — ~2x code DMA traffic, irrelevant at m bytes/row.
-    Probe for VERDICT r3 item 4; default off until measured."""
-    import os
-
-    return os.environ.get("GULON_ADC_PIPE", "") not in ("", "0")
-
-
-def _natural(mdp: int) -> bool:
-    """Whether to transpose dec^T in-kernel and run the canonical
-    natural-layout distance matmul. Measured at glove300 (depth 312,
-    2.2M rows): natural 13.90 ms vs transposed 13.51 ms per 1024-batch —
-    a null result, because the ADC kernel at deep shapes is bound by the
-    one-hot decode (VPU), not the distance matmul, unlike the dense
-    kernel where the same layout change bought 1.7x. Default OFF; set
-    ``GULON_ADC_NATURAL=1`` to enable for deep-contraction experiments
-    (the path stays correctness-tested in interpret mode)."""
-    import os
-
-    if os.environ.get("GULON_ADC_NATURAL", "") not in ("", "0"):
-        return mdp > 128
-    return False
 
 
 def _pick_tiles(
@@ -190,19 +136,17 @@ def _pick_tiles(
     fuses its temporaries; measured, not just estimated — t=4096 at
     qt=512 runs where the old 2-copies estimate claimed it could not),
     plus a second masked copy when multiple winners re-min, the dec^T
-    scratch [mdp, T] bf16 (doubled in natural mode for the transposed
-    copy), a one-hot temp [K, T] bf16, and double-buffered code/query
-    blocks. Row tiles are 1024-multiples: the winner block [w*t/128, QT]
-    needs a sublane-multiple-of-8 leading dim.
+    scratch [mdp, T] bf16, a one-hot temp [K, T] bf16, and
+    double-buffered code/query blocks. Row tiles are 1024-multiples: the
+    winner block [w*t/128, QT] needs a sublane-multiple-of-8 leading dim.
     """
     budget = 14 * 1024 * 1024
     qt = min(_round_up(num_q, 16), 512)
     score_copies = 2 if winners > 1 else 1
-    dec_copies = 2 if _natural(mdp) else 1
     for t in (4096, 2048, 1024):
         work = (
             4 * qt * t * score_copies
-            + dec_copies * 2 * t * mdp
+            + 2 * t * mdp
             + 2 * 2 * t * k_codes
         )
         if work < budget:
@@ -269,22 +213,17 @@ def _decode_columns(
     m: int,
     k_codes: int,
     dsub: int,
-    decode_mode: str,
 ):
-    """One row tile's transposed decode (shared by the base and pipelined
-    kernels): one-hot (or gather) per subspace + the two norm rows."""
+    """One row tile's transposed decode: one-hot per subspace + the two
+    norm rows. (Alternative decode formulations — bf16 compares, gather
+    table walk, pipelined schedules — were probed and measured as dead
+    ends; they live in ``benchmarks/adc_probes.py``, ledger in
+    ROADMAP.md.)"""
     md = m * dsub
     mdp = dec_ref.shape[0]
     if mdp > md + 4:  # zero ONLY the pad rows
         dec_ref[md + 4 :, :] = jnp.zeros((mdp - md - 4, t), jnp.bfloat16)
-    if decode_mode == "bf16cmp":
-        # tpu.iota only emits integer vectors; build i32 and convert once
-        # per tile (amortized over the m compares below)
-        row_iota = jax.lax.broadcasted_iota(jnp.int32, (k_codes, t), 0).astype(
-            jnp.bfloat16
-        )
-    else:
-        row_iota = jax.lax.broadcasted_iota(jnp.int32, (k_codes, t), 0)
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (k_codes, t), 0)
     for s in range(m):
         row = codes_ref[s, pl.ds(off, t)]
         if codes_ref.dtype == jnp.int8:
@@ -293,59 +232,9 @@ def _decode_columns(
             row = row.astype(jnp.int32) + 128
         elif codes_ref.dtype != jnp.int32:
             row = row.astype(jnp.int32)
-        if decode_mode == "take":
-            # gather the codebook columns by code (lane-axis take): the
-            # table walk itself, no one-hot, no decode matmul — dsub*T
-            # gathered elements per subspace vs the one-hot's K*T
-            # compares. Mosaic's tpu.dynamic_gather constraints (all
-            # learned by probe, see RESULTS.md):
-            #   * indices/result at the SAME bitwidth (Pallas upcasts
-            #     indices to i32 -> ship the codebook operand as f32 and
-            #     convert to bf16 on store);
-            #   * source, indices, and output SHAPES must match;
-            #   * the source spans ONE 128-lane vreg along the gather
-            #     dim — an intra-register lane shuffle. K=256 therefore
-            #     gathers from the two 128-lane halves and selects on
-            #     the code's high bit.
-            cb = cbT_ref[s]  # [dsub, K] f32 in take mode
-            chunk = min(k_codes, _LANES)
-            assert t % chunk == 0, (t, chunk)
-            n_src = -(-k_codes // _LANES)
-            for c0 in range(0, t, chunk):
-                # static python-slice offsets: lax.dynamic_slice_in_dim
-                # emits the dynamic_slice primitive even for constant
-                # starts, which Mosaic's TC lowering rejects
-                rslice = row[c0 : c0 + chunk]
-                idx = jnp.broadcast_to(
-                    (rslice % _LANES if n_src > 1 else rslice).reshape(
-                        1, chunk
-                    ),
-                    (dsub, chunk),
-                )
-                out = jnp.take_along_axis(cb[:, :chunk], idx, axis=1)
-                for v in range(1, n_src):
-                    gv = jnp.take_along_axis(
-                        cb[:, v * _LANES : (v + 1) * _LANES], idx, axis=1
-                    )
-                    hit = jnp.broadcast_to(
-                        (rslice // _LANES == v).reshape(1, chunk),
-                        (dsub, chunk),
-                    )
-                    out = jnp.where(hit, gv, out)
-                dec_ref[
-                    s * dsub : (s + 1) * dsub, c0 : c0 + chunk
-                ] = out.astype(jnp.bfloat16)
-            continue
-        if decode_mode == "bf16cmp":
-            # bf16 holds integers <= 256 exactly; a 16-bit compare
-            # lane is 2x the elements per VPU op of the i32 one
-            onehotT = (
-                row.astype(jnp.bfloat16).reshape(1, t) == row_iota
-            ).astype(jnp.bfloat16)
-        else:
-            onehotT = (row.reshape(1, t) == row_iota).astype(
-                jnp.bfloat16
-            )  # [K, T]
+        onehotT = (row.reshape(1, t) == row_iota).astype(
+            jnp.bfloat16
+        )  # [K, T]
         # [dsub, K] x [K, T]: streams only dsub rows through the MXU
         dec_ref[s * dsub : (s + 1) * dsub, :] = jax.lax.dot_general(
             cbT_ref[s],
@@ -384,101 +273,23 @@ def _block_select(scores, packed_ref, *, row0: int, t: int, qt: int,
             masked = jnp.where(masked == vmin[:, None, :], _BIG, masked)
 
 
-def _adc_fused_kernel_pipe(
-    codes_ref,   # [m, 2T] code block for row-tile pair g (cols 2 tiles)
-    codes_nx_ref,  # [m, 2T] block for pair g+1 (lookahead; g+1 clamped)
-    norms_ref,   # [2, 2T] bf16 norms for pair g
-    norms_nx_ref,  # [2, 2T] norms for pair g+1
+def _adc_fused_kernel(
+    codes_ref,   # [m, T] i32 block (transposed: rows on lanes)
+    norms_ref,   # [2, T] bf16 block (hi/lo split of recon norms)
     q_ref,       # [QT, MDP] bf16 block (-2x scaled, unit norm lanes)
     cbT_ref,     # [m, dsub, K] bf16 (whole)
-    packed_ref,  # out [2*W*NB, QT] f32 block for the pair
-    dec0_ref,    # scratch [MDP, T] bf16 — even tile of the pair
-    dec1_ref,    # scratch [MDP, T] bf16 — odd tile
+    packed_ref,  # out [W*NB, QT] f32 block: (score & ~127) | row-in-block
+    decT_ref,    # scratch [MDP, T] bf16 (persists across query tiles)
     *,
     m: int,
     k_codes: int,
     dsub: int,
     tile_rows: int,
-    n_pairs: int,
-    n_qt: int,
     winners: int = 1,
-    decode_mode: str = "base",
 ):
-    """Software-pipelined schedule (GULON_ADC_PIPE=1): each grid step
-    owns a PAIR of row tiles with static scratch slots, and every decode
-    after the prologue is program-ordered AFTER an independent distance
-    matmul — Mosaic can overlap the one-hot decode (VPU) with the MXU
-    passes instead of serializing them (the glove300 bottleneck).
-
-    Steady state entering step (g, q=0): dec0 already holds tile 2g
-    (decoded during step (g-1, last q)). Schedule:
-      mm(dec0) -> [q == 0] decode tile 2g+1 -> mm(dec1)
-      -> [q == last] decode tile 2g+2 into dec0 (lookahead block).
-    """
     t = tile_rows
     qt = q_ref.shape[0]
-    nblk = t // _LANES
-    g = pl.program_id(0)
-    q_idx = pl.program_id(1)
-    dk = dict(t=t, m=m, k_codes=k_codes, dsub=dsub, decode_mode=decode_mode)
-
-    @pl.when(jnp.logical_and(g == 0, q_idx == 0))
-    def _():  # prologue: nothing decoded tile 0 yet
-        _decode_columns(dec0_ref, codes_ref, norms_ref, cbT_ref, off=0, **dk)
-
-    scores0 = jax.lax.dot_general(
-        dec0_ref[:],
-        q_ref[:],
-        dimension_numbers=(((0,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [T, QT]
-    _block_select(scores0, packed_ref, row0=0, t=t, qt=qt, winners=winners)
-
-    @pl.when(q_idx == 0)
-    def _():  # overlappable with scores0's MXU passes
-        _decode_columns(dec1_ref, codes_ref, norms_ref, cbT_ref, off=t, **dk)
-
-    scores1 = jax.lax.dot_general(
-        dec1_ref[:],
-        q_ref[:],
-        dimension_numbers=(((0,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    _block_select(
-        scores1, packed_ref, row0=winners * nblk, t=t, qt=qt,
-        winners=winners,
-    )
-
-    @pl.when(jnp.logical_and(q_idx == n_qt - 1, g + 1 < n_pairs))
-    def _():  # lookahead: tile 2(g+1) into dec0, overlappable with scores1
-        _decode_columns(
-            dec0_ref, codes_nx_ref, norms_nx_ref, cbT_ref, off=0, **dk
-        )
-
-
-def _adc_fused_kernel(
-    codes_ref,   # [m, T] i32 block (transposed: rows on lanes)
-    norms_ref,   # [2, T] bf16 block (hi/lo split of recon norms)
-    q_ref,       # [QT, MDP] bf16 block (-2x scaled, unit norm lanes) —
-    #              natural mode: [MDP, QT] (pretransposed by the wrapper)
-    cbT_ref,     # [m, dsub, K] bf16 (whole)
-    packed_ref,  # out [W*NB, QT] f32 block: (score & ~127) | row-in-block
-    decT_ref,    # scratch [MDP, T] bf16 (persists across query tiles)
-    *scratch,    # natural mode: dec_ref [T, MDP] bf16
-    m: int,
-    k_codes: int,
-    dsub: int,
-    tile_rows: int,
-    winners: int = 1,
-    natural: bool = False,
-    interpret: bool = False,
-    decode_mode: str = "base",
-):
-    t = tile_rows
-    qt = q_ref.shape[1] if natural else q_ref.shape[0]
-    nblk = t // _LANES
     qt_idx = pl.program_id(1)
-    md = m * dsub
 
     # --- decode (transposed), once per row tile ---
     @pl.when(qt_idx == 0)
@@ -486,31 +297,15 @@ def _adc_fused_kernel(
         _decode_columns(
             decT_ref, codes_ref, norms_ref, cbT_ref,
             off=0, t=t, m=m, k_codes=k_codes, dsub=dsub,
-            decode_mode=decode_mode,
         )
-        if natural:
-            scratch[0][:] = decT_ref[:].T
 
     # --- distances: the matmul IS the score (norm rows + -2-scaled q) ---
-    if natural:
-        # canonical [T, MDP] x [MDP, QT]: zero relayouts per step; worth
-        # the one per-row-tile transpose when depth spans >1 MXU pass
-        lhs, rhs = scratch[0][:], q_ref[:]
-        if interpret:  # XLA:CPU's DotThunk lacks canonical bf16 x bf16
-            lhs, rhs = lhs.astype(jnp.float32), rhs.astype(jnp.float32)
-        scores = jax.lax.dot_general(
-            lhs,
-            rhs,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [T, QT]
-    else:
-        scores = jax.lax.dot_general(
-            decT_ref[:],
-            q_ref[:],
-            dimension_numbers=(((0,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [T, QT]
+    scores = jax.lax.dot_general(
+        decT_ref[:],
+        q_ref[:],
+        dimension_numbers=(((0,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [T, QT]
 
     # --- (min, argmin) per 128-row block via lane-packed float min (v7):
     # the row-in-block fits the 7 low mantissa bits, so
@@ -527,7 +322,7 @@ def _adc_fused_kernel(
     _block_select(scores, packed_ref, row0=0, t=t, qt=qt, winners=winners)
 
 
-def _block_scan(
+def prepare_scan_operands(
     queries: jax.Array,
     codebooks: jax.Array,
     codes: jax.Array,
@@ -535,22 +330,14 @@ def _block_scan(
     *,
     bounds,
     tile_rows: int,
-    interpret: bool,
     num_rows: int,
     winners: int = 1,
     center_scores: bool = False,
 ):
-    """Launch the fused kernel; returns per-128-row-block winners.
-
-    ``(packed [Q, NW], base_cols [NW] i32, qs, codes_t, pretransposed)``
-    where ``packed`` holds lane-packed winner floats — value bits
-    ``recon_norms[row] - 2<q, dec(row)>`` (no ``||q||^2`` term, low 7
-    mantissa bits replaced by the row-in-block) and ``base_cols[c]`` is
-    the first row of winner column ``c``'s block, so
-    ``row = base_cols[c] + (bitcast_i32(packed) & 127)``. Values
-    ``>= _INVALID_MIN`` (after masking the lane bits) mark padding.
-    Use :func:`unpack_block_winners`.
-    """
+    """Operand prep shared by the production launch and the probe
+    launches in ``benchmarks/adc_probes.py``: padded -2-scaled queries
+    with norm/center lanes, transposed padded codes, padded norms, plus
+    the (qt, t) tile geometry. Returns a dict."""
     num_q, _ = queries.shape
     m, k_codes, dsub = codebooks.shape
     pretransposed = num_rows > 0
@@ -561,7 +348,6 @@ def _block_scan(
         )
 
     mdp = padded_depth(m, dsub)  # decode rows + 4 constant rows, aligned
-    natural = _natural(mdp)
     if tile_rows and tile_rows % 1024:
         raise ValueError(
             f"tile_rows must be a 1024-multiple, got {tile_rows}"
@@ -626,46 +412,60 @@ def _block_scan(
             norms, (0, codes_t.shape[1] - norms.shape[0]),
             constant_values=_BIG,
         )
+    return dict(
+        q_pad=q_pad, codes_t=codes_t, norms=norms, center=center, qs=qs,
+        qt=qt, t=t, mdp=mdp, pretransposed=pretransposed, num_q=num_q,
+        m=m, k_codes=k_codes, dsub=dsub,
+    )
+
+
+def _block_scan(
+    queries: jax.Array,
+    codebooks: jax.Array,
+    codes: jax.Array,
+    recon_norms: jax.Array,
+    *,
+    bounds,
+    tile_rows: int,
+    interpret: bool,
+    num_rows: int,
+    winners: int = 1,
+    center_scores: bool = False,
+):
+    """Launch the fused kernel; returns per-128-row-block winners.
+
+    ``(packed [Q, NW], base_cols [NW] i32, qs, codes_t, pretransposed)``
+    where ``packed`` holds lane-packed winner floats — value bits
+    ``recon_norms[row] - 2<q, dec(row)>`` (no ``||q||^2`` term, low 7
+    mantissa bits replaced by the row-in-block) and ``base_cols[c]`` is
+    the first row of winner column ``c``'s block, so
+    ``row = base_cols[c] + (bitcast_i32(packed) & 127)``. Values
+    ``>= _INVALID_MIN`` (after masking the lane bits) mark padding.
+    Use :func:`unpack_block_winners`.
+    """
+    ops = prepare_scan_operands(
+        queries, codebooks, codes, recon_norms,
+        bounds=bounds, tile_rows=tile_rows, num_rows=num_rows,
+        winners=winners, center_scores=center_scores,
+    )
+    q_pad, codes_t, norms = ops["q_pad"], ops["codes_t"], ops["norms"]
+    center, qs = ops["center"], ops["qs"]
+    qt, t, mdp = ops["qt"], ops["t"], ops["mdp"]
+    num_q, m = ops["num_q"], ops["m"]
+    k_codes, dsub = ops["k_codes"], ops["dsub"]
+    pretransposed = ops["pretransposed"]
     n_rt = codes_t.shape[1] // t
     n_qt = q_pad.shape[0] // qt
     nblk = t // _LANES
 
-    decode_mode = _decode_mode()
-    if decode_mode == "bf16cmp" and k_codes > 256:
-        decode_mode = "base"  # bf16 holds ints exactly only to 256
-    if decode_mode == "take" and (
-        k_codes > 256 or t % min(k_codes, _LANES) != 0
-    ):
-        # >2 gather sources per chunk (K > 2 vregs) or misaligned tiles:
-        # fall back to the one-hot decode
-        decode_mode = "base"
-    pipe = _pipe() and not natural
-    if pipe:
-        return _block_scan_pipe(
-            codes_t, norms, q_pad, codebooks, qs,
-            m=m, k_codes=k_codes, dsub=dsub, mdp=mdp, qt=qt, t=t,
-            num_q=num_q, winners=winners, interpret=interpret,
-            decode_mode=decode_mode, pretransposed=pretransposed,
-            center=center,
-        )
     kernel = functools.partial(
         _adc_fused_kernel, m=m, k_codes=k_codes, dsub=dsub, tile_rows=t,
-        winners=winners, natural=natural, interpret=interpret,
-        decode_mode=decode_mode,
+        winners=winners,
     )
     q_op = q_pad.astype(jnp.bfloat16)
-    if natural:
-        q_op = q_op.T  # [mdp, Q'] once per batch; canonical rhs in-kernel
-        q_spec = pl.BlockSpec(
-            (mdp, qt), lambda r, q: (0, q), memory_space=pltpu.VMEM
-        )
-    else:
-        q_spec = pl.BlockSpec(
-            (qt, mdp), lambda r, q: (q, 0), memory_space=pltpu.VMEM
-        )
-    scratch_shapes = [pltpu.VMEM((mdp, t), jnp.bfloat16)]
-    if natural:
-        scratch_shapes.append(pltpu.VMEM((t, mdp), jnp.bfloat16))
+    q_spec = pl.BlockSpec(
+        (qt, mdp), lambda r, q: (q, 0), memory_space=pltpu.VMEM
+    )
     block_p = pl.pallas_call(
         kernel,
         grid=(n_rt, n_qt),  # query axis innermost: decode reused across it
@@ -682,18 +482,13 @@ def _block_scan(
         out_shape=jax.ShapeDtypeStruct(
             (n_rt * winners * nblk, q_pad.shape[0]), jnp.float32
         ),
-        scratch_shapes=scratch_shapes,
+        scratch_shapes=[pltpu.VMEM((mdp, t), jnp.bfloat16)],
         interpret=interpret,
     )(
         codes_t,
         _split_hi_lo(norms, center),
         q_op,
-        jnp.transpose(codebooks, (0, 2, 1)).astype(
-            # take mode gathers the codebook (f32 values match the
-            # i32 gather-index bitwidth Mosaic requires); matmul
-            # modes feed it to the MXU as bf16
-            jnp.float32 if decode_mode == "take" else jnp.bfloat16
-        ),
+        jnp.transpose(codebooks, (0, 2, 1)).astype(jnp.bfloat16),
     )
 
     # winner column c -> first row of its block (rank-major within a tile:
@@ -711,103 +506,6 @@ def _block_scan(
         pretransposed,
     )
 
-
-def _block_scan_pipe(
-    codes_t, norms, q_pad, codebooks, qs, *,
-    m, k_codes, dsub, mdp, qt, t, num_q, winners, interpret,
-    decode_mode, pretransposed, center=0.0,
-):
-    """Pipelined launch (see ``_adc_fused_kernel_pipe``): pair-of-row-tiles
-    grid with static scratch slots; same winner-column layout as the base
-    launch, so the epilogue and ``base_cols`` math are unchanged."""
-    budget = 14 * 1024 * 1024
-    while t > 1024 and (
-        2 * 4 * qt * t  # scores0/scores1 may coexist
-        + 2 * 2 * mdp * t  # two dec scratches
-        + 2 * 2 * t * k_codes  # one-hot temp
-        + 2 * 4 * m * 2 * t  # current + lookahead code blocks
-    ) >= budget:
-        # keep the 1024-multiple invariant (winner blocks need t/128 to be
-        # a sublane multiple of 8)
-        t = max(1024, (t // 2) // 1024 * 1024)
-    if decode_mode == "take" and t % min(k_codes, _LANES) != 0:
-        # the pipe shrink can break the take alignment the pre-pipe
-        # guard checked (e.g. non-power-of-two K <= 128)
-        decode_mode = "base"
-    pad2 = (-codes_t.shape[1]) % (2 * t)
-    if pad2:
-        codes_t = jnp.pad(codes_t, ((0, 0), (0, pad2)))
-        norms = jnp.pad(norms, (0, pad2), constant_values=_BIG)
-    n_pairs = codes_t.shape[1] // (2 * t)
-    n_qt = q_pad.shape[0] // qt
-    nblk = t // _LANES
-    wn2 = 2 * winners * nblk
-
-    kernel = functools.partial(
-        _adc_fused_kernel_pipe, m=m, k_codes=k_codes, dsub=dsub,
-        tile_rows=t, n_pairs=n_pairs, n_qt=n_qt, winners=winners,
-        decode_mode=decode_mode,
-    )
-
-    def cur(g, q):
-        return (0, g)
-
-    def nxt(g, q):
-        return (0, jnp.minimum(g + 1, n_pairs - 1))
-
-    norms_hl = _split_hi_lo(norms, center)
-    block_p = pl.pallas_call(
-        kernel,
-        grid=(n_pairs, n_qt),  # query axis innermost, like the base
-        in_specs=[
-            pl.BlockSpec((m, 2 * t), cur, memory_space=pltpu.VMEM),
-            pl.BlockSpec((m, 2 * t), nxt, memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, 2 * t), cur, memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, 2 * t), nxt, memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (qt, mdp), lambda g, q: (q, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # codebooks^T (whole)
-        ],
-        out_specs=pl.BlockSpec(
-            (wn2, qt), lambda g, q: (g, q), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct(
-            (n_pairs * wn2, q_pad.shape[0]), jnp.float32
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((mdp, t), jnp.bfloat16),
-            pltpu.VMEM((mdp, t), jnp.bfloat16),
-        ],
-        interpret=interpret,
-    )(
-        codes_t,
-        codes_t,
-        norms_hl,
-        norms_hl,
-        q_pad.astype(jnp.bfloat16),
-        jnp.transpose(codebooks, (0, 2, 1)).astype(
-            # take mode gathers the codebook (f32 values match the
-            # i32 gather-index bitwidth Mosaic requires); matmul
-            # modes feed it to the MXU as bf16
-            jnp.float32 if decode_mode == "take" else jnp.bfloat16
-        ),
-    )
-
-    # identical winner-column geometry to the base launch with
-    # n_rt = 2 * n_pairs consecutive row tiles
-    wn = winners * nblk
-    cols = np.arange(2 * n_pairs * wn, dtype=np.int64)
-    base_cols = ((cols // wn) * t + (cols % wn) % nblk * _LANES).astype(
-        np.int32
-    )
-    return (
-        block_p.T[:num_q],
-        jnp.asarray(base_cols),
-        qs,
-        codes_t,
-        pretransposed,
-    )
 
 
 def unpack_block_winners(
@@ -868,56 +566,27 @@ def adc_block_scan_pallas(
     return unpack_block_winners(packed, base_cols)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "bounds", "k", "tile_rows", "interpret", "num_rows", "rescore",
-        "winners",
-    ),
-)
-def adc_scan_pallas(
-    queries: jax.Array,  # [Q, D] f32
-    codebooks: jax.Array,  # [m, K, dsub] f32 (zero-padded subspaces)
-    codes: jax.Array,  # [N, m] uint — or pretransposed [m, N] i32 when
-    #                    num_rows is given (the relayout is query-invariant;
-    #                    callers can cache it, see FlatIndex)
-    recon_norms: jax.Array,  # [N] f32
+def finish_scan(
+    packed: jax.Array,       # [Q, NW] lane-packed block winners
+    base_cols: jax.Array,    # [NW] i32 first-row-of-block per column
+    qs: jax.Array,           # [m, Q, dsub] split queries (for the rescore)
+    codes_t,                 # the kernel's code operand (for the rescore)
+    pretransposed: bool,
     *,
-    bounds,
+    queries: jax.Array,
+    codebooks: jax.Array,
+    codes: jax.Array,
     k: int,
-    tile_rows: int = 0,  # 0 = auto
-    interpret: bool = False,
-    num_rows: int = 0,  # >0: codes is pretransposed [m, num_rows] i32
-    rescore: bool = False,  # exact f32 LUT rescore of the k winners
-    winners: int = 1,  # ranked candidates per 128-row block (1..4):
-    #   >1 recovers recall in tie-heavy regimes where several of the
-    #   true top-k share a block (low-intrinsic corpora collapse onto
-    #   few distinct codes), at one extra min+mask pass per extra winner
+    kk: int,
+    rescore: bool,
+    centered: bool,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Fused-kernel ADC scan. Returns ([Q, k] dists asc, [Q, k] ids)."""
-    if not 1 <= winners <= 4:
-        raise ValueError(f"winners must be in 1..4, got {winners}")
-    num_q, _ = queries.shape
-    m, k_codes, dsub = codebooks.shape
-    n = num_rows if num_rows > 0 else codes.shape[0]
-    if k > _LANES:
-        raise ValueError(f"pallas ADC kernel supports k <= 128, got {k}")
-    kk = min(k, n)
-    # block-min selection yields one winner per 128-row block; the corpus
-    # must span comfortably more blocks than k or winners are lost
-    if n < 256 * kk:
-        raise ValueError(
-            f"pallas ADC kernel needs corpus >= 256*k rows (n={n}, k={kk}); "
-            "use the XLA scan for small corpora"
-        )
-    centered = _center()
-    packed, base_cols, qs, codes_t, pretransposed = _block_scan(
-        queries, codebooks, codes, recon_norms,
-        bounds=bounds, tile_rows=tile_rows, interpret=interpret,
-        num_rows=num_rows, winners=winners, center_scores=centered,
-    )
-
-    # XLA epilogue over the N/128 block winners: strip the lane bits FIRST
+    """The XLA epilogue shared by :func:`adc_scan_pallas` and the probe
+    launches in ``benchmarks/adc_probes.py``: exact top-k over the block
+    winners, id decode, optional exact f32 LUT rescore."""
+    num_q = queries.shape[0]
+    m = codebooks.shape[0]
+    # Rank over the N/128 block winners: strip the lane bits FIRST
     # and rank the masked values with an EXACT top-k, so equal-score
     # winners tie-break by column = block = ascending-row-id region —
     # matching the reference heap's keep-earliest-row semantics
@@ -989,3 +658,84 @@ def adc_scan_pallas(
             best_ids, ((0, 0), (0, k - kk)), constant_values=-1
         )
     return best_d, best_ids
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "bounds", "k", "tile_rows", "interpret", "num_rows", "rescore",
+        "winners", "center_scores",
+    ),
+)
+def _adc_scan_pallas_jit(
+    queries, codebooks, codes, recon_norms, *,
+    bounds, k, tile_rows, interpret, num_rows, rescore, winners,
+    center_scores,
+):
+    if not 1 <= winners <= 4:
+        raise ValueError(f"winners must be in 1..4, got {winners}")
+    n = num_rows if num_rows > 0 else codes.shape[0]
+    if k > _LANES:
+        raise ValueError(f"pallas ADC kernel supports k <= 128, got {k}")
+    kk = min(k, n)
+    # block-min selection yields one winner per 128-row block; the corpus
+    # must span comfortably more blocks than k or winners are lost
+    if n < 256 * kk:
+        raise ValueError(
+            f"pallas ADC kernel needs corpus >= 256*k rows (n={n}, k={kk}); "
+            "use the XLA scan for small corpora"
+        )
+    packed, base_cols, qs, codes_t, pretransposed = _block_scan(
+        queries, codebooks, codes, recon_norms,
+        bounds=bounds, tile_rows=tile_rows, interpret=interpret,
+        num_rows=num_rows, winners=winners, center_scores=center_scores,
+    )
+    return finish_scan(
+        packed, base_cols, qs, codes_t, pretransposed,
+        queries=queries, codebooks=codebooks, codes=codes,
+        k=k, kk=kk, rescore=rescore, centered=center_scores,
+    )
+
+
+def adc_scan_pallas(
+    queries: jax.Array,  # [Q, D] f32
+    codebooks: jax.Array,  # [m, K, dsub] f32 (zero-padded subspaces)
+    codes: jax.Array,  # [N, m] uint — or pretransposed [m, N] i32 when
+    #                    num_rows is given (the relayout is query-invariant;
+    #                    callers can cache it, see FlatIndex)
+    recon_norms: jax.Array,  # [N] f32
+    *,
+    bounds,
+    k: int,
+    tile_rows: int = 0,  # 0 = auto
+    interpret: bool = False,
+    num_rows: int = 0,  # >0: codes is pretransposed [m, num_rows] i32
+    rescore: bool = False,  # exact f32 LUT rescore of the k winners
+    winners: int = 1,  # ranked candidates per 128-row block (1..4):
+    #   >1 recovers recall in tie-heavy regimes where several of the
+    #   true top-k share a block (low-intrinsic corpora collapse onto
+    #   few distinct codes), at one extra min+mask pass per extra winner
+    center_scores: bool = None,  # None: GULON_ADC_CENTER env (default on).
+    #   Centered: the kernel emits the TRUE ADC distance (norm rows mean-
+    #   shifted + per-query ||q||^2+mean lanes), so packing/split noise
+    #   scales with the distance, not |norms|.
+) -> Tuple[jax.Array, jax.Array]:
+    """Fused-kernel ADC scan. Returns ([Q, k] dists asc, [Q, k] ids).
+
+    A thin un-jitted wrapper: ``center_scores`` resolves from the env at
+    CALL time and passes to the jitted impl as a static argument, so the
+    scoring convention is part of the jit cache key (flipping the env
+    mid-process affects the next call, no stale-cache surprises)."""
+    if center_scores is None:
+        center_scores = _center_default()
+    return _adc_scan_pallas_jit(
+        queries, codebooks, codes, recon_norms,
+        bounds=bounds, k=k, tile_rows=tile_rows, interpret=interpret,
+        num_rows=num_rows, rescore=rescore, winners=winners,
+        center_scores=bool(center_scores),
+    )
+
+
+# tests and probe harnesses clear the underlying jit cache through the
+# public name
+adc_scan_pallas._clear_cache = _adc_scan_pallas_jit._clear_cache

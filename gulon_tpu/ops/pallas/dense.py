@@ -564,12 +564,20 @@ def dense_scan_pallas_i8(
         safe = jnp.where(invalid, 0, best_ids)
         if rescore_rows is not None:
             rows = rescore_rows[safe].astype(jnp.float32)  # [Q, F, D]
+            row_norms = norms[safe]  # exact ||x||^2 of exact rows
         else:
             rows = jnp.take(data_i8, safe, axis=0)[
                 ..., : meta.d
             ].astype(jnp.float32) * jnp.float32(
                 meta.scale
             )  # [Q, F, D] dequantized
+            # norms of the DEQUANTIZED rows, not the exact f32 norms:
+            # mixing exact norms with int8 inner products yields values
+            # that are not the squared distance of any vector pair (can
+            # go slightly negative for self-queries, ADVICE r4). This
+            # way the reported distance is exactly
+            # ||q - dequant(x)||^2 (within f32 rounding).
+            row_norms = jnp.sum(rows * rows, axis=2)  # [Q, F]
         ip = jax.lax.dot_general(
             rows,
             queries.astype(jnp.float32),
@@ -577,7 +585,7 @@ def dense_scan_pallas_i8(
             precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32,
         )  # [Q, F]
-        exact = norms[safe] + qn[:, None] - 2.0 * ip
+        exact = row_norms + qn[:, None] - 2.0 * ip
         exact = jnp.where(invalid, jnp.inf, exact)
         best_d, pos2 = smallest_k(exact, kk)
         best_ids = jnp.take_along_axis(

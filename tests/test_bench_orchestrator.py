@@ -24,6 +24,7 @@ def test_drain_apply_and_emit(tmp_path, capsys, monkeypatch):
     monkeypatch.setenv("GULON_BENCH_CONFIGS", "glove100,kmeans,deep10m")
     orch = bench._Orchestrator()
     orch.results_path = str(tmp_path / "ev.jsonl")
+    orch.full_results_path = str(tmp_path / "FULL.json")
 
     events = [
         {"event": "init", "device": "TPU v5 lite0", "t": 1.0},
@@ -60,11 +61,20 @@ def test_drain_apply_and_emit(tmp_path, capsys, monkeypatch):
     out = capsys.readouterr().out.strip().splitlines()
     assert len(out) == 1
     payload = json.loads(out[0])
+    # the stdout line must fit the driver's 2,000-char tail capture
+    assert len(out[0]) <= 1500
     assert payload["value"] == 1.2
     assert payload["vs_baseline"] == round(5000.0 / 1.2, 1)
-    assert payload["configs"]["kmeans"]["skipped"].startswith("insufficient")
-    assert payload["configs"]["deep10m"]["skipped"].startswith("killed")
     assert payload["device"] == "TPU v5 lite0"
+    assert set(payload["not_captured"]) == {"kmeans", "deep10m"}
+    assert payload["full_results"] == os.path.relpath(
+        orch.full_results_path, os.path.dirname(bench.__file__)
+    )
+    # the full per-config matrix goes to the repo file, not stdout
+    full = json.load(open(orch.full_results_path))
+    assert full["configs"]["kmeans"]["skipped"].startswith("insufficient")
+    assert full["configs"]["deep10m"]["skipped"].startswith("killed")
+    assert full["configs"]["glove100"]["us_per_query"] == 1.2
     # emit is once-only (signal handler + finally can both call it)
     orch.emit()
     assert capsys.readouterr().out == ""
@@ -75,13 +85,15 @@ def test_emit_without_headline_reports_error(tmp_path, capsys, monkeypatch):
     monkeypatch.setenv("GULON_BENCH_CONFIGS", "glove100")
     orch = bench._Orchestrator()
     orch.results_path = str(tmp_path / "ev2.jsonl")
+    orch.full_results_path = str(tmp_path / "FULL2.json")
     orch.errors.append("init: no jax init within 330s (tunnel hang?)")
     orch.emit()
     payload = json.loads(capsys.readouterr().out.strip())
     assert payload["value"] is None
     assert payload["vs_baseline"] is None
     assert "tunnel hang" in payload["error"]
-    assert payload["configs"]["glove100"]["skipped"].startswith("deadline")
+    full = json.load(open(orch.full_results_path))
+    assert full["configs"]["glove100"]["skipped"].startswith("deadline")
 
 
 def test_restricted_plan_without_headline_is_not_an_error(
@@ -91,6 +103,7 @@ def test_restricted_plan_without_headline_is_not_an_error(
     monkeypatch.setenv("GULON_BENCH_CONFIGS", "kmeans")
     orch = bench._Orchestrator()
     orch.results_path = str(tmp_path / "ev4.jsonl")
+    orch.full_results_path = str(tmp_path / "FULL4.json")
     orch.apply({
         "event": "result", "config": "kmeans",
         "data": {"us_per_iteration": 20.0},
@@ -99,7 +112,9 @@ def test_restricted_plan_without_headline_is_not_an_error(
     payload = json.loads(capsys.readouterr().out.strip())
     assert payload["value"] is None  # headline shape was never planned
     assert "error" not in payload  # ...so its absence is not an error
-    assert payload["configs"]["kmeans"]["us_per_iteration"] == 20.0
+    assert payload["summary"]["kmeans_us_iter"] == 20.0
+    full = json.load(open(orch.full_results_path))
+    assert full["configs"]["kmeans"]["us_per_iteration"] == 20.0
 
 
 def test_failure_bookkeeping_two_strikes(monkeypatch, tmp_path):

@@ -131,3 +131,24 @@ def test_exact_index_int8_operand_matches_bf16():
         m_i8 = {i_: v for i_, v in zip(i_i8[j], d_i8[j])}
         for c in common:
             np.testing.assert_allclose(m_bf[c], m_i8[c], rtol=1e-4, atol=1e-4)
+
+
+def test_exact_rescore_requires_rescore_factor():
+    """exact_rescore=True with rescore_factor=0 would silently disable
+    the re-rank and report approximate distances from an index named
+    Exact — it must raise instead (ADVICE r4)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from benchmarks.common import low_rank_corpus_device
+
+    n, d = 4096, 16
+    x = np.asarray(low_rank_corpus_device(3, n, d, intrinsic=8))
+    keys = np.array([f"w{i:06d}" for i in range(n)], dtype=object)
+    idx = build_exact_index(keys, x, Metric.L2)
+    bad = dataclasses.replace(
+        idx, scan_strategy="pallas", rescore_factor=0, exact_rescore=True
+    )
+    with pytest.raises(ValueError, match="rescore_factor"):
+        bad.query_arrays(5, jnp.asarray(x[:2]))

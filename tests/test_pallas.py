@@ -227,12 +227,12 @@ def test_packed_codes_t_dtypes_match(setup):
     np.testing.assert_allclose(np.asarray(dr), np.asarray(dr32), rtol=1e-6)
 
 
-def test_pallas_natural_mode_matches():
-    """Deep contractions (m*dsub+2 > 128) run the natural-layout matmul
-    (in-kernel dec^T transpose); results match the XLA reference scan."""
-    import os
-
-    from gulon_tpu.ops.pallas.adc import padded_depth, _natural
+def test_probe_natural_mode_matches():
+    """The natural-layout probe variant (benchmarks/adc_probes.py, dead
+    end #3: in-kernel dec^T transpose + canonical matmul at deep
+    contractions) stays correctness-tested: results match the XLA
+    reference scan in interpret mode."""
+    from benchmarks.adc_probes import adc_scan_probe
 
     rng = np.random.default_rng(9)
     n, d, m = 5000, 128, 16
@@ -241,31 +241,27 @@ def test_pallas_natural_mode_matches():
     pq = train_product_quantizer(
         x, PQConfig(num_clusters=16, num_quantizers=m, max_iters=5)
     )
-    os.environ["GULON_ADC_NATURAL"] = "1"
-    try:
-        assert _natural(padded_depth(m, pq.codebooks.shape[2]))
-        codes = pq.encode(x)
-        norms = pq.reconstruction_norms(codes)
-        d_ref, i_ref = adc_scan_decode(
-            jnp.asarray(q), pq.codebooks, codes, norms,
-            bounds=pq.bounds, k=10,
-            precision="highest", decode_impl="gather", topk_impl="exact",
-        )
-        d_pl, i_pl = adc_scan_pallas(
-            jnp.asarray(q), pq.codebooks, codes, norms,
-            bounds=pq.bounds, k=10, tile_rows=5120, interpret=True,
-        )
-        i_ref, i_pl = np.asarray(i_ref), np.asarray(i_pl)
-        recall = np.mean(
-            [len(set(i_pl[j]) & set(i_ref[j])) / 10 for j in range(len(q))]
-        )
-        assert recall >= 0.85, recall
-        np.testing.assert_allclose(
-            np.asarray(d_pl)[:, 0], np.asarray(d_ref)[:, 0],
-            rtol=5e-2, atol=5e-2,
-        )
-    finally:
-        del os.environ["GULON_ADC_NATURAL"]
+    codes = pq.encode(x)
+    norms = pq.reconstruction_norms(codes)
+    d_ref, i_ref = adc_scan_decode(
+        jnp.asarray(q), pq.codebooks, codes, norms,
+        bounds=pq.bounds, k=10,
+        precision="highest", decode_impl="gather", topk_impl="exact",
+    )
+    d_pl, i_pl = adc_scan_probe(
+        jnp.asarray(q), pq.codebooks, codes, norms,
+        bounds=pq.bounds, k=10, tile_rows=5120, interpret=True,
+        natural=True,
+    )
+    i_ref, i_pl = np.asarray(i_ref), np.asarray(i_pl)
+    recall = np.mean(
+        [len(set(i_pl[j]) & set(i_ref[j])) / 10 for j in range(len(q))]
+    )
+    assert recall >= 0.85, recall
+    np.testing.assert_allclose(
+        np.asarray(d_pl)[:, 0], np.asarray(d_ref)[:, 0],
+        rtol=5e-2, atol=5e-2,
+    )
 
 
 def test_dense_operand_rescore_matches_f32():
@@ -481,62 +477,56 @@ def test_auto_rerank_degeneracy_stat():
     assert (d_p <= cutoff[:, None]).mean() >= 0.99, (d_p, cutoff)
 
 
-def test_decode_mode_variants_match(setup, monkeypatch):
-    """The env-gated in-kernel decode formulations (bf16 compare one-hot;
-    gather-based table walk — the deep-shape decode-floor probes) return
-    the base formulation's results in interpret mode."""
-    import gulon_tpu.ops.pallas.adc as adc
+def test_probe_decode_mode_variants_match(setup):
+    """The probe decode formulations (bf16 compare one-hot; gather-based
+    table walk — benchmarks/adc_probes.py, dead ends #6/#7) return the
+    production kernel's results in interpret mode."""
+    from benchmarks.adc_probes import adc_scan_probe
 
     x, q, pq, codes, norms = setup
     q8 = jnp.asarray(q[:8])
+    kw = dict(bounds=pq.bounds, k=10, tile_rows=5120, interpret=True)
 
-    def run():
-        adc.adc_scan_pallas._clear_cache()
-        d_, i_ = adc.adc_scan_pallas(
-            q8, pq.codebooks, codes, norms,
-            bounds=pq.bounds, k=10, tile_rows=5120, interpret=True,
-        )
-        return np.asarray(d_), np.asarray(i_)
-
-    base = run()
+    d_b, i_b = adc_scan_pallas(
+        q8, pq.codebooks, codes, norms, center_scores=False, **kw
+    )
+    base = (np.asarray(d_b), np.asarray(i_b))
     for mode in ("bf16cmp", "take"):
-        monkeypatch.setenv("GULON_ADC_DECODE", mode)
-        d_v, i_v = run()
+        d_v, i_v = adc_scan_probe(
+            q8, pq.codebooks, codes, norms, decode_mode=mode, **kw
+        )
+        d_v, i_v = np.asarray(d_v), np.asarray(i_v)
         np.testing.assert_allclose(d_v, base[0], rtol=2e-2, atol=2e-2)
         agree = np.mean(
             [len(set(i_v[j]) & set(base[1][j])) / 10 for j in range(8)]
         )
         assert agree == 1.0, (mode, agree)
-    monkeypatch.delenv("GULON_ADC_DECODE")
-    adc.adc_scan_pallas._clear_cache()
 
 
-def test_pipe_schedule_matches_base(setup, monkeypatch):
-    """GULON_ADC_PIPE=1 (pair-grid software-pipelined decode) returns
-    bit-identical results to the base schedule in interpret mode, for
-    winners 1 and 2 and for odd row-tile counts (pair padding)."""
-    import gulon_tpu.ops.pallas.adc as adc
+def test_probe_pipe_schedule_matches_base(setup):
+    """The software-pipelined probe schedule (pair-grid decode,
+    benchmarks/adc_probes.py, dead end #5) returns bit-identical results
+    to the production schedule in interpret mode, for winners 1 and 2
+    and for odd row-tile counts (pair padding)."""
+    from benchmarks.adc_probes import adc_scan_probe
 
     x, q, pq, codes, norms = setup  # n=5000 -> odd tile count at t=1024
     q8 = jnp.asarray(q[:8])
+    kw = dict(bounds=pq.bounds, k=10, tile_rows=1024, interpret=True)
 
-    def run(winners):
-        adc.adc_scan_pallas._clear_cache()
-        d_, i_ = adc.adc_scan_pallas(
+    for winners in (1, 2):
+        d_b, i_b = adc_scan_pallas(
             q8, pq.codebooks, codes, norms,
-            bounds=pq.bounds, k=10, tile_rows=1024, interpret=True,
-            winners=winners,
+            winners=winners, center_scores=False, **kw
         )
-        return np.asarray(d_), np.asarray(i_)
-
-    base1, base2 = run(1), run(2)
-    monkeypatch.setenv("GULON_ADC_PIPE", "1")
-    pipe1, pipe2 = run(1), run(2)
-    monkeypatch.delenv("GULON_ADC_PIPE")
-    adc.adc_scan_pallas._clear_cache()
-    for (bd, bi), (pd, pi) in ((base1, pipe1), (base2, pipe2)):
-        np.testing.assert_allclose(pd, bd, rtol=1e-6, atol=1e-6)
-        np.testing.assert_array_equal(pi, bi)
+        d_p, i_p = adc_scan_probe(
+            q8, pq.codebooks, codes, norms,
+            winners=winners, pipe=True, **kw
+        )
+        np.testing.assert_allclose(
+            np.asarray(d_p), np.asarray(d_b), rtol=1e-6, atol=1e-6
+        )
+        np.testing.assert_array_equal(np.asarray(i_p), np.asarray(i_b))
 
 
 def test_centered_scores_report_true_adc_distances(setup):
@@ -544,8 +534,11 @@ def test_centered_scores_report_true_adc_distances(setup):
     distance (norms centered by their mean + per-query ``||q||^2 + mean``
     lanes), so reported non-rescore distances equal the exact f32 LUT
     distances of the returned rows within lane-pack coarsening + bf16
-    operand noise. GULON_ADC_CENTER=0 (the round-3 convention, query norm
-    added in the epilogue) must return the same neighbours."""
+    operand noise. center_scores=False (the round-3 convention, query
+    norm added in the epilogue) must return the same neighbours; the
+    GULON_ADC_CENTER env only sets the argument's default and is
+    resolved at call time (part of the jit cache key — no stale-cache
+    footgun, ADVICE r4)."""
     import gulon_tpu.ops.pallas.adc as adc
     from gulon_tpu.ops.pq import _lut, split_subspaces
 
@@ -568,24 +561,32 @@ def test_centered_scores_report_true_adc_distances(setup):
     )[..., 0].sum(-1)
     np.testing.assert_allclose(d_c, exact, rtol=3e-2, atol=3e-2)
 
+    d_u, i_u = adc.adc_scan_pallas(
+        qd, pq.codebooks, codes, norms,
+        bounds=pq.bounds, k=10, tile_rows=5120, interpret=True,
+        center_scores=False,
+    )
+    agree = np.mean(
+        [len(set(np.asarray(i_u)[j]) & set(i_c[j])) / 10
+         for j in range(len(q))]
+    )
+    assert agree >= 0.9, agree
+    np.testing.assert_allclose(np.asarray(d_u), d_c, rtol=5e-2, atol=5e-2)
+
+    # the env flips the DEFAULT at call time — same result as the
+    # explicit argument, no cache clearing required
     import os
 
     os.environ["GULON_ADC_CENTER"] = "0"
-    adc.adc_scan_pallas._clear_cache()
     try:
-        d_u, i_u = adc.adc_scan_pallas(
+        d_e, i_e = adc.adc_scan_pallas(
             qd, pq.codebooks, codes, norms,
             bounds=pq.bounds, k=10, tile_rows=5120, interpret=True,
         )
-        agree = np.mean(
-            [len(set(np.asarray(i_u)[j]) & set(i_c[j])) / 10
-             for j in range(len(q))]
-        )
-        assert agree >= 0.9, agree
-        np.testing.assert_allclose(np.asarray(d_u), d_c, rtol=5e-2, atol=5e-2)
+        np.testing.assert_array_equal(np.asarray(i_e), np.asarray(i_u))
+        np.testing.assert_array_equal(np.asarray(d_e), np.asarray(d_u))
     finally:
         del os.environ["GULON_ADC_CENTER"]
-        adc.adc_scan_pallas._clear_cache()
 
 
 def test_dense_i8_matches_bf16_under_exact_rescore():
