@@ -839,7 +839,10 @@ def bench_ivf1m(n=300_000, d=96, n_queries=1024, partitions=300, probe=15):
         out = []
         for q0 in range(0, nq_c, 128):
             qc = q_dev[q0 : q0 + 128]
-            d2 = cn[None, :] - 2.0 * qc @ corpus.T  # [128, N]
+            d2 = cn[None, :] - 2.0 * jnp.matmul(
+                qc, corpus.T, precision=jax.lax.Precision.HIGHEST
+            )  # [128, N] — f32 matmul: a CEILING must not lose near-ties
+            # to bf16 operand rounding
             probed = jnp.take(member[q0 : q0 + 128], gid, axis=1)
             d2 = jnp.where(probed, d2, jnp.inf)
             _, idx = jax.lax.top_k(-d2, 10)

@@ -82,23 +82,44 @@ def _train_sample(
     return (_normalize_np(x) if normalized else x), rows
 
 
-def _pipeline(stream, n, chunk, normalized, consume, report_fn=None):
+def _pipeline(stream, n, chunk, normalized, consume, report_fn=None,
+              stats=None):
     """Double-buffered parse->consume loop: the host parses chunk N+1 while
-    ``consume(start, x_chunk)`` (typically a device encode) runs on N."""
+    ``consume(start, x_chunk)`` (typically a device encode) runs on N.
+
+    ``stats`` (optional dict) accumulates the pipeline's time split:
+    ``wait_s`` — main thread blocked on the parser (parse NOT hidden
+    behind device work), ``consume_s`` — time in ``consume``, ``wall_s``
+    — total. The hidden-parse/overlap fraction a benchmark reports is
+    ``1 - wait_s / parse_only_s``."""
+    import time as _time
+
+    t_all = _time.monotonic()
+    wait_s = consume_s = 0.0
     with ThreadPoolExecutor(max_workers=1) as pool:
         fut = pool.submit(stream.rows, 0, min(chunk, n))
         start = 0
         while start < n:
+            t0 = _time.monotonic()
             x = fut.result()
+            wait_s += _time.monotonic() - t0
             nxt = start + len(x)
             if nxt < n:
                 fut = pool.submit(stream.rows, nxt, min(chunk, n - nxt))
             if normalized:
                 x = _normalize_np(x)
+            t0 = _time.monotonic()
             consume(start, x)
+            consume_s += _time.monotonic() - t0
             if report_fn is not None:
                 report_fn(StreamProgress(rows_done=nxt, total_rows=n))
             start = nxt
+    if stats is not None:
+        stats["wait_s"] = stats.get("wait_s", 0.0) + wait_s
+        stats["consume_s"] = stats.get("consume_s", 0.0) + consume_s
+        stats["wall_s"] = stats.get("wall_s", 0.0) + (
+            _time.monotonic() - t_all
+        )
 
 
 def build_flat_index_streaming(
@@ -110,6 +131,7 @@ def build_flat_index_streaming(
     num_threads: int = 0,
     report_fn=None,
     mesh=None,
+    pipeline_stats: Optional[dict] = None,
 ) -> FlatIndex:
     """Linear build straight from a word2vec file, never holding the f32
     corpus in host memory (``BuildIndex.scala:84-93`` at streaming scale)."""
@@ -142,7 +164,8 @@ def build_flat_index_streaming(
                 codes[start : start + len(x)] = np.asarray(pq.encode(x))
 
         _pipeline(
-            stream, n, encode_chunk, metric.normalized, consume, report_fn
+            stream, n, encode_chunk, metric.normalized, consume, report_fn,
+            stats=pipeline_stats,
         )
         keys = stream.keys
 
