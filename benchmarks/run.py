@@ -828,7 +828,18 @@ def bench_ivf1m(n=300_000, d=96, n_queries=1024, partitions=300, probe=15):
     _gt, _qn, _cd, member = ivf_mod._rank_and_probe(
         q_dev[:nq_c], index.centroids, sizes_dev, kind="groups", count=probe
     )  # member: [Qc, P] probed-partition mask
-    gid = index.group_ids
+    # index.group_ids is in the index's INTERNAL (grouped) row order;
+    # x_dev / i_ex are in ORIGINAL corpus order. Map partitions back to
+    # original rows via the key strings or the mask misaligns and the
+    # "ceiling" lands below the measured recall (round-5 bug).
+    int2orig = np.fromiter(
+        (keys_by_row[k] for k in np.asarray(index.key_index.keys)),
+        dtype=np.int64,
+        count=len(keys),
+    )
+    orig_gid = np.empty(len(keys), np.int32)
+    orig_gid[int2orig] = np.asarray(index.group_ids)
+    gid = jnp.asarray(orig_gid)  # partition of each ORIGINAL row
 
     def _masked_exact_ids(corpus):
         """Top-10 ids by exact L2 over `corpus`, rows outside each
@@ -866,7 +877,9 @@ def bench_ivf1m(n=300_000, d=96, n_queries=1024, partitions=300, probe=15):
     index.precision = "highest"
     index.topk_impl = "exact"
     _dc, ii_c = index.query_arrays(10, q_dev[:nq_c])
-    decode_ceiling = _idset_recall_256(np.asarray(ii_c))
+    # query_arrays returns INTERNAL row ids — go through the same
+    # key-based protocol as every other recall row in this config
+    decode_ceiling = _recall(index._make_results(_dc, ii_c))
     index.scan_strategy, index.precision, index.topk_impl = prev
 
     return _emit(
