@@ -613,8 +613,13 @@ def bench_kmeans(n=10_000, d=100, k=25):
         return acc + c[0, 0] + jnp.float32(a[0])
 
     # the unit is ~65 us: hundreds of chained iterations so the two-point
-    # difference dwarfs tunnel RTT jitter
-    per_iter = time_device_loop(step, float, iters=512)
+    # difference dwarfs tunnel RTT jitter. Env override exists for the
+    # orchestrator's CPU subprocess test, where 512 chained CPU Lloyd
+    # iterations are ~10 s of pure test wall-clock.
+    per_iter = time_device_loop(
+        step, float,
+        iters=int(os.environ.get("GULON_BENCH_KMEANS_ITERS", "512")),
+    )
     import jax
 
     return _emit(

@@ -191,6 +191,9 @@ def test_child_force_cpu_only_kmeans(tmp_path):
          "--deadline", repr(_t.time() + 240),
          "--force-cpu", "--only", "kmeans"],
         capture_output=True, text=True, timeout=220,
+        # 8 chained Lloyd iterations instead of 512: the test checks the
+        # orchestration contract (events, labels), not the measurement
+        env={**os.environ, "GULON_BENCH_KMEANS_ITERS": "8"},
     )
     assert r.returncode == 0, r.stdout + r.stderr
     events = [json.loads(line) for line in open(results)]

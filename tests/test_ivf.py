@@ -1,3 +1,5 @@
+import dataclasses
+
 import numpy as np
 import pytest
 
@@ -139,16 +141,19 @@ def test_gathered_strategy_matches_masked():
     rng = np.random.default_rng(13)
     x, _, _ = planted_clusters(rng, 4000, 20, 8, scale=0.3)
     keys = random_keys(rng, 4000)
+    base = build_ivf_index(
+        keys, x,
+        metric=Metric.COSINE,
+        pq_config=PQConfig(
+            num_clusters=32, num_quantizers=5, max_iters=8
+        ),
+        num_partitions=14,
+        strategy=LimitGroups(5),
+    )
+    # strategy is a query-time knob: swap it on the SAME build instead of
+    # paying a second coarse-kmeans + PQ train
     for strategy in (LimitGroups(5), LimitVectors(900)):
-        index = build_ivf_index(
-            keys, x,
-            metric=Metric.COSINE,
-            pq_config=PQConfig(
-                num_clusters=32, num_quantizers=5, max_iters=8
-            ),
-            num_partitions=14,
-            strategy=strategy,
-        )
+        index = dataclasses.replace(base, strategy=strategy)
         q = (x[:10] + rng.normal(0, 0.02, (10, 20))).astype(np.float32)
         a = index.batch_query(7, q)
         index.scan_strategy = "gathered"
@@ -194,15 +199,16 @@ def test_bucketed_strategy_matches_masked():
     rng = np.random.default_rng(23)
     x, _, _ = planted_clusters(rng, 6000, 24, 12, scale=0.3)
     keys = random_keys(rng, 6000)
+    base = build_ivf_index(
+        keys, x,
+        pq_config=PQConfig(
+            num_clusters=32, num_quantizers=6, max_iters=8
+        ),
+        num_partitions=20,
+        strategy=LimitGroups(4),
+    )
     for strategy in (LimitGroups(4), LimitVectors(900)):
-        index = build_ivf_index(
-            keys, x,
-            pq_config=PQConfig(
-                num_clusters=32, num_quantizers=6, max_iters=8
-            ),
-            num_partitions=20,
-            strategy=strategy,
-        )
+        index = dataclasses.replace(base, strategy=strategy)
         q = (x[:32] + rng.normal(0, 0.02, (32, 24))).astype(np.float32)
         a = index.batch_query(8, q)
         index.scan_strategy = "bucketed"

@@ -23,7 +23,7 @@ def test_objective_monotone_nonincreasing(seed):
     c = x[rng.choice(len(x), size=6, replace=False)]
     a = np.asarray(nearest(x, c))
     prev = _objective(x, c, a)
-    for _ in range(8):
+    for _ in range(5):
         c, a = lloyd_step(x, c, block_rows=128)
         cur = _objective(x, np.asarray(c), np.asarray(a))
         assert cur <= prev + 1e-4

@@ -97,7 +97,7 @@ def test_more_clusters_lower_reconstruction_error():
 
     def err(k, m):
         pq = train_product_quantizer(
-            x, PQConfig(num_clusters=k, num_quantizers=m, max_iters=20,
+            x, PQConfig(num_clusters=k, num_quantizers=m, max_iters=12,
                         block_rows=128)
         )
         rec = np.asarray(pq.decode(pq.encode(x)))

@@ -144,11 +144,14 @@ def test_grouped_keyindex_lookup_total(groups, probe):
         assert got is None
 
 
-@_SET
+@settings(max_examples=25, deadline=None)
 @given(
+    # fixed shape grid (edge cases pinned): every drawn (n, m) hits a
+    # cached XLA program — free-ranging integers made hypothesis compile
+    # a fresh program per example (~17 s of pure compilation)
     width=st.sampled_from([2, 4]),
-    n=st.integers(1, 80),
-    m=st.integers(1, 12),
+    n=st.sampled_from([1, 3, 8, 80]),
+    m=st.sampled_from([1, 5, 12]),
     data=st.data(),
 )
 def test_pack_rows_roundtrip_property(width, n, m, data):
@@ -179,17 +182,23 @@ def test_pack_rows_roundtrip_property(width, n, m, data):
 
 @_SET
 @given(
-    rows=st.lists(
-        st.lists(
-            st.floats(-100, 100, allow_nan=False, width=32),
-            min_size=4,
-            max_size=4,
-        ),
-        min_size=1,
-        max_size=20,
-    )
+    # fixed row-count grid: one cached XLA program per shape (see
+    # test_pack_rows_roundtrip_property)
+    n_rows=st.sampled_from([1, 2, 7, 20]),
+    data=st.data(),
 )
-def test_normalize_rows_property(rows):
+def test_normalize_rows_property(n_rows, data):
+    rows = data.draw(
+        st.lists(
+            st.lists(
+                st.floats(-100, 100, allow_nan=False, width=32),
+                min_size=4,
+                max_size=4,
+            ),
+            min_size=n_rows,
+            max_size=n_rows,
+        )
+    )
     """Unit norms for nonzero rows; zero rows unchanged (no NaNs) —
     the Cosine ingest transform (ref MathUtils.normalize)."""
     import jax.numpy as jnp

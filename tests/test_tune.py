@@ -30,7 +30,7 @@ def ivf_setup():
 def _recall_at_limit(index, keys, x, limit, k=10):
     import dataclasses
 
-    truth = sample_ground_truth(keys, x, num_samples=128, ks=(k,))
+    truth = sample_ground_truth(keys, x, num_samples=64, ks=(k,))
     trial = dataclasses.replace(index, strategy=LimitGroups(limit))
     return float(recall_of(trial, truth, x, keys)[k].mean)
 
@@ -41,7 +41,7 @@ def test_tune_meets_target_minimally(ivf_setup):
     r_full = _recall_at_limit(index, keys, x, index.num_partitions)
     target = 0.9 * r_full
     result = tune_probe_limit(
-        index, x, keys, target_recall=target, k=10, num_samples=128,
+        index, x, keys, target_recall=target, k=10, num_samples=64,
     )
     assert result.met
     assert result.achieved_recall >= target
@@ -64,7 +64,7 @@ def test_tune_limit_vectors_kind(ivf_setup):
     r_full = _recall_at_limit(index, keys, x, index.num_partitions)
     result = tune_probe_limit(
         lv_index, x, keys, target_recall=0.9 * r_full, k=10,
-        num_samples=128,
+        num_samples=64,
     )
     assert result.met
     assert isinstance(result.index.strategy, LimitVectors)
