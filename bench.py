@@ -715,7 +715,8 @@ class _Orchestrator:
         "build10m": [("index_build_s", "build10m_s", 1),
                      ("program_load_s", "build10m_cold_extra_s", 1)],
         "glove300": [("us_per_query", "glove300_us", 2),
-                     ("dist_scan_efficiency", "glove300_eff", 3)],
+                     ("dist_scan_efficiency", "glove300_eff", 3),
+                     ("dist_scan_efficiency_rerank4", "glove300_eff_rr4", 3)],
         "fasttext": [("us_per_query", "fasttext_exact_us", 2)],
         "ivf1m": [("device_ms_pallas_w2_rescore4", "ivf1m_dev_ms", 2),
                   ("scan_efficiency", "ivf1m_scan_eff", 3),

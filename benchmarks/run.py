@@ -172,9 +172,34 @@ def bench_adc(n, d, m, k_codes, n_queries, name, max_iters=25):
     recall_dist = _dist_recall(i_adc)
     ceiling_dist = _dist_recall(i_ceil)
     recall_dist_w2 = None
+    recall_dist_rr = None
+    per_batch_rr = None
     if use_pallas:
         _, i_w2 = scan(q_dev[:sample], 2)
         recall_dist_w2 = _dist_recall(i_w2)
+
+        # the DEFAULT FlatIndex serving path at this shape: auto
+        # rerank_factor=4 -> fetch 4k block winners, exact f32 LUT
+        # rescore, keep the top k. The raw fused row above is the
+        # kernel's own selection; this row is what `index.query()`
+        # actually returns (models/flat.py auto knobs).
+        def scan_rerank(qb):
+            dd, ii = adc_scan_pallas(
+                qb, pq.codebooks, codes_t, norms,
+                bounds=pq.bounds, k=40, num_rows=n, rescore=True,
+            )
+            return dd[:, :10], ii[:, :10]
+
+        _, i_rr = scan_rerank(q_dev[:sample])
+        recall_dist_rr = _dist_recall(i_rr)
+
+        def step_rr(acc):
+            start = (acc.astype(jnp.int32) % 4) * n_queries
+            qb = jax.lax.dynamic_slice_in_dim(q_dev, start, n_queries, 0)
+            dd, ii = scan_rerank(qb + acc * 1e-30)
+            return acc + dd[0, 0] + jnp.float32(ii[0, 0] % 7)
+
+        per_batch_rr = time_device_loop(step_rr, float)
 
     return _emit(
         {
@@ -211,6 +236,19 @@ def bench_adc(n, d, m, k_codes, n_queries, name, max_iters=25):
                     "dist_recall_at_10_w2": round(recall_dist_w2, 4),
                 }
                 if per_batch_w2 is not None
+                else {}
+            ),
+            **(
+                {
+                    "us_per_query_rerank4": round(
+                        per_batch_rr / n_queries * 1e6, 3
+                    ),
+                    "dist_recall_at_10_rerank4": round(recall_dist_rr, 4),
+                    "dist_scan_efficiency_rerank4": round(
+                        recall_dist_rr / max(ceiling_dist, 1e-9), 4
+                    ),
+                }
+                if per_batch_rr is not None
                 else {}
             ),
             "build_s": round(build_s, 2),
